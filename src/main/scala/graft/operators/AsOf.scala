@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Backward as-of joins — the reference's interval-assignment operator
+  * (`/root/reference/src/pipelines/etl.py:27-42` `pd.merge_asof`
+  * direction='backward' + containment post-filter; notebook variant
+  * `notebooks/etl_transform.ipynb cell 28`). Re-expressed two ways,
+  * chosen by the size of the right (reference/dimension) side:
+  *
+  *  - [[backward]]: sort-merge formulation. Union both sides, sort by
+  *    (by-keys, time, side) once, carry the latest right payload forward
+  *    with a running `last(..., ignoreNulls)` window. One shuffle on the
+  *    by-keys, no cross product — this is the 100 TB path (both sides
+  *    large, co-partitioned by key).
+  *
+  *  - [[backwardBroadcast]]: derive each right row's validity interval
+  *    `[t, next t)` via `lead`, then broadcast range-join. Right side
+  *    must be broadcast-small (a dimension); left side streams through
+  *    unshuffled — zero shuffle on the fact.
+  *
+  * Backward semantics: a right row at time == left time DOES match
+  * (`>=`), matching pandas `merge_asof(direction='backward')`.
+  */
+object AsOf {
+
+  /** Sort-merge as-of. Attaches `rightPayload` columns of the latest
+    * right row with rightTime <= leftTime within equal `by` keys;
+    * payload columns are null when no right row precedes.
+    */
+  def backward(
+      left: DataFrame,
+      right: DataFrame,
+      leftTime: String,
+      rightTime: String,
+      by: Seq[String],
+      rightPayload: Seq[String]
+  ): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val l = left
+      .withColumn("__t", col(leftTime))
+      .withColumn("__side", lit(1))
+      .withColumn("__payload", lit(null).cast(
+        right.select(rightPayload.map(col): _*)
+          .schema.fields.foldLeft(new org.apache.spark.sql.types.StructType())(_ add _)))
+    val r = right
+      .select((by :+ rightTime).map(col) ++ Seq(struct(rightPayload.map(col): _*).as("__payload")): _*)
+      .withColumn("__t", col(rightTime))
+      .withColumn("__side", lit(0))
+    // align schemas: right side lacks the left columns
+    val rAligned = leftCols.foldLeft(r) { (df, c) =>
+      if (df.columns.contains(c)) df
+      else df.withColumn(c, lit(null).cast(left.schema(c).dataType))
+    }.select(l.columns.map(col): _*)
+
+    // rights sort before lefts at equal __t so "<=" matches
+    val w = Window
+      .partitionBy(by.map(col): _*)
+      .orderBy(col("__t").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = l.unionByName(rAligned)
+      .withColumn("__match", last(col("__payload"), ignoreNulls = true).over(w))
+    val out = carried
+      .filter(col("__side") === 1)
+      .select(leftCols.map(col) ++ rightPayload.map(p => col(s"__match.$p").as(p)): _*)
+    out
+  }
+
+  /** Broadcast range-join as-of for a small right side. Each right row
+    * is valid on `[rightTime, lead(rightTime))`; the last interval is
+    * open-ended. Left join — left rows preceding every right row keep
+    * null payload.
+    */
+  def backwardBroadcast(
+      left: DataFrame,
+      right: DataFrame,
+      leftTime: String,
+      rightTime: String,
+      by: Seq[String],
+      rightPayload: Seq[String]
+  ): DataFrame = {
+    val w =
+      if (by.isEmpty) Window.orderBy(col(rightTime))
+      else Window.partitionBy(by.map(col): _*).orderBy(col(rightTime))
+    val r = right
+      .select((by :+ rightTime).distinct.map(col) ++ rightPayload.filterNot((by :+ rightTime).contains).map(col): _*)
+      .withColumn("__next", lead(col(rightTime), 1).over(w))
+    val byCond = by
+      .map(k => left(k) === r(k))
+      .reduceOption(_ && _)
+      .getOrElse(lit(true))
+    val cond = byCond &&
+      left(leftTime) >= r(rightTime) &&
+      (r("__next").isNull || left(leftTime) < r("__next"))
+    left
+      .join(broadcast(r), cond, "left")
+      .select(left.columns.map(left(_)) ++ rightPayload.map(p => r(p).as(p)): _*)
+  }
+}

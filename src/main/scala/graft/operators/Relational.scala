@@ -1,0 +1,286 @@
+package graft.operators
+
+import graft.{Det, Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
+
+/** Core relational operator coverage (SURVEY.md §2.2-§2.6), mapped onto
+  * the TPC-H-ish test tables. Each query pairs a DataFrame plan with an
+  * ANSI-SQL DuckDB oracle; float aggregates go through [[Det]] so both
+  * engines produce bitwise-identical doubles.
+  */
+object Relational {
+  import Det._
+
+  private val Cutoff = "2000-01-01" // inside the 1995..2001 o_orderdate range
+
+  val all: Seq[Q] = Seq(
+    // A1/A7-style multi-function hash aggregate with exact distinct
+    Q(
+      "q01_pricing_summary",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            dsum(col("l_quantity")).as("sum_qty"),
+            dsum(col("l_extendedprice")).as("sum_base_price"),
+            dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+            count(lit(1)).as("count_order"),
+            countDistinct(col("l_orderkey")).as("n_orders")
+          )
+          .orderBy(col("l_returnflag"), col("l_linestatus")),
+      Some("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_base_price,
+               CAST(SUM(CAST(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
+               CAST(COUNT(*) AS BIGINT) AS count_order,
+               CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus""")
+    ),
+
+    // P1+P3+P5: projection + equality + time-range filter (pushed to scan)
+    Q(
+      "q02_filter_project",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .filter(col("l_shipdate") >= lit(Cutoff).cast("timestamp") && col("l_returnflag") === "R")
+          .select(
+            col("l_orderkey"),
+            col("l_linenumber"),
+            col("l_quantity"),
+            to_date(col("l_shipdate")).as("ship_date")
+          )
+          .orderBy(col("l_orderkey"), col("l_linenumber")),
+      Some(s"""
+        SELECT l_orderkey, l_linenumber, l_quantity, CAST(l_shipdate AS DATE) AS ship_date
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '$Cutoff' AND l_returnflag = 'R'
+        ORDER BY l_orderkey, l_linenumber""")
+    ),
+
+    // P4 as a left-semi join (never a collected isin list)
+    Q(
+      "q03_semi_join",
+      (s, d) => {
+        val part = Tables.part(s, d)
+        val li = Tables.lineitem(s, d).filter(col("l_shipdate") >= lit(Cutoff).cast("timestamp"))
+        part
+          .join(li, part("p_partkey") === li("l_partkey"), "left_semi")
+          .select(col("p_partkey"), col("p_name"), col("p_brand"))
+          .orderBy(col("p_partkey"))
+      },
+      Some(s"""
+        SELECT p_partkey, p_name, p_brand
+        FROM part p
+        WHERE EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_partkey = p.p_partkey AND l.l_shipdate >= TIMESTAMP '$Cutoff')
+        ORDER BY p_partkey""")
+    ),
+
+    // anti join (NOT EXISTS)
+    Q(
+      "q04_anti_join",
+      (s, d) => {
+        val part = Tables.part(s, d)
+        val li = Tables.lineitem(s, d)
+        part
+          .join(li, part("p_partkey") === li("l_partkey"), "left_anti")
+          .select(col("p_partkey"), col("p_name"))
+          .orderBy(col("p_partkey"))
+      },
+      Some("""
+        SELECT p_partkey, p_name
+        FROM part p
+        WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+        ORDER BY p_partkey""")
+    ),
+
+    // J2: detail ⟕ header, then per-order aggregate
+    Q(
+      "q05_order_revenue",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val o = Tables.orders(s, d)
+        li.join(o, li("l_orderkey") === o("o_orderkey"), "left")
+          .groupBy(
+            col("l_orderkey"),
+            col("o_custkey"),
+            to_date(col("o_orderdate")).as("order_date")
+          )
+          .agg(
+            dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+            count(lit(1)).as("n_items"),
+            countDistinct(col("l_partkey")).as("n_parts")
+          )
+          .orderBy(col("l_orderkey"))
+      },
+      Some("""
+        SELECT l.l_orderkey,
+               o.o_custkey,
+               CAST(o.o_orderdate AS DATE) AS order_date,
+               CAST(SUM(CAST(l.l_extendedprice * (CAST(1.0 AS DOUBLE) - l.l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(COUNT(DISTINCT l.l_partkey) AS BIGINT) AS n_parts
+        FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2, 3
+        ORDER BY 1""")
+    ),
+
+    // J8: snowflake dimension resolution (two broadcast joins) + rollup agg
+    Q(
+      "q06_snowflake_join",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val n = Tables.nation(s, d)
+        val r = Tables.region(s, d)
+        c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(
+            count(lit(1)).as("n_customers"),
+            dsum(col("c_acctbal")).as("sum_acctbal")
+          )
+          .orderBy(col("r_name"), col("n_name"))
+      },
+      Some("""
+        SELECT r.r_name, n.n_name,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(SUM(CAST(c.c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS sum_acctbal
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name, n.n_name
+        ORDER BY r.r_name, n.n_name""")
+    ),
+
+    // D1+F17: dedup to a value domain + deterministic surrogate key
+    Q(
+      "q07_interval_dim",
+      (s, d) =>
+        Tables.orders(s, d)
+          .select(
+            year(col("o_orderdate")).cast(IntegerType).as("y"),
+            month(col("o_orderdate")).cast(IntegerType).as("m")
+          )
+          .distinct()
+          .withColumn("interval_id", row_number().over(Window.orderBy(col("y"), col("m"))).cast(IntegerType))
+          .select(col("interval_id"), col("y"), col("m"))
+          .orderBy(col("y"), col("m")),
+      Some("""
+        WITH d AS (SELECT DISTINCT CAST(year(o_orderdate) AS INT) AS y,
+                                   CAST(month(o_orderdate) AS INT) AS m
+                   FROM orders)
+        SELECT CAST(row_number() OVER (ORDER BY y, m) AS INT) AS interval_id, y, m
+        FROM d
+        ORDER BY y, m""")
+    ),
+
+    // J4/J5: as-of interval assignment (broadcast variant; dim = month starts)
+    Q(
+      "q08_asof_interval",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val dim = o
+          .select(date_trunc("month", col("o_orderdate")).as("interval_start"))
+          .distinct()
+        AsOf
+          .backwardBroadcast(o, dim, "o_orderdate", "interval_start", Seq.empty, Seq("interval_start"))
+          .groupBy(to_date(col("interval_start")).as("interval_start"))
+          .agg(
+            count(lit(1)).as("n_orders"),
+            dsum(col("o_totalprice")).as("sum_total")
+          )
+          .orderBy(col("interval_start"))
+      },
+      Some("""
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS interval_start,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_total
+        FROM orders
+        GROUP BY 1
+        ORDER BY 1""")
+    ),
+
+    // W3: per-group top-1 by timestamp via row_number
+    Q(
+      "q10_latest_order_per_customer",
+      (s, d) => {
+        val w = Window
+          .partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+        Tables.orders(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(
+            col("o_custkey"),
+            col("o_orderkey"),
+            to_date(col("o_orderdate")).as("order_date"),
+            col("o_totalprice")
+          )
+          .orderBy(col("o_custkey"))
+      },
+      Some("""
+        SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date, o_totalprice
+        FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+                                           ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+              FROM orders)
+        WHERE rn = 1
+        ORDER BY o_custkey""")
+    ),
+
+    // running total (frame window, exact decimal accumulation)
+    Q(
+      "q11_running_total",
+      (s, d) => {
+        val w = Window
+          .partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.orders(s, d)
+          .select(
+            col("o_custkey"),
+            col("o_orderkey"),
+            to_date(col("o_orderdate")).as("order_date"),
+            sum(col("o_totalprice").cast(Det.Money)).over(w).cast("double").as("running_total")
+          )
+          .orderBy(col("o_custkey"), col("o_orderkey"))
+      },
+      Some("""
+        SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
+                    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+        FROM orders
+        ORDER BY o_custkey, o_orderkey""")
+    ),
+
+    // lead/lag: days between consecutive orders of a customer
+    Q(
+      "q12_order_gaps",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+        Tables.orders(s, d)
+          .select(
+            col("o_custkey"),
+            col("o_orderkey"),
+            datediff(to_date(col("o_orderdate")), to_date(lag(col("o_orderdate"), 1).over(w)))
+              .cast(IntegerType)
+              .as("gap_days")
+          )
+          .orderBy(col("o_custkey"), col("o_orderkey"))
+      },
+      Some("""
+        SELECT o_custkey, o_orderkey,
+               CAST(date_diff('day',
+                              CAST(lag(o_orderdate, 1) OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey) AS DATE),
+                              CAST(o_orderdate AS DATE)) AS INT) AS gap_days
+        FROM orders
+        ORDER BY o_custkey, o_orderkey""")
+    )
+  )
+}
