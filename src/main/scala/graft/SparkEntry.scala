@@ -10,7 +10,7 @@ object SparkEntry {
 
   /** Every declared query, in registration order. */
   def declared: Seq[Q] =
-    operators.Relational.all
+    operators.Relational.all ++ operators.Analytics.all ++ operators.Events.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

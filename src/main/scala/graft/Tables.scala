@@ -19,7 +19,18 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = apply(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame     = apply(s, d, "events")
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to read
+    * natively; read it as nanos-since-epoch (legacy conf) and convert to a
+    * microsecond timestamp by truncation — the same truncation DuckDB
+    * applies casting TIMESTAMP_NS → TIMESTAMP, so oracles align.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    apply(s, d, "events").withColumn(
+      "ts",
+      org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+  }
   def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 }

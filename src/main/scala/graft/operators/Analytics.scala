@@ -1,0 +1,512 @@
+package graft.operators
+
+import graft.{Det, Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
+
+/** DSS/analytics-layer operators (SURVEY.md §2.4-§2.8): rollup/cube/pivot,
+  * share-of-total, top-k, pagination, search, set ops, exact median &
+  * manual stddev (deterministic), scalar subqueries, full-outer joins,
+  * array explode, calendar dims, conditional flags.
+  */
+object Analytics {
+  import Det._
+
+  val all: Seq[Q] = Seq(
+    // W4/A13: share-of-total via window over an aggregate
+    Q(
+      "q13_share_of_total",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"))
+          .agg(dsum(col("l_extendedprice")).as("rev"))
+          .withColumn(
+            "share",
+            round(col("rev") / sum(col("rev").cast(Det.Money)).over(Window.partitionBy()).cast("double"), 6))
+          .orderBy(col("l_returnflag")),
+      Some("""
+        WITH g AS (SELECT l_returnflag,
+                          CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS rev
+                   FROM lineitem GROUP BY 1)
+        SELECT l_returnflag, rev,
+               ROUND(rev / CAST(SUM(CAST(rev AS DECIMAL(38,6))) OVER () AS DOUBLE), 6) AS share
+        FROM g ORDER BY l_returnflag""")
+    ),
+
+    // A8: two-level rollup with grouping id
+    Q(
+      "q14_rollup",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val n = Tables.nation(s, d)
+        val r = Tables.region(s, d)
+        c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .rollup(col("r_name"), col("n_name"))
+          .agg(
+            grouping_id().cast(IntegerType).as("gid"),
+            count(lit(1)).as("n_customers"),
+            dsum(col("c_acctbal")).as("sum_acctbal")
+          )
+          .select(
+            coalesce(col("r_name"), lit("ALL")).as("region"),
+            coalesce(col("n_name"), lit("ALL")).as("nation"),
+            col("gid"), col("n_customers"), col("sum_acctbal")
+          )
+          .orderBy(col("region"), col("nation"), col("gid"))
+      },
+      Some("""
+        SELECT COALESCE(r.r_name, 'ALL') AS region,
+               COALESCE(n.n_name, 'ALL') AS nation,
+               CAST(CASE WHEN r.r_name IS NULL THEN 2 ELSE 0 END
+                    + CASE WHEN n.n_name IS NULL THEN 1 ELSE 0 END AS INT) AS gid,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(SUM(CAST(c.c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS sum_acctbal
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY ROLLUP(r.r_name, n.n_name)
+        ORDER BY region, nation, gid""")
+    ),
+
+    // cube over two order attributes
+    Q(
+      "q15_cube",
+      (s, d) =>
+        Tables.orders(s, d)
+          .cube(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(
+            grouping_id().cast(IntegerType).as("gid"),
+            count(lit(1)).as("n"),
+            dsum(col("o_totalprice")).as("sum_total")
+          )
+          .select(
+            coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+            coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+            col("gid"), col("n"), col("sum_total")
+          )
+          .orderBy(col("status"), col("priority"), col("gid")),
+      Some("""
+        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               CAST(CASE WHEN o_orderstatus IS NULL THEN 2 ELSE 0 END
+                    + CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END AS INT) AS gid,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_total
+        FROM orders
+        GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        ORDER BY status, priority, gid""")
+    ),
+
+    // A10: pivot / contingency table with explicit value list
+    Q(
+      "q16_pivot",
+      (s, d) =>
+        Tables.orders(s, d)
+          .groupBy(col("o_orderpriority"))
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg(count(lit(1)))
+          .na.fill(0, Seq("F", "O", "P"))
+          .orderBy(col("o_orderpriority")),
+      Some("""
+        SELECT o_orderpriority,
+               CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS F,
+               CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS O,
+               CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS P
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+    ),
+
+    // O3/O4: top-k by aggregate with deterministic tie-break + rank
+    Q(
+      "q17_topk_parts",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .groupBy(col("l_partkey"))
+          .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+          .withColumn("rnk", row_number().over(Window.orderBy(col("rev").desc, col("l_partkey"))).cast(IntegerType))
+          .filter(col("rnk") <= 15)
+          .select(col("rnk"), col("l_partkey"), col("rev"))
+          .orderBy(col("rnk")),
+      Some("""
+        WITH g AS (SELECT l_partkey,
+                          CAST(SUM(CAST(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS rev
+                   FROM lineitem GROUP BY 1)
+        SELECT CAST(row_number() OVER (ORDER BY rev DESC, l_partkey) AS INT) AS rnk, l_partkey, rev
+        FROM g
+        QUALIFY rnk <= 15
+        ORDER BY rnk""")
+    ),
+
+    // O5: offset pagination with total ordering
+    Q(
+      "q18_pagination",
+      (s, d) =>
+        Tables.orders(s, d)
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .offset(200)
+          .limit(25)
+          .select(col("o_orderkey"), col("o_custkey"), to_date(col("o_orderdate")).as("order_date"), col("o_totalprice")),
+      Some("""
+        SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS order_date, o_totalprice
+        FROM orders ORDER BY o_orderdate, o_orderkey LIMIT 25 OFFSET 200""")
+    ),
+
+    // P12/O6: sorted distinct value domain
+    Q(
+      "q19_distinct_domains",
+      (s, d) => Tables.customer(s, d).select(col("c_mktsegment")).distinct().orderBy(col("c_mktsegment")),
+      Some("SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment")
+    ),
+
+    // P10: case-insensitive substring search across a string and a cast key
+    Q(
+      "q20_search",
+      (s, d) =>
+        Tables.part(s, d)
+          .filter(lower(col("p_name")).contains("gold") || col("p_partkey").cast("string").contains("77"))
+          .select(col("p_partkey"), col("p_name"), col("p_brand"))
+          .orderBy(col("p_partkey")),
+      Some("""
+        SELECT p_partkey, p_name, p_brand
+        FROM part
+        WHERE contains(lower(p_name), 'gold') OR contains(CAST(p_partkey AS VARCHAR), '77')
+        ORDER BY p_partkey""")
+    ),
+
+    // P11: point lookup on a unique key
+    Q(
+      "q21_point_lookup",
+      (s, d) =>
+        Tables.part(s, d)
+          .filter(col("p_partkey") === 42)
+          .select(col("p_partkey"), col("p_name"), col("p_type"), col("p_retailprice"))
+          .limit(1),
+      Some("""
+        SELECT p_partkey, p_name, p_type, p_retailprice FROM part WHERE p_partkey = 42 LIMIT 1""")
+    ),
+
+    // set ops: customers active in both 1995 and 1996 (INTERSECT)
+    Q(
+      "q22_set_intersect",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val a = o.filter(year(col("o_orderdate")) === 1995).select(col("o_custkey"))
+        val b = o.filter(year(col("o_orderdate")) === 1996).select(col("o_custkey"))
+        a.intersect(b).orderBy(col("o_custkey"))
+      },
+      Some("""
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        ORDER BY o_custkey""")
+    ),
+
+    // set ops: active in 1995 but not 1996 (EXCEPT)
+    Q(
+      "q23_set_except",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val a = o.filter(year(col("o_orderdate")) === 1995).select(col("o_custkey"))
+        val b = o.filter(year(col("o_orderdate")) === 1996).select(col("o_custkey"))
+        a.except(b).orderBy(col("o_custkey"))
+      },
+      Some("""
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        EXCEPT
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        ORDER BY o_custkey""")
+    ),
+
+    // union all with tags + re-aggregate
+    Q(
+      "q24_union_counts",
+      (s, d) => {
+        val c = Tables.customer(s, d).select(lit("customer").as("kind"), col("c_nationkey").as("nationkey"))
+        val sup = Tables.supplier(s, d).select(lit("supplier").as("kind"), col("s_nationkey").as("nationkey"))
+        c.unionByName(sup)
+          .groupBy(col("kind"), col("nationkey"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("kind"), col("nationkey"))
+      },
+      Some("""
+        SELECT kind, nationkey, CAST(COUNT(*) AS BIGINT) AS n FROM (
+          SELECT 'customer' AS kind, c_nationkey AS nationkey FROM customer
+          UNION ALL
+          SELECT 'supplier' AS kind, s_nationkey AS nationkey FROM supplier
+        ) GROUP BY kind, nationkey ORDER BY kind, nationkey""")
+    ),
+
+    // A6: stats with exact median + deterministic manual stddev
+    Q(
+      "q25_segment_stats",
+      (s, d) => {
+        val n = count(lit(1))
+        val sx = dsum(col("c_acctbal"))
+        val sxx = dsum(col("c_acctbal") * col("c_acctbal"))
+        Tables.customer(s, d)
+          .groupBy(col("c_mktsegment"))
+          .agg(
+            n.as("n"),
+            round(sx / n.cast("double"), 6).as("avg_bal"),
+            round(median(col("c_acctbal")), 6).as("median_bal"),
+            when(n > 1,
+              round(sqrt(greatest(lit(0.0),
+                (sxx - sx * sx / n.cast("double")) / (n.cast("double") - 1.0))), 6)
+            ).as("std_bal"),
+            sx.as("sum_bal")
+          )
+          .orderBy(col("c_mktsegment"))
+      },
+      Some("""
+        SELECT c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS avg_bal,
+               ROUND(median(c_acctbal), 6) AS median_bal,
+               CASE WHEN COUNT(*) > 1 THEN
+                 ROUND(sqrt(greatest(CAST(0 AS DOUBLE),
+                   (CAST(SUM(CAST(c_acctbal * c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
+                    - CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
+                      * CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+                   / (CAST(COUNT(*) AS DOUBLE) - 1.0))), 6)
+               END AS std_bal,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS sum_bal
+        FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+    ),
+
+    // A11: global scalar aggregates in one row
+    Q(
+      "q26_global_metrics",
+      (s, d) =>
+        Tables.lineitem(s, d).agg(
+          count(lit(1)).as("n_rows"),
+          countDistinct(col("l_orderkey")).as("n_orders"),
+          countDistinct(col("l_partkey")).as("n_parts"),
+          dsum(col("l_quantity")).as("sum_qty"),
+          to_date(min(col("l_shipdate"))).as("min_ship"),
+          to_date(max(col("l_shipdate"))).as("max_ship")
+        ),
+      Some("""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+               CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+               CAST(min(l_shipdate) AS DATE) AS min_ship,
+               CAST(max(l_shipdate) AS DATE) AS max_ship
+        FROM lineitem""")
+    ),
+
+    // A7: COALESCE semantics over empty left-join groups
+    Q(
+      "q27_coalesce_leftjoin",
+      (s, d) => {
+        val part = Tables.part(s, d)
+        val li = Tables.lineitem(s, d)
+          .filter(col("l_shipdate") >= lit("2001-06-01").cast("timestamp"))
+        part
+          .join(li, part("p_partkey") === li("l_partkey"), "left")
+          .groupBy(col("p_partkey"))
+          .agg(
+            coalesce(dsum(col("l_quantity")), lit(0.0)).as("qty"),
+            coalesce(countDistinct(col("l_orderkey")), lit(0L)).as("n_orders")
+          )
+          .orderBy(col("p_partkey"))
+      },
+      Some("""
+        SELECT p.p_partkey,
+               COALESCE(CAST(SUM(CAST(l.l_quantity AS DECIMAL(38,6))) AS DOUBLE), CAST(0 AS DOUBLE)) AS qty,
+               COALESCE(CAST(COUNT(DISTINCT l.l_orderkey) AS BIGINT), 0) AS n_orders
+        FROM part p
+        LEFT JOIN (SELECT * FROM lineitem WHERE l_shipdate >= TIMESTAMP '2001-06-01') l
+               ON p.p_partkey = l.l_partkey
+        GROUP BY p.p_partkey
+        ORDER BY p.p_partkey""")
+    ),
+
+    // A4/F9: per-(part, year, quarter) tumbling calendar aggregation
+    Q(
+      "q28_quarter_agg",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .groupBy(
+            col("l_partkey"),
+            year(col("l_shipdate")).cast(IntegerType).as("y"),
+            quarter(col("l_shipdate")).cast(IntegerType).as("q")
+          )
+          .agg(
+            dsum(col("l_extendedprice")).as("rev"),
+            dsum(col("l_quantity")).as("qty"),
+            count(lit(1)).as("n")
+          )
+          .orderBy(col("l_partkey"), col("y"), col("q")),
+      Some("""
+        SELECT l_partkey,
+               CAST(year(l_shipdate) AS INT) AS y,
+               CAST(quarter(l_shipdate) AS INT) AS q,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS rev,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS qty,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM lineitem GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")
+    ),
+
+    // F6/F10: selling duration against a global anchor date
+    Q(
+      "q29_selling_duration",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val anchor = li.agg(date_add(to_date(max(col("l_shipdate"))), 1).as("fin"))
+        li.groupBy(col("l_partkey"))
+          .agg(to_date(min(col("l_shipdate"))).as("first_sale"), to_date(max(col("l_shipdate"))).as("last_sale"))
+          .crossJoin(anchor)
+          .select(
+            col("l_partkey"), col("first_sale"), col("last_sale"),
+            datediff(col("fin"), col("first_sale")).cast(IntegerType).as("selling_duration")
+          )
+          .orderBy(col("l_partkey"))
+      },
+      Some("""
+        SELECT l.l_partkey,
+               CAST(min(l.l_shipdate) AS DATE) AS first_sale,
+               CAST(max(l.l_shipdate) AS DATE) AS last_sale,
+               CAST(date_diff('day', CAST(min(l.l_shipdate) AS DATE), a.fin) AS INT) AS selling_duration
+        FROM lineitem l
+        CROSS JOIN (SELECT CAST(max(l_shipdate) AS DATE) + 1 AS fin FROM lineitem) a
+        GROUP BY l.l_partkey, a.fin
+        ORDER BY l.l_partkey""")
+    ),
+
+    // F13/F15/F16: conditional flags, casts, rounding
+    Q(
+      "q30_conditional_flags",
+      (s, d) => {
+        val part = Tables.part(s, d)
+        val li = Tables.lineitem(s, d)
+        li.join(part, li("l_partkey") === part("p_partkey"))
+          .groupBy(col("p_partkey"), col("p_retailprice"))
+          .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) - col("l_quantity") * col("p_retailprice") * lit(0.6)).as("profit"))
+          .select(
+            col("p_partkey"),
+            round(col("profit"), 2).as("profit"),
+            when(col("profit") > 0, "pos").otherwise("neg").as("flag"),
+            when(col("p_retailprice") < 500, "low")
+              .when(col("p_retailprice") < 1500, "mid")
+              .otherwise("high").as("band")
+          )
+          .orderBy(col("p_partkey"))
+      },
+      Some("""
+        SELECT p.p_partkey,
+               ROUND(CAST(SUM(CAST(l.l_extendedprice * (CAST(1.0 AS DOUBLE) - l.l_discount)
+                                   - l.l_quantity * p.p_retailprice * 0.6 AS DECIMAL(38,6))) AS DOUBLE), 2) AS profit,
+               CASE WHEN CAST(SUM(CAST(l.l_extendedprice * (CAST(1.0 AS DOUBLE) - l.l_discount)
+                                       - l.l_quantity * p.p_retailprice * 0.6 AS DECIMAL(38,6))) AS DOUBLE) > 0
+                    THEN 'pos' ELSE 'neg' END AS flag,
+               CASE WHEN p.p_retailprice < 500 THEN 'low'
+                    WHEN p.p_retailprice < 1500 THEN 'mid'
+                    ELSE 'high' END AS band
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY p.p_partkey, p.p_retailprice
+        ORDER BY p.p_partkey""")
+    ),
+
+    // F18: calendar dimension from the distinct date domain
+    Q(
+      "q31_calendar_dim",
+      (s, d) =>
+        Tables.orders(s, d)
+          .select(to_date(col("o_orderdate")).as("dt"))
+          .distinct()
+          .withColumn("id", row_number().over(Window.orderBy(col("dt"))).cast(IntegerType))
+          .select(
+            col("id"), col("dt"),
+            year(col("dt")).cast(IntegerType).as("y"),
+            quarter(col("dt")).cast(IntegerType).as("q"),
+            month(col("dt")).cast(IntegerType).as("m"),
+            dayofmonth(col("dt")).cast(IntegerType).as("dom")
+          )
+          .orderBy(col("dt")),
+      Some("""
+        WITH dd AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS dt FROM orders)
+        SELECT CAST(row_number() OVER (ORDER BY dt) AS INT) AS id, dt,
+               CAST(year(dt) AS INT) AS y, CAST(quarter(dt) AS INT) AS q,
+               CAST(month(dt) AS INT) AS m, CAST(day(dt) AS INT) AS dom
+        FROM dd ORDER BY dt""")
+    ),
+
+    // scalar subquery: orders above the global average price
+    Q(
+      "q32_above_avg_orders",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val avgPrice = o.agg((dsum(col("o_totalprice")) / count(lit(1)).cast("double")).as("avg_price"))
+        o.crossJoin(avgPrice)
+          .filter(col("o_totalprice") > col("avg_price"))
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_total"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""
+        SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_total
+        FROM orders
+        WHERE o_totalprice > (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+                                     / CAST(COUNT(*) AS DOUBLE) FROM orders)
+        GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+    ),
+
+    // HAVING: repeat customers
+    Q(
+      "q33_frequent_customers",
+      (s, d) =>
+        Tables.orders(s, d)
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("lifetime_value"))
+          .filter(col("n_orders") >= 15)
+          .orderBy(col("o_custkey")),
+      Some("""
+        SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS lifetime_value
+        FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 15 ORDER BY o_custkey""")
+    ),
+
+    // full outer join of two aggregates
+    Q(
+      "q34_full_outer",
+      (s, d) => {
+        val c = Tables.customer(s, d).groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_cust"))
+        val sup = Tables.supplier(s, d).groupBy(col("s_nationkey")).agg(count(lit(1)).as("n_supp"))
+        c.join(sup, c("c_nationkey") === sup("s_nationkey"), "full_outer")
+          .select(
+            coalesce(col("c_nationkey"), col("s_nationkey")).as("nationkey"),
+            coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+            coalesce(col("n_supp"), lit(0L)).as("n_supp")
+          )
+          .orderBy(col("nationkey"))
+      },
+      Some("""
+        SELECT COALESCE(c.c_nationkey, s.s_nationkey) AS nationkey,
+               COALESCE(c.n_cust, 0) AS n_cust,
+               COALESCE(s.n_supp, 0) AS n_supp
+        FROM (SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_cust FROM customer GROUP BY 1) c
+        FULL OUTER JOIN (SELECT s_nationkey, CAST(COUNT(*) AS BIGINT) AS n_supp FROM supplier GROUP BY 1) s
+          ON c.c_nationkey = s.s_nationkey
+        ORDER BY nationkey""")
+    ),
+
+    // array explode with position (lateral view)
+    Q(
+      "q35_explode_embeddings",
+      (s, d) =>
+        Tables.embeddings(s, d)
+          .filter(col("vec_id") < 3)
+          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "val")))
+          .select(col("vec_id"), (col("pos") + 1).cast(IntegerType).as("i"), col("val").cast("double").as("val"))
+          .orderBy(col("vec_id"), col("i")),
+      Some("""
+        SELECT vec_id,
+               CAST(generate_subscripts(embedding, 1) AS INT) AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS val
+        FROM embeddings WHERE vec_id < 3 ORDER BY vec_id, i""")
+    )
+  )
+}
