@@ -10,7 +10,9 @@ object SparkEntry {
 
   /** Every declared query, in registration order. */
   def declared: Seq[Q] =
-    operators.Relational.all ++ operators.Analytics.all ++ operators.Events.all
+    operators.Relational.all ++ operators.Analytics.all ++ operators.Events.all ++
+      operators.Text.all ++ operators.Dedup.all ++ operators.Similarity.all ++
+      operators.MLOps.all ++ operators.Multimodal.all ++ operators.Streaming.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,252 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.functions.TextFns
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
+
+/** Deduplication operators over `documents`: exact (hash groupBy),
+  * MinHash+LSH banding, SimHash, and n-gram Jaccard. All hashing goes
+  * through [[TextFns]] portable arithmetic so the DuckDB oracles
+  * reproduce results bit-for-bit.
+  *
+  * Scale notes (the 100 TB story):
+  *  - exact dedup is one hash aggregate on the fingerprint — one shuffle;
+  *  - minhash signatures are explode → two hash aggregates keyed by
+  *    (doc, j) then (doc, band) — shuffles scale with corpus size, never
+  *    with corpus², and candidate pairs come from equi-joins on
+  *    (band, signature) buckets, not a cross join;
+  *  - n-gram Jaccard pairs join on the shingle value itself — only docs
+  *    sharing a shingle ever meet, again no cross product.
+  */
+object Dedup {
+  import TextFns.{Sql => T}
+
+  private val NumHashes = 16
+  private val BandRows = 4 // 4 bands × 4 rows
+
+  /** Distinct (doc_id, shingle) pairs — the shingle-set representation. */
+  private def shingleSet(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("tok"))
+      .select(col("doc_id"), explode(TextFns.shingles(col("tok"), 3)).as("shingle"))
+      .distinct()
+
+  private val shingleSetSql: String =
+    s"""t AS (SELECT doc_id, ${T.tokens} AS tok FROM documents),
+        e AS (SELECT doc_id, unnest(${T.shingles("tok", 3)}) AS shingle FROM t),
+        sh AS (SELECT DISTINCT doc_id, shingle FROM e)"""
+
+  /** Per-(doc, band) LSH signature: the band's [[NumHashes]]/[[BandRows]]
+    * minhash values joined with '-' in j order.
+    */
+  private def bands(s: SparkSession, d: String): DataFrame = {
+    val hm = shingleSet(s, d)
+      .select(col("doc_id"), TextFns.hmod(col("shingle")).as("hm"))
+    val jh = hm.select(
+      col("doc_id"),
+      explode(
+        transform(
+          sequence(lit(0), lit(NumHashes - 1)),
+          j => struct(j.as("j"), TextFns.minhashJ(col("hm"), j).as("h"))))
+        .as("jh"))
+    jh.groupBy(col("doc_id"), col("jh.j").as("j"))
+      .agg(min(col("jh.h")).as("mh"))
+      .groupBy(col("doc_id"), expr(s"j div $BandRows").cast(IntegerType).as("band"))
+      .agg(
+        concat_ws(
+          "-",
+          transform(
+            array_sort(collect_list(struct(col("j"), col("mh")))),
+            x => x.getField("mh").cast("string"))).as("sig"))
+  }
+
+  private val bandsSql: String =
+    s"""$shingleSetSql,
+        hm AS (SELECT doc_id, ${T.hmod("shingle")} AS hm FROM sh),
+        jh AS (SELECT doc_id, j, ${T.minhashJ("hm", "j")} AS h
+               FROM hm, (SELECT unnest(generate_series(0, ${NumHashes - 1})) AS j)),
+        minh AS (SELECT doc_id, j, min(h) AS mh FROM jh GROUP BY doc_id, j),
+        bands AS (SELECT doc_id, CAST(j // $BandRows AS INT) AS band,
+                         string_agg(CAST(mh AS VARCHAR), '-' ORDER BY j) AS sig
+                  FROM minh GROUP BY doc_id, CAST(j // $BandRows AS INT))"""
+
+  val all: Seq[Q] = Seq(
+    // exact dedup: one hash aggregate on the normalized-text fingerprint
+    Q(
+      "q45_exact_dedup",
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(
+            col("doc_id"),
+            md5(array_join(TextFns.tokens(col("text")), " ")).as("fp")
+          )
+          .groupBy(col("fp"))
+          .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+          .select(col("keep_id"), col("n_copies"), col("fp"))
+          .orderBy(col("keep_id")),
+      Some(s"""
+        WITH t AS (SELECT doc_id, md5(array_to_string(${T.tokens}, ' ')) AS fp FROM documents)
+        SELECT min(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_copies, fp
+        FROM t GROUP BY fp ORDER BY keep_id""")
+    ),
+
+    // minhash signatures banded for LSH (the shuffle-keyed representation)
+    Q(
+      "q46_minhash_bands",
+      (s, d) => bands(s, d).orderBy(col("doc_id"), col("band")),
+      Some(s"""
+        WITH $bandsSql
+        SELECT doc_id, band, sig FROM bands ORDER BY doc_id, band""")
+    ),
+
+    // LSH candidate pairs (equi-join on band buckets) + exact Jaccard verify
+    Q(
+      "q47_minhash_pairs",
+      (s, d) => {
+        val b = bands(s, d)
+        val cands = b.as("a")
+          .join(
+            b.as("b"),
+            col("a.band") === col("b.band") && col("a.sig") === col("b.sig")
+              && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct()
+        val sh = shingleSet(s, d)
+        val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        val inter = cands
+          .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+          .join(
+            sh.as("sb"),
+            col("doc_b") === col("sb.doc_id") && col("sa.shingle") === col("sb.shingle"))
+          .groupBy(col("doc_a"), col("doc_b"))
+          .agg(count(lit(1)).as("inter"))
+        inter
+          .join(sizes.as("na"), col("doc_a") === col("na.doc_id"))
+          .join(sizes.as("nb"), col("doc_b") === col("nb.doc_id"))
+          .select(
+            col("doc_a"), col("doc_b"), col("inter"),
+            round(
+              col("inter").cast("double")
+                / (col("na.n") + col("nb.n") - col("inter")).cast("double"),
+              6).as("jaccard"))
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some(s"""
+        WITH $bandsSql,
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                 FROM bands a JOIN bands b
+                   ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+        sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+        inter AS (SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS inter
+                  FROM cand c
+                  JOIN sh sa ON c.doc_a = sa.doc_id
+                  JOIN sh sb ON c.doc_b = sb.doc_id AND sa.shingle = sb.shingle
+                  GROUP BY c.doc_a, c.doc_b)
+        SELECT i.doc_a, i.doc_b, i.inter,
+               ROUND(CAST(i.inter AS DOUBLE)
+                     / CAST(na.n + nb.n - i.inter AS DOUBLE), 6) AS jaccard
+        FROM inter i
+        JOIN sizes na ON i.doc_a = na.doc_id
+        JOIN sizes nb ON i.doc_b = nb.doc_id
+        ORDER BY i.doc_a, i.doc_b""")
+    ),
+
+    // SimHash: 32-bit sign-aggregated token-hash fingerprint + 8-bit bands
+    Q(
+      "q48_simhash",
+      (s, d) => {
+        val tokd = Tables.documents(s, d)
+          .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("token"))
+          .distinct()
+          .select(col("doc_id"), TextFns.h60(col("token")).as("th"))
+        val bitSums = (0 until 32).map { b =>
+          sum(when(shiftright(col("th"), b).bitwiseAND(1) === 1, 1).otherwise(-1))
+            .as(s"s$b")
+        }
+        val sums = tokd
+          .groupBy(col("doc_id"))
+          .agg(bitSums.head, bitSums.tail: _*)
+        val sim = (0 until 32)
+          .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L))
+          .reduce(_ + _)
+        sums
+          .select(col("doc_id"), sim.as("simhash"))
+          .select(
+            col("doc_id"),
+            col("simhash"),
+            (col("simhash") % 256).cast(IntegerType).as("band0"),
+            (expr("shiftright(simhash, 8)") % 256).cast(IntegerType).as("band1"),
+            (expr("shiftright(simhash, 16)") % 256).cast(IntegerType).as("band2"),
+            (expr("shiftright(simhash, 24)") % 256).cast(IntegerType).as("band3")
+          )
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val sumCols = (0 until 32)
+          .map(b => s"SUM(CASE WHEN (th >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b")
+          .mkString(",\n                 ")
+        val simExpr = (0 until 32)
+          .map(b => s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END")
+          .mkString(" + ")
+        s"""
+        WITH t AS (SELECT doc_id, ${T.tokens} AS tok FROM documents),
+        e AS (SELECT DISTINCT doc_id, unnest(tok) AS token FROM t),
+        h AS (SELECT doc_id, ${T.h60("token")} AS th FROM e),
+        sums AS (SELECT doc_id,
+                 $sumCols
+                 FROM h GROUP BY doc_id),
+        sh AS (SELECT doc_id, CAST($simExpr AS BIGINT) AS simhash FROM sums)
+        SELECT doc_id, simhash,
+               CAST(simhash % 256 AS INT) AS band0,
+               CAST((simhash >> 8) % 256 AS INT) AS band1,
+               CAST((simhash >> 16) % 256 AS INT) AS band2,
+               CAST((simhash >> 24) % 256 AS INT) AS band3
+        FROM sh ORDER BY doc_id"""
+      }
+    ),
+
+    // n-gram Jaccard near-dup pairs via shingle-value equi-join (no LSH,
+    // no cross join: only docs sharing a shingle meet in the shuffle)
+    Q(
+      "q49_jaccard_pairs",
+      (s, d) => {
+        val sh = shingleSet(s, d)
+        val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        val inter = sh.as("a")
+          .join(
+            sh.as("b"),
+            col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .agg(count(lit(1)).as("inter"))
+        inter
+          .join(sizes.as("na"), col("doc_a") === col("na.doc_id"))
+          .join(sizes.as("nb"), col("doc_b") === col("nb.doc_id"))
+          .select(
+            col("doc_a"), col("doc_b"), col("inter"),
+            round(
+              col("inter").cast("double")
+                / (col("na.n") + col("nb.n") - col("inter")).cast("double"),
+              6).as("jaccard"))
+          .filter(col("jaccard") >= 0.1)
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some(s"""
+        WITH $shingleSetSql,
+        sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+        inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS inter
+                  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                  GROUP BY a.doc_id, b.doc_id)
+        SELECT doc_a, doc_b, inter, jaccard FROM (
+          SELECT i.doc_a, i.doc_b, i.inter,
+                 ROUND(CAST(i.inter AS DOUBLE)
+                       / CAST(na.n + nb.n - i.inter AS DOUBLE), 6) AS jaccard
+          FROM inter i
+          JOIN sizes na ON i.doc_a = na.doc_id
+          JOIN sizes nb ON i.doc_b = nb.doc_id)
+        WHERE jaccard >= 0.1
+        ORDER BY doc_a, doc_b""")
+    )
+  )
+}

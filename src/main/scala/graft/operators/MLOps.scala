@@ -1,0 +1,291 @@
+package graft.operators
+
+import graft.{Det, Q, Tables}
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.evaluation.ClusteringEvaluator
+import org.apache.spark.ml.feature.{PCA, VectorAssembler}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
+
+/** The reference's product-mix-clustering core (SURVEY.md §2.10 /
+  * `/root/reference/src/pipelines/clustering.py:56-136`), re-expressed
+  * Spark-first over the TPC-H-shaped tables:
+  *
+  *  - q54: the 8-feature per-product matrix in ONE pass over the fact
+  *    (conditional aggregation replaces the reference's double scan of
+  *    the fact table, clustering.py:92 vs :115) — full DuckDB oracle;
+  *  - q55: manual z-score with POPULATION std (ddof=0 — sklearn
+  *    StandardScaler parity; MLlib's StandardScaler divides by sample
+  *    std, SURVEY §7.4.2) computed from exact decimal sums — full oracle;
+  *  - q56: MLlib KMeans k=4 seed=42 on the scaled features, relabeled
+  *    canonically (size desc, then centroid) so output is deterministic;
+  *    cluster ids are library-specific (k-means|| vs sklearn k-means++),
+  *    so the driver records a rows-only check — partition quality is
+  *    asserted in ScalaTest instead (SURVEY §5.5);
+  *  - q57: KMeans k=10 on the `embeddings` table (the LSTM-embedding
+  *    clustering path, notebooks/LSTM_features_learning.ipynb cell 22)
+  *    with per-cluster sizes + silhouette — rows-only;
+  *  - q58: PCA(4) variance summary — rows-only.
+  */
+object MLOps {
+  import Det._
+
+  private val Cutoff = "2000-01-01" // "recent" window anchor, like ACTIVE_TIME_MOCK
+
+  /** Per-part 8-feature matrix, single pass + one orders broadcast join.
+    * Mirrors clustering.py:77-121 feature semantics on TPC-H columns.
+    */
+  private def features(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val recent = col("o_orderdate") >= lit(Cutoff).cast("timestamp")
+    val revenue = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    val profit = revenue - col("l_quantity") * col("l_supplycost")
+    val enriched = li
+      .join(o, li("l_orderkey") === o("o_orderkey"), "left")
+      .withColumn("l_supplycost", col("l_extendedprice") / col("l_quantity") * lit(0.8))
+    val agged = enriched
+      .groupBy(col("l_partkey").as("part_id"))
+      .agg(
+        dsumIf(recent, profit).as("profit"),
+        dsumIf(recent, revenue).as("recent_revenue"),
+        dsumIf(recent, col("l_quantity")).as("recent_qty"),
+        countDistinct(when(recent, col("o_custkey"))).as("nunique_customer"),
+        countDistinct(when(recent, col("o_orderkey"))).as("order_frequency"),
+        dsum(revenue).as("overall_revenue"),
+        min(to_date(col("o_orderdate"))).as("first_date"),
+        max(to_date(col("o_orderdate"))).as("last_date")
+      )
+    val anchor = Tables.orders(s, d)
+      .agg(date_add(to_date(max(col("o_orderdate"))), 1).as("final_date"))
+    agged
+      .crossJoin(anchor)
+      .filter(col("order_frequency") > 0) // parts active in the window, cf. the 179-row frame
+      .select(
+        col("part_id"),
+        col("profit"),
+        ratio(col("profit"), col("recent_revenue")).as("profit_margin"),
+        ratio(col("recent_revenue"), col("recent_qty")).as("average_unit_price"),
+        ratio(col("recent_qty"), col("order_frequency").cast("double")).as("avg_quantity_sold"),
+        col("nunique_customer"),
+        ratio(col("order_frequency").cast("double"), col("nunique_customer").cast("double"))
+          .as("customer_loyalty"),
+        ratio(
+          col("recent_revenue"),
+          col("overall_revenue")
+            / datediff(col("final_date"), col("first_date")).cast("double") * 365.0)
+          .as("revenue_growth"),
+        datediff(col("final_date"), col("first_date")).cast(IntegerType).as("selling_duration")
+      )
+  }
+
+  private val featuresSql: String = s"""
+    feat AS (
+      WITH enr AS (
+        SELECT l.l_partkey,
+               l.l_extendedprice * (CAST(1.0 AS DOUBLE) - l.l_discount) AS revenue,
+               l.l_extendedprice * (CAST(1.0 AS DOUBLE) - l.l_discount)
+                 - l.l_quantity * (l.l_extendedprice / l.l_quantity * 0.8) AS profit,
+               l.l_quantity,
+               o.o_custkey, o.o_orderkey, o.o_orderdate,
+               o.o_orderdate >= TIMESTAMP '$Cutoff' AS recent
+        FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey),
+      anchor AS (SELECT CAST(max(o_orderdate) AS DATE) + 1 AS final_date FROM orders),
+      agged AS (
+        SELECT l_partkey AS part_id,
+               CAST(SUM(CASE WHEN recent THEN CAST(profit AS DECIMAL(38,6)) END) AS DOUBLE) AS profit,
+               CAST(SUM(CASE WHEN recent THEN CAST(revenue AS DECIMAL(38,6)) END) AS DOUBLE) AS recent_revenue,
+               CAST(SUM(CASE WHEN recent THEN CAST(l_quantity AS DECIMAL(38,6)) END) AS DOUBLE) AS recent_qty,
+               CAST(COUNT(DISTINCT CASE WHEN recent THEN o_custkey END) AS BIGINT) AS nunique_customer,
+               CAST(COUNT(DISTINCT CASE WHEN recent THEN o_orderkey END) AS BIGINT) AS order_frequency,
+               CAST(SUM(CAST(revenue AS DECIMAL(38,6))) AS DOUBLE) AS overall_revenue,
+               CAST(min(o_orderdate) AS DATE) AS first_date,
+               CAST(max(o_orderdate) AS DATE) AS last_date
+        FROM enr GROUP BY l_partkey)
+      SELECT a.part_id, a.profit,
+             a.profit / NULLIF(a.recent_revenue, 0) AS profit_margin,
+             a.recent_revenue / NULLIF(a.recent_qty, 0) AS average_unit_price,
+             a.recent_qty / NULLIF(CAST(a.order_frequency AS DOUBLE), 0) AS avg_quantity_sold,
+             a.nunique_customer,
+             CAST(a.order_frequency AS DOUBLE) / NULLIF(CAST(a.nunique_customer AS DOUBLE), 0) AS customer_loyalty,
+             a.recent_revenue / NULLIF(a.overall_revenue
+               / CAST(date_diff('day', a.first_date, x.final_date) AS DOUBLE) * 365.0, 0) AS revenue_growth,
+             CAST(date_diff('day', a.first_date, x.final_date) AS INT) AS selling_duration
+      FROM agged a CROSS JOIN anchor x
+      WHERE a.order_frequency > 0)"""
+
+  private val MatrixFeatures =
+    Seq("profit", "profit_margin", "average_unit_price", "avg_quantity_sold",
+      "nunique_customer", "customer_loyalty", "revenue_growth", "selling_duration")
+
+  /** Z-score (population std, exact-decimal moments) of the feature
+    * matrix; rows with any NULL feature dropped first (P7 na.drop,
+    * clustering.py:80).
+    */
+  private def zscored(s: SparkSession, d: String): DataFrame = {
+    val f = features(s, d).na.drop()
+    val statAggs = MatrixFeatures.flatMap { c =>
+      val x = col(c).cast("double")
+      Seq(
+        sum(x.cast(Money)).cast("double").as(s"sum_$c"),
+        sum((x * x).cast(Money)).cast("double").as(s"sumsq_$c"))
+    } :+ count(lit(1)).cast("double").as("n")
+    val stats = f.agg(statAggs.head, statAggs.tail: _*)
+    val zcols = MatrixFeatures.map { c =>
+      val x = col(c).cast("double")
+      val mean = col(s"sum_$c") / col("n")
+      val meansq = col(s"sumsq_$c") / col("n")
+      val std = sqrt(greatest(meansq - mean * mean, lit(0.0)))
+      round((x - mean) / when(std =!= 0.0, std), 6).as(s"z_$c")
+    }
+    f.crossJoin(broadcast(stats)).select(col("part_id") +: zcols: _*)
+  }
+
+  private val zscoredSql: String = {
+    val statCols = MatrixFeatures.flatMap { c =>
+      Seq(
+        s"CAST(SUM(CAST(CAST($c AS DOUBLE) AS DECIMAL(38,6))) AS DOUBLE) AS sum_$c",
+        s"CAST(SUM(CAST(CAST($c AS DOUBLE) * CAST($c AS DOUBLE) AS DECIMAL(38,6))) AS DOUBLE) AS sumsq_$c")
+    }.mkString(",\n               ") + ",\n               CAST(COUNT(*) AS DOUBLE) AS n"
+    val zcols = MatrixFeatures.map { c =>
+      s"""ROUND((CAST($c AS DOUBLE) - sum_$c / n)
+         / NULLIF(sqrt(greatest(sumsq_$c / n - (sum_$c / n) * (sum_$c / n),
+             CAST(0 AS DOUBLE))), 0), 6) AS z_$c"""
+    }.mkString(",\n             ")
+    val notNull = MatrixFeatures.map(c => s"$c IS NOT NULL").mkString(" AND ")
+    s"""
+    clean AS (SELECT * FROM feat WHERE $notNull),
+    stats AS (SELECT $statCols FROM clean),
+    zs AS (
+      SELECT part_id,
+             $zcols
+      FROM clean CROSS JOIN stats)"""
+  }
+
+  /** KMeans on a z-scored frame; labels canonicalized by (cluster size
+    * desc, first-feature centroid asc) so re-runs and library versions
+    * with the same partition produce identical ids.
+    */
+  def kmeansCanonical(
+      df: DataFrame,
+      featCols: Seq[String],
+      idCol: String,
+      k: Int): DataFrame = {
+    val vec = new VectorAssembler().setInputCols(featCols.toArray).setOutputCol("fv")
+    val assembled = vec.transform(df)
+    val km = new KMeans().setK(k).setSeed(42L).setFeaturesCol("fv").setPredictionCol("raw_cluster")
+    val fitted = km.fit(assembled).transform(assembled)
+    val relabel = fitted
+      .groupBy(col("raw_cluster"))
+      .agg(count(lit(1)).as("sz"), avg(col(featCols.head)).as("c0"))
+      .withColumn(
+        "cluster",
+        (row_number().over(Window.orderBy(col("sz").desc, col("c0"), col("raw_cluster"))) - 1)
+          .cast(IntegerType))
+      .select(col("raw_cluster"), col("cluster"))
+    fitted.join(broadcast(relabel), "raw_cluster").drop("raw_cluster", "fv")
+  }
+
+  val all: Seq[Q] = Seq(
+    Q(
+      "q54_product_features",
+      (s, d) =>
+        features(s, d)
+          .select(
+            col("part_id"),
+            round(col("profit"), 4).as("profit"),
+            round(col("profit_margin"), 6).as("profit_margin"),
+            round(col("average_unit_price"), 6).as("average_unit_price"),
+            round(col("avg_quantity_sold"), 6).as("avg_quantity_sold"),
+            col("nunique_customer"),
+            round(col("customer_loyalty"), 6).as("customer_loyalty"),
+            round(col("revenue_growth"), 6).as("revenue_growth"),
+            col("selling_duration")
+          )
+          .orderBy(col("part_id")),
+      Some(s"""
+        WITH $featuresSql
+        SELECT part_id,
+               ROUND(profit, 4) AS profit,
+               ROUND(profit_margin, 6) AS profit_margin,
+               ROUND(average_unit_price, 6) AS average_unit_price,
+               ROUND(avg_quantity_sold, 6) AS avg_quantity_sold,
+               nunique_customer,
+               ROUND(customer_loyalty, 6) AS customer_loyalty,
+               ROUND(revenue_growth, 6) AS revenue_growth,
+               selling_duration
+        FROM feat ORDER BY part_id""")
+    ),
+
+    Q(
+      "q55_zscore_features",
+      (s, d) => zscored(s, d).orderBy(col("part_id")),
+      Some(s"""
+        WITH $featuresSql,
+        $zscoredSql
+        SELECT * FROM zs ORDER BY part_id""")
+    ),
+
+    // KMeans k=4 on the scaled matrix → canonical cluster stats (M2+A6)
+    Q(
+      "q56_kmeans_products",
+      (s, d) => {
+        val z = zscored(s, d)
+        kmeansCanonical(z, MatrixFeatures.map(c => s"z_$c"), "part_id", 4)
+          .groupBy(col("cluster"))
+          .agg(
+            count(lit(1)).as("n_parts"),
+            round(avg(col("z_profit")), 4).as("avg_z_profit"),
+            round(avg(col("z_customer_loyalty")), 4).as("avg_z_loyalty")
+          )
+          .orderBy(col("cluster"))
+      },
+      None,
+      bench = false
+    ),
+
+    // KMeans k=10 on raw embeddings + silhouette (embedding-path M2/M4)
+    Q(
+      "q57_kmeans_embeddings",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("arr"))
+        val dim = 64
+        val cols = (0 until dim).map(i => col("arr").getItem(i).as(s"x$i"))
+        val flat = e.select(col("vec_id") +: col("label") +: cols: _*)
+        val clustered = kmeansCanonical(flat, (0 until dim).map(i => s"x$i"), "vec_id", 10)
+        clustered
+          .groupBy(col("cluster"))
+          .agg(
+            count(lit(1)).as("n_vecs"),
+            countDistinct(col("label")).as("n_labels"),
+            min(col("vec_id")).as("min_vec_id")
+          )
+          .orderBy(col("cluster"))
+      },
+      None,
+      bench = false
+    ),
+
+    // PCA(4) on the z-scored matrix: explained-variance summary (M3)
+    Q(
+      "q58_pca_variance",
+      (s, d) => {
+        val z = zscored(s, d).na.drop()
+        val vec = new VectorAssembler()
+          .setInputCols(MatrixFeatures.map(c => s"z_$c").toArray).setOutputCol("fv")
+        val pca = new PCA().setInputCol("fv").setOutputCol("pc").setK(4).fit(vec.transform(z))
+        val ev = pca.explainedVariance.toArray
+        val spark = s
+        import spark.implicits._
+        ev.zipWithIndex
+          .map { case (v, i) => (i, math.rint(v * 1e4) / 1e4) }
+          .toSeq.toDF("component", "explained_variance")
+      },
+      None,
+      bench = false
+    )
+  )
+}

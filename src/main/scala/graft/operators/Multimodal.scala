@@ -1,0 +1,101 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: media payloads ride as opaque `binary`
+  * columns with typed metadata; decode / feature-extract runs as
+  * per-partition imperative code over the binary bytes. The container
+  * has no image/audio codecs, so the "decode" is a deterministic stub
+  * (fixed-size frame slicing + md5 fingerprints) — but the Spark-side
+  * shape is the real thing: binary column in, `mapPartitions` with one
+  * reusable codec handle per partition, typed frame rows out.
+  *
+  * The stub arithmetic is md5-based on byte slices, so the DuckDB
+  * oracle reproduces it exactly (docs are ASCII ⇒ char slices == byte
+  * slices).
+  */
+object Multimodal {
+
+  private val FrameBytes = 64
+  private val MaxFrames = 8
+
+  val all: Seq[Q] = Seq(
+    // binary ingestion + metadata: payload bytes, sizes, head fingerprint
+    Q(
+      "q61_binary_meta",
+      (s, d) =>
+        Tables.documents(s, d)
+          .withColumn("payload", encode(col("text"), "UTF-8"))
+          .select(
+            col("doc_id"),
+            length(col("payload")).as("n_bytes"),
+            col("n_chars"),
+            lower(hex(encode(substring(col("text"), 1, 8), "UTF-8"))).as("head_hex"),
+            md5(col("payload")).as("payload_md5")
+          )
+          .orderBy(col("doc_id")),
+      Some("""
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+               n_chars,
+               lower(hex(encode(substr(text, 1, 8)))) AS head_hex,
+               md5(text) AS payload_md5
+        FROM documents ORDER BY doc_id""")
+    ),
+
+    // stubbed decode/frame-sample: per-partition imperative extraction
+    // over the binary payload (the mapPartitions pattern a real codec
+    // would use: one decoder instance per partition, streamed frames)
+    Q(
+      "q62_frame_extract",
+      (s, d) => {
+        val spark = s
+        val src = Tables.documents(s, d)
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        val outSchema = new StructType()
+          .add("doc_id", LongType)
+          .add("frame_id", IntegerType)
+          .add("frame_off", IntegerType)
+          .add("frame_len", IntegerType)
+          .add("frame_fp", LongType)
+        val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+        src
+          .mapPartitions { rows =>
+            // one "codec" (digest) per partition, reused across rows —
+            // where a real decoder handle would live
+            val md = java.security.MessageDigest.getInstance("MD5")
+            rows.flatMap { r =>
+              val docId = r.getLong(0)
+              val payload = r.getAs[Array[Byte]](1)
+              val nFrames = math.min(MaxFrames, (payload.length + FrameBytes - 1) / FrameBytes)
+              (0 until nFrames).iterator.map { i =>
+                val off = i * FrameBytes
+                val len = math.min(FrameBytes, payload.length - off)
+                md.reset()
+                val hexStr = md.digest(java.util.Arrays.copyOfRange(payload, off, off + len))
+                  .map("%02x".format(_)).mkString
+                val fp = java.lang.Long.parseLong(hexStr.substring(0, 15), 16)
+                Row(docId, i, off, len, fp)
+              }
+            }
+          }(encoder)
+          .orderBy(col("doc_id"), col("frame_id"))
+      },
+      Some(s"""
+        WITH f AS (
+          SELECT doc_id, text, octet_length(encode(text)) AS n_bytes,
+                 unnest(generate_series(0,
+                   least($MaxFrames, CAST(ceil(octet_length(encode(text)) / $FrameBytes.0) AS INT)) - 1)) AS frame_id
+          FROM documents)
+        SELECT doc_id,
+               CAST(frame_id AS INT) AS frame_id,
+               CAST(frame_id * $FrameBytes AS INT) AS frame_off,
+               CAST(least($FrameBytes, n_bytes - frame_id * $FrameBytes) AS INT) AS frame_len,
+               CAST('0x' || substr(md5(substr(text, frame_id * $FrameBytes + 1, $FrameBytes)), 1, 15) AS BIGINT) AS frame_fp
+        FROM f ORDER BY doc_id, frame_id""")
+    )
+  )
+}

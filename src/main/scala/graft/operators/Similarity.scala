@@ -1,0 +1,227 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, IntegerType}
+
+/** Similarity search over the `embeddings` table (`Array[Float]`
+  * column): brute-force cosine top-k as the correctness baseline, and
+  * random-hyperplane LSH bucketing as the scale path (candidates only
+  * ever meet inside a bucket — subquadratic, shuffle keyed by bucket).
+  *
+  * Numeric determinism: every dot product / squared norm is summed as
+  * DECIMAL(38,12) (order-independent, exact) and only then cast to
+  * double, so Spark and the DuckDB oracle agree bitwise; sqrt and
+  * division are single correctly-rounded IEEE ops on both engines.
+  * Hyperplane weights come from an explicit integer LCG, not either
+  * engine's RNG.
+  */
+object Similarity {
+
+  private val Acc = DecimalType(38, 12)
+
+  /** 0-based (vec_id, pos, x: double) element table. */
+  private def elems(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "xf")))
+      .select(col("vec_id"), col("pos"), col("xf").cast("double").as("x"))
+
+  private val elemsSql: String =
+    """el AS (SELECT vec_id,
+              generate_subscripts(embedding, 1) - 1 AS pos,
+              CAST(unnest(embedding) AS DOUBLE) AS x
+       FROM embeddings)"""
+
+  private def norms(s: SparkSession, d: String): DataFrame =
+    elems(s, d)
+      .groupBy(col("vec_id"))
+      .agg(sqrt(sum((col("x") * col("x")).cast(Acc)).cast("double")).as("norm"))
+
+  private val normsSql: String =
+    """norms AS (SELECT vec_id,
+                 sqrt(CAST(SUM(CAST(x*x AS DECIMAL(38,12))) AS DOUBLE)) AS norm
+          FROM el GROUP BY vec_id)"""
+
+  /** Exact pairwise dot products for (left ⋈ right) element tables
+    * joined on pos; caller constrains which pairs meet.
+    */
+  private def cosine(dot: Column, na: Column, nb: Column): Column =
+    round(dot / (na * nb), 6)
+
+
+  private val NBits = 12
+
+  /** 12-bit random-hyperplane signature per vector. Hyperplane weight
+    * w(p, i) ∈ {-1, +1} comes from a glibc-constants LCG over the flat
+    * index p*64+i — pure int64 arithmetic, reproducible in any engine.
+    */
+  private def lshBuckets(s: SparkSession, d: String): DataFrame = {
+    val w = when(
+      (lit(1103515245L) * (col("pw.p") * 64 + col("pos")) + 12345L) % 2147483648L < 1073741824L,
+      -1).otherwise(1)
+    elems(s, d)
+      .select(
+        col("vec_id"), col("pos"), col("x"),
+        explode(transform(sequence(lit(0), lit(NBits - 1)), p => struct(p.as("p")))).as("pw"))
+      .select(col("vec_id"), col("pw.p").as("p"), (w * col("x")).cast(Acc).as("wx"))
+      .groupBy(col("vec_id"), col("p"))
+      .agg(sum(col("wx")).as("sp"))
+      .groupBy(col("vec_id"))
+      .agg(
+        sum(when(col("sp") > 0, expr("shiftleft(CAST(1 AS BIGINT), p)")).otherwise(0L))
+          .as("bucket"))
+  }
+
+  private val lshSql: String =
+    s"""wp AS (SELECT vec_id, p,
+               CASE WHEN (1103515245::BIGINT * (p*64 + pos) + 12345) % 2147483648 < 1073741824
+                    THEN -1 ELSE 1 END * x AS wx
+        FROM el, (SELECT unnest(generate_series(0, ${NBits - 1})) AS p)),
+        sp AS (SELECT vec_id, p, SUM(CAST(wx AS DECIMAL(38,12))) AS sp FROM wp GROUP BY vec_id, p),
+        b AS (SELECT vec_id,
+                     CAST(SUM(CASE WHEN sp > 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket
+              FROM sp GROUP BY vec_id)"""
+
+  val all: Seq[Q] = Seq(
+    // embedding-cosine near-dup pairs (brute force over pos-join; the
+    // verified-correct baseline the LSH variant is judged against)
+    Q(
+      "q50_embedding_neardup",
+      (s, d) => {
+        val el = elems(s, d)
+        val dots = el.as("a")
+          .join(el.as("b"), col("a.pos") === col("b.pos") && col("a.vec_id") < col("b.vec_id"))
+          .groupBy(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+          .agg(sum((col("a.x") * col("b.x")).cast(Acc)).cast("double").as("dot"))
+        val n = norms(s, d)
+        dots
+          .join(n.as("na"), col("vec_a") === col("na.vec_id"))
+          .join(n.as("nb"), col("vec_b") === col("nb.vec_id"))
+          .select(col("vec_a"), col("vec_b"), cosine(col("dot"), col("na.norm"), col("nb.norm")).as("cos"))
+          .filter(col("cos") >= 0.35)
+          .orderBy(col("vec_a"), col("vec_b"))
+      },
+      Some(s"""
+        WITH $elemsSql,
+        $normsSql,
+        dots AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                        CAST(SUM(CAST(a.x*b.x AS DECIMAL(38,12))) AS DOUBLE) AS dot
+                 FROM el a JOIN el b ON a.pos = b.pos AND a.vec_id < b.vec_id
+                 GROUP BY a.vec_id, b.vec_id)
+        SELECT vec_a, vec_b, cos FROM (
+          SELECT d.vec_a, d.vec_b, ROUND(d.dot / (na.norm * nb.norm), 6) AS cos
+          FROM dots d
+          JOIN norms na ON d.vec_a = na.vec_id
+          JOIN norms nb ON d.vec_b = nb.vec_id)
+        WHERE cos >= 0.35
+        ORDER BY vec_a, vec_b"""),
+      bench = false
+    ),
+
+    // brute-force cosine top-k: 8 query vectors against the full corpus
+    Q(
+      "q51_cosine_topk",
+      (s, d) => {
+        val el = elems(s, d)
+        val q = el.filter(col("vec_id") < 8)
+        val dots = q.as("a")
+          .join(el.as("b"), col("a.pos") === col("b.pos") && col("a.vec_id") =!= col("b.vec_id"))
+          .groupBy(col("a.vec_id").as("query_id"), col("b.vec_id").as("cand_id"))
+          .agg(sum((col("a.x") * col("b.x")).cast(Acc)).cast("double").as("dot"))
+        val n = norms(s, d)
+        val scored = dots
+          .join(n.as("na"), col("query_id") === col("na.vec_id"))
+          .join(n.as("nb"), col("cand_id") === col("nb.vec_id"))
+          .select(col("query_id"), col("cand_id"), cosine(col("dot"), col("na.norm"), col("nb.norm")).as("cos"))
+        scored
+          .withColumn(
+            "rnk",
+            row_number()
+              .over(Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("cand_id")))
+              .cast(IntegerType))
+          .filter(col("rnk") <= 10)
+          .orderBy(col("query_id"), col("rnk"))
+      },
+      Some(s"""
+        WITH $elemsSql,
+        $normsSql,
+        dots AS (SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+                        CAST(SUM(CAST(a.x*b.x AS DECIMAL(38,12))) AS DOUBLE) AS dot
+                 FROM el a JOIN el b ON a.pos = b.pos AND a.vec_id != b.vec_id
+                 WHERE a.vec_id < 8
+                 GROUP BY a.vec_id, b.vec_id),
+        scored AS (SELECT d.query_id, d.cand_id,
+                          ROUND(d.dot / (na.norm * nb.norm), 6) AS cos
+                   FROM dots d
+                   JOIN norms na ON d.query_id = na.vec_id
+                   JOIN norms nb ON d.cand_id = nb.vec_id)
+        SELECT query_id, cand_id, cos,
+               CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS INT) AS rnk
+        FROM scored
+        QUALIFY rnk <= 10
+        ORDER BY query_id, rnk""")
+    ),
+
+    // random-hyperplane LSH bucketing (12-bit signature via integer LCG)
+    Q(
+      "q52_lsh_buckets",
+      (s, d) => {
+        lshBuckets(s, d)
+          .withColumn("bucket_size", count(lit(1)).over(Window.partitionBy(col("bucket"))))
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""
+        WITH $elemsSql,
+        $lshSql
+        SELECT vec_id, bucket,
+               CAST(COUNT(*) OVER (PARTITION BY bucket) AS BIGINT) AS bucket_size
+        FROM b ORDER BY vec_id""")
+    ),
+
+    // ANN near-dup at scale: exact cosine only within an LSH bucket
+    Q(
+      "q53_lsh_neardup",
+      (s, d) => {
+        val b = lshBuckets(s, d)
+        val cands = b.as("x")
+          .join(b.as("y"), col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
+          .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+        val el = elems(s, d)
+        val dots = cands
+          .join(el.as("a"), col("vec_a") === col("a.vec_id"))
+          .join(el.as("b"), col("vec_b") === col("b.vec_id") && col("a.pos") === col("b.pos"))
+          .groupBy(col("vec_a"), col("vec_b"))
+          .agg(sum((col("a.x") * col("b.x")).cast(Acc)).cast("double").as("dot"))
+        val n = norms(s, d)
+        dots
+          .join(n.as("na"), col("vec_a") === col("na.vec_id"))
+          .join(n.as("nb"), col("vec_b") === col("nb.vec_id"))
+          .select(col("vec_a"), col("vec_b"), cosine(col("dot"), col("na.norm"), col("nb.norm")).as("cos"))
+          .filter(col("cos") >= 0.3)
+          .orderBy(col("vec_a"), col("vec_b"))
+      },
+      Some(s"""
+        WITH $elemsSql,
+        $normsSql,
+        $lshSql,
+        cand AS (SELECT x.vec_id AS vec_a, y.vec_id AS vec_b
+                 FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id),
+        dots AS (SELECT c.vec_a, c.vec_b,
+                        CAST(SUM(CAST(a.x*bb.x AS DECIMAL(38,12))) AS DOUBLE) AS dot
+                 FROM cand c
+                 JOIN el a ON c.vec_a = a.vec_id
+                 JOIN el bb ON c.vec_b = bb.vec_id AND a.pos = bb.pos
+                 GROUP BY c.vec_a, c.vec_b)
+        SELECT vec_a, vec_b, cos FROM (
+          SELECT d.vec_a, d.vec_b, ROUND(d.dot / (na.norm * nb.norm), 6) AS cos
+          FROM dots d
+          JOIN norms na ON d.vec_a = na.vec_id
+          JOIN norms nb ON d.vec_b = nb.vec_id)
+        WHERE cos >= 0.3
+        ORDER BY vec_a, vec_b""")
+    )
+  )
+
+}

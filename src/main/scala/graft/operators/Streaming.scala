@@ -1,0 +1,59 @@
+package graft.operators
+
+import graft.Q
+import graft.streaming.EventStream
+import org.apache.spark.sql.functions._
+
+/** Declared-query wrappers around [[graft.streaming.EventStream]]: each
+  * runs a REAL Structured Streaming query (readStream → watermark →
+  * stateful agg → memory sink, Trigger.AvailableNow) to completion and
+  * returns the final table, so streaming correctness goes through the
+  * same DuckDB-oracle gate as batch.
+  *
+  * Session-boundary note: session_window starts a new session at gap
+  * >= 30 min (strict merge on <), so the oracle uses `>=`; the batch
+  * q37 formulation uses `>` — indistinguishable unless an event lands
+  * on the exact microsecond boundary (none exist at any sf, checked).
+  */
+object Streaming {
+
+  val all: Seq[Q] = Seq(
+    Q(
+      "q59_stream_hourly",
+      (s, d) => EventStream.hourly(s, d).orderBy(col("hour_start"), col("event_type")),
+      Some("""
+        SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS hour_start,
+               event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2"""),
+      bench = false
+    ),
+
+    Q(
+      "q60_stream_sessions",
+      (s, d) => EventStream.sessions(s, d).orderBy(col("user_id"), col("start_us")),
+      Some("""
+        WITH e AS (
+          SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value
+          FROM events
+        ), flagged AS (
+          SELECT *,
+                 CASE WHEN lag(ts_us) OVER w IS NULL
+                        OR ts_us - lag(ts_us) OVER w >= 1800 * 1000000 THEN 1 ELSE 0 END AS new_session
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+        ), sessions AS (
+          SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+          FROM flagged
+        )
+        SELECT user_id,
+               min(ts_us) AS start_us,
+               max(ts_us) AS end_us,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+        FROM sessions GROUP BY user_id, session_id ORDER BY user_id, start_us"""),
+      bench = false
+    )
+  )
+}

@@ -1,0 +1,90 @@
+package graft.streaming
+
+import graft.Det
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.{LongType, StringType, StructType}
+
+/** Structured Streaming over the events table: the same aggregations
+  * the batch operators declare (q36 hourly windows, q37 sessions), run
+  * incrementally with `readStream` → watermark → windowed state →
+  * `writeStream`. The reference's only "streaming" is a monthly cron
+  * batch rerun (`/root/reference/Dockerfile:37`); this module is the
+  * Spark-native generalization: the identical query text works
+  * unbounded, with watermarks bounding state.
+  *
+  * Each entry point runs the stream to completion on the bounded input
+  * (`Trigger.AvailableNow`) and returns the final result table, so the
+  * driver's batch-oracle harness can gate streaming correctness too.
+  */
+object EventStream {
+
+  /** events.parquet physical schema (ts stored as int64 nanos — see
+    * [[graft.Tables.events]]).
+    */
+  private val rawSchema: StructType = new StructType()
+    .add("event_id", LongType).add("user_id", LongType)
+    .add("event_type", StringType).add("ts", LongType)
+    .add("value", org.apache.spark.sql.types.DoubleType)
+    .add("props", StringType)
+
+  private def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(rawSchema)
+      // file stream sources take a directory; select just the events
+      // table out of the scale-factor dir
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Run a streaming DF to completion into a memory sink; return the
+    * final table. Query names are unique per call so concurrent runs
+    * (bench + verify in one JVM) don't collide.
+    */
+  private def runToTable(spark: SparkSession, df: DataFrame, mode: String): DataFrame = {
+    val name = s"graft_stream_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  /** Tumbling 1h windows per event type — streaming twin of q36. The
+    * 1-hour watermark bounds state at scale; on bounded input with
+    * AvailableNow it emits exactly the batch answer.
+    */
+  def hourly(spark: SparkSession, dir: String): DataFrame = {
+    val agged = readEvents(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_value"))
+    runToTable(spark, agged, "complete")
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        col("event_type"), col("n"), col("sum_value"))
+  }
+
+  /** Gap-based sessions (30 min) via the native session_window —
+    * streaming twin of q37's window-function formulation. Emits one row
+    * per closed session keyed by (user, session start).
+    */
+  def sessions(spark: SparkSession, dir: String): DataFrame = {
+    val agged = readEvents(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(unix_micros(col("ts"))).as("start_us"),
+        max(unix_micros(col("ts"))).as("end_us"),
+        Det.dsum(col("value")).as("sum_value"))
+    runToTable(spark, agged, "complete")
+      .select(col("user_id"), col("start_us"), col("end_us"), col("n_events"), col("sum_value"))
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import graft.operators.MLOps
+import org.apache.spark.sql.functions._
+
+/** ML parity strategy from SURVEY.md §5.5: cluster LABELS are not
+  * comparable across libraries, cluster PARTITIONS are. On a
+  * well-separated fixture the canonicalized KMeans must recover the
+  * generating partition exactly, and repeated runs must be identical.
+  */
+class KMeansSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 3 well-separated blobs in 2-D, 8 points each, deterministic offsets
+  private lazy val blobs = {
+    val centers = Seq((0.0, 0.0), (100.0, 0.0), (0.0, 100.0))
+    val pts = for {
+      (cx, cy) <- centers
+      i <- 0 until 8
+    } yield (centers.indexOf((cx, cy)).toLong * 8 + i,
+      cx + (i % 4) * 0.1, cy + (i / 4) * 0.1, centers.indexOf((cx, cy)))
+    pts.toDF("id", "f0", "f1", "truth")
+  }
+
+  test("canonical kmeans recovers a well-separated partition (ARI = 1)") {
+    val out = MLOps.kmeansCanonical(blobs, Seq("f0", "f1"), "id", 3)
+    // every truth group maps to exactly one cluster id and vice versa
+    val m = out.groupBy("truth").agg(countDistinct("cluster").as("k")).collect()
+    assert(m.forall(_.getLong(1) == 1), "each blob must land in one cluster")
+    val m2 = out.groupBy("cluster").agg(countDistinct("truth").as("k")).collect()
+    assert(m2.forall(_.getLong(1) == 1), "no cluster may mix blobs")
+  }
+
+  test("canonical relabeling is deterministic across runs") {
+    val a = MLOps.kmeansCanonical(blobs, Seq("f0", "f1"), "id", 3)
+      .select("id", "cluster").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val b = MLOps.kmeansCanonical(blobs, Seq("f0", "f1"), "id", 3)
+      .select("id", "cluster").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a == b)
+  }
+
+  test("kmeans on the embeddings table is total, k-covering, deterministic") {
+    // NB the synthetic labels are heavily overlapping blobs (intra-spread
+    // ~1.0 vs centroid separation ~0.2), so label recovery is NOT a
+    // valid expectation; totality + canonical determinism is.
+    val e = Tables.embeddings(spark, sf("sf0.001"))
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("arr"))
+    val cols = (0 until 64).map(i => col("arr").getItem(i).as(s"x$i"))
+    val flat = e.select(col("vec_id") +: col("label") +: cols: _*)
+    val out = MLOps.kmeansCanonical(flat, (0 until 64).map(i => s"x$i"), "vec_id", 10)
+    assert(out.count() == flat.count(), "every vector must be assigned")
+    val sizes = out.groupBy("cluster").count().orderBy(col("cluster"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1))
+    assert(sizes.map(_._1).toSeq == (0 until 10), "canonical ids must be 0..k-1")
+    assert(sizes.map(_._2).toSeq == sizes.map(_._2).sortBy(-_).toSeq,
+      "canonical ids must be ordered by descending cluster size")
+  }
+}

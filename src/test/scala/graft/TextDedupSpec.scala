@@ -1,0 +1,93 @@
+package graft
+
+import graft.functions.TextFns
+import org.apache.spark.sql.functions._
+
+/** Property checks for the portable-hash dedup primitives on crafted
+  * near-duplicate documents (the driver's synthetic corpus has no true
+  * dups, so these behaviors are pinned here).
+  */
+class TextDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog while the cat sleeps on the warm mat near the door"
+
+  private lazy val docs = Seq(
+    (0L, base),
+    (1L, base), // exact duplicate
+    (2L, base.replace("warm", "cold")), // near duplicate (1 token)
+    (3L, "completely different words about spark shuffles and partitions and joins and aggregates here")
+  ).toDF("doc_id", "text")
+
+  private def shingleSets = docs
+    .select(col("doc_id"), explode(TextFns.shingles(TextFns.tokens(col("text")), 3)).as("sh"))
+    .distinct()
+
+  test("identical docs share every minhash value; disjoint docs share none") {
+    val hm = shingleSets.select(col("doc_id"), TextFns.hmod(col("sh")).as("hm"))
+    val sigs = hm
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), lit(15)),
+          j => struct(j.as("j"), TextFns.minhashJ(col("hm"), j).as("h")))).as("jh"))
+      .groupBy(col("doc_id"), col("jh.j").as("j"))
+      .agg(min(col("jh.h")).as("mh"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("j"), col("mh")))).as("sig"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Any](1))
+      .toMap
+    assert(sigs(0L) == sigs(1L), "exact dup must have identical signature")
+    val matches02 = sigs(0L).zip(sigs(2L)).count { case (a, b) => a == b }
+    assert(matches02 > 8, s"near-dup should agree on most minhashes, got $matches02/16")
+    val matches03 = sigs(0L).zip(sigs(3L)).count { case (a, b) => a == b }
+    assert(matches03 < 4, s"disjoint docs should rarely collide, got $matches03/16")
+  }
+
+  test("n-gram jaccard: dup=1.0, near-dup high, disjoint=absent") {
+    val sh = shingleSets
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val pairs = sh.as("a")
+      .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.as("na"), col("da") === col("na.doc_id"))
+      .join(sizes.as("nb"), col("db") === col("nb.doc_id"))
+      .select(col("da"), col("db"),
+        (col("inter").cast("double") / (col("na.n") + col("nb.n") - col("inter"))).as("j"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((0L, 1L)) == 1.0)
+    assert(pairs((0L, 2L)) > 0.7 && pairs((0L, 2L)) < 1.0)
+    assert(!pairs.contains((0L, 3L)), "disjoint docs share no shingle, so never meet")
+  }
+
+  test("simhash: identical docs equal; near-dups within small hamming distance") {
+    val tokd = docs
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tk"))
+      .distinct()
+      .select(col("doc_id"), TextFns.h60(col("tk")).as("th"))
+    val bitSums = (0 until 32).map { b =>
+      sum(when(shiftright(col("th"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$b")
+    }
+    val sim = (0 until 32)
+      .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L))
+      .reduce(_ + _)
+    val out = tokd.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), sim.as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(0L) == out(1L))
+    assert(java.lang.Long.bitCount(out(0L) ^ out(2L)) <= 8,
+      s"near-dup hamming too large: ${java.lang.Long.bitCount(out(0L) ^ out(2L))}")
+    assert(java.lang.Long.bitCount(out(0L) ^ out(3L)) >
+      java.lang.Long.bitCount(out(0L) ^ out(2L)),
+      "disjoint doc should be farther than near-dup")
+  }
+
+  test("h60 is stable (pinned value) and within 60 bits") {
+    val v = docs.sparkSession.range(1)
+      .select(TextFns.h60(lit("hello")).as("h")).head().getLong(0)
+    // DuckDB: SELECT CAST('0x'||substr(md5('hello'),1,15) AS BIGINT) = 419982666956583591
+    assert(v == 419982666956583591L)
+  }
+}
