@@ -23,7 +23,9 @@ object Bench {
       val t0 = System.nanoTime()
       try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] ${q.name}: $e") }
-      q.name -> (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench] ${q.name}%-28s ${sec}%8.2fs")
+      q.name -> sec
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -12,7 +12,8 @@ object SparkEntry {
   def declared: Seq[Q] =
     operators.Relational.all ++ operators.Analytics.all ++ operators.Events.all ++
       operators.Text.all ++ operators.Dedup.all ++ operators.Similarity.all ++
-      operators.MLOps.all ++ operators.Multimodal.all ++ operators.Streaming.all
+      operators.MLOps.all ++ operators.Multimodal.all ++ operators.Streaming.all ++
+      operators.Sources.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -37,7 +37,7 @@ object MLOps {
   /** Per-part 8-feature matrix, single pass + one orders broadcast join.
     * Mirrors clustering.py:77-121 feature semantics on TPC-H columns.
     */
-  private def features(s: SparkSession, d: String): DataFrame = {
+  private[graft] def features(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
     val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
     val recent = col("o_orderdate") >= lit(Cutoff).cast("timestamp")
@@ -124,8 +124,11 @@ object MLOps {
     * matrix; rows with any NULL feature dropped first (P7 na.drop,
     * clustering.py:80).
     */
-  private def zscored(s: SparkSession, d: String): DataFrame = {
-    val f = features(s, d).na.drop()
+  private[graft] def zscored(s: SparkSession, d: String): DataFrame = {
+    // the feature matrix is tiny (one row per part) but expensive to
+    // derive; cache it so the stats pass and the projection pass don't
+    // each re-run the fact-table join/aggregate
+    val f = features(s, d).na.drop().cache()
     val statAggs = MatrixFeatures.flatMap { c =>
       val x = col(c).cast("double")
       Seq(
@@ -286,6 +289,62 @@ object MLOps {
       },
       None,
       bench = false
+    ),
+
+    // M4: silhouette score of the k=4 product clustering (squared
+    // euclidean, the MLlib default — the reference imports sklearn's
+    // silhouette_score in the LSTM notebook, cell 24)
+    Q(
+      "q67_silhouette",
+      (s, d) => {
+        val z = zscored(s, d)
+        val zCols = MatrixFeatures.map(c => s"z_$c")
+        val vec = new VectorAssembler().setInputCols(zCols.toArray).setOutputCol("fv")
+        val assembled = vec.transform(z.na.drop())
+        val km = new KMeans().setK(4).setSeed(42L).setFeaturesCol("fv").setPredictionCol("cluster")
+        val fitted = km.fit(assembled).transform(assembled)
+        val sil = new ClusteringEvaluator()
+          .setFeaturesCol("fv").setPredictionCol("cluster").setMetricName("silhouette")
+          .evaluate(fitted)
+        val spark = s
+        import spark.implicits._
+        Seq(("silhouette_sq_euclidean", math.rint(sil * 1e4) / 1e4)).toDF("metric", "value")
+      },
+      None,
+      bench = false
+    ),
+
+    // M5 data prep: per-product quarterly revenue sequences as sorted
+    // nested arrays (the LSTM-path input representation,
+    // notebooks/LSTM_features_learning.ipynb cell 14) — serialized to
+    // JSON for the cross-engine compare; revenue in integer cents so
+    // the JSON number format is engine-independent
+    Q(
+      "q68_quarterly_sequences",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .groupBy(
+            col("l_partkey"),
+            year(col("l_shipdate")).cast(IntegerType).as("y"),
+            quarter(col("l_shipdate")).cast(IntegerType).as("q"))
+          .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("rev_cents"))
+          .groupBy(col("l_partkey"))
+          .agg(
+            to_json(
+              array_sort(collect_list(struct(col("y"), col("q"), col("rev_cents")))))
+              .as("seq"),
+            count(lit(1)).cast("int").as("n_quarters"))
+          .orderBy(col("l_partkey")),
+      Some("""
+        SELECT l_partkey,
+               to_json(list(struct_pack(y := y, q := q, rev_cents := rev_cents) ORDER BY y, q)) AS seq,
+               CAST(COUNT(*) AS INT) AS n_quarters
+        FROM (SELECT l_partkey,
+                     CAST(year(l_shipdate) AS INT) AS y,
+                     CAST(quarter(l_shipdate) AS INT) AS q,
+                     CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+              FROM lineitem GROUP BY 1, 2, 3)
+        GROUP BY l_partkey ORDER BY l_partkey""")
     )
   )
 }

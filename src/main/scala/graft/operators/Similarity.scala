@@ -51,6 +51,34 @@ object Similarity {
     round(dot / (na * nb), 6)
 
 
+  /** Brute-force top-k via the native codegen'd [[graft.functions.ArrayDot]]
+    * kernel: broadcast the 8 query vectors, score each candidate row in
+    * one WholeStageCodegen loop — no element explode, no element
+    * shuffle (q51 is the decimal-exact oracle twin; ScalaTest asserts
+    * both produce the same ranking).
+    */
+  private[graft] def nativeTopk(s: SparkSession, d: String): DataFrame = {
+    graft.functions.ArrayDot.register(s)
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", sqrt(expr("graft_dot(v, v)")))
+    val q = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qn"))
+    e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(
+        col("query_id"),
+        col("vec_id").as("cand_id"),
+        (expr("graft_dot(v, qv)") / (col("norm") * col("qn"))).as("cos"))
+      .withColumn(
+        "rnk",
+        row_number()
+          .over(Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("cand_id")))
+          .cast(IntegerType))
+      .filter(col("rnk") <= 10)
+      .select(col("query_id"), col("cand_id"), round(col("cos"), 6).as("cos"), col("rnk"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   private val NBits = 12
 
   /** 12-bit random-hyperplane signature per vector. Hyperplane weight
@@ -221,7 +249,11 @@ object Similarity {
           JOIN norms nb ON d.vec_b = nb.vec_id)
         WHERE cos >= 0.3
         ORDER BY vec_a, vec_b""")
-    )
+    ),
+
+    // native-Expression ANN baseline (rows-only; ranking equality with
+    // the decimal-exact q51 is asserted in NativeFnSpec)
+    Q("q64_native_topk", (s, d) => nativeTopk(s, d), None)
   )
 
 }

@@ -54,6 +54,18 @@ object Streaming {
                CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
         FROM sessions GROUP BY user_id, session_id ORDER BY user_id, start_us"""),
       bench = false
+    ),
+
+    // custom state machine via mapGroupsWithState (typed GroupState)
+    Q(
+      "q63_stream_user_totals",
+      (s, d) => EventStream.userTotals(s, d).orderBy(col("user_id")),
+      Some("""
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_micros
+        FROM events GROUP BY user_id ORDER BY user_id"""),
+      bench = false
     )
   )
 }

@@ -71,6 +71,40 @@ object EventStream {
         col("event_type"), col("n"), col("sum_value"))
   }
 
+  /** Arbitrary stateful processing via mapGroupsWithState: per-user
+    * running totals kept in a typed GroupState. Values accumulate as
+    * micro-unit longs (floor(v*1e6+0.5)) so the state merge is
+    * order-independent and exact — within-group iterator order is not
+    * deterministic under shuffle, a double accumulator would drift.
+    * Emits the cumulative row per user per micro-batch; the final row
+    * (max n_events) is the answer.
+    */
+  def userTotals(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val ev = readEvents(spark, dir)
+      .select(col("user_id"), col("value")).as[(Long, Double)]
+    val updated = ev
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[(Long, Double)], state: GroupState[(Long, Long)]) =>
+          var (c, s) = state.getOption.getOrElse((0L, 0L))
+          it.foreach { case (_, v) =>
+            c += 1
+            s += math.floor(v * 1e6 + 0.5).toLong
+          }
+          state.update((c, s))
+          (user, c, s)
+      }
+      .toDF("user_id", "n_events", "sum_value_micros")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("n_events").desc)
+    runToTable(spark, updated, "update")
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
   /** Gap-based sessions (30 min) via the native session_window —
     * streaming twin of q37's window-function formulation. Emits one row
     * per closed session keyed by (user, session start).

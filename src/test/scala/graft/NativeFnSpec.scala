@@ -1,0 +1,61 @@
+package graft
+
+import graft.functions.ArrayDot
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+/** The native codegen ArrayDot expression: value correctness vs a
+  * driver-side reference, codegen path exercised, and plan-level
+  * agreement of the native top-k with the decimal-exact q51 twin.
+  */
+class NativeFnSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("graft_dot matches driver-side computation exactly") {
+    ArrayDot.register(spark)
+    val df = Seq(
+      (1L, Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0)),
+      (2L, Array(0.5, -0.5), Array(2.0, 2.0)),
+      (3L, Array.empty[Double], Array.empty[Double])
+    ).toDF("id", "a", "b")
+    val got = df.select(col("id"), expr("graft_dot(a, b)").as("d"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) == (1.0 * 4 + 2 * 5 + 3 * 6))
+    assert(got(2L) == 0.0)
+    assert(got(3L) == 0.0)
+  }
+
+  test("graft_dot handles nulls and float-array implicit casts") {
+    ArrayDot.register(spark)
+    val df = Seq(
+      (1L, Some(Array(1.0f, 2.0f)), Some(Array(3.0f, 4.0f))),
+      (2L, None, Some(Array(1.0f)))
+    ).toDF("id", "a", "b")
+    val got = df.select(col("id"), expr("graft_dot(a, b)").as("d")).collect()
+    assert(got.find(_.getLong(0) == 1L).get.getDouble(1) == 11.0)
+    assert(got.find(_.getLong(0) == 2L).get.isNullAt(1))
+  }
+
+  test("graft_dot runs inside WholeStageCodegen") {
+    ArrayDot.register(spark)
+    val df = Tables.embeddings(spark, sf("sf0.001"))
+      .select(col("embedding").cast("array<double>").as("v"))
+      .select(expr("graft_dot(v, v)").as("d"))
+    val plan = df.queryExecution.executedPlan.toString
+    // "*(n)" marks operators inside a WholeStageCodegen stage; the
+    // graft_dot projection must carry it (no codegen fallback)
+    assert(plan.linesIterator.exists(l => l.contains("graft_dot") && l.contains("*(")),
+      s"expected graft_dot inside a codegen stage:\n$plan")
+    assert(df.agg(sum("d")).head().getDouble(0) > 0)
+  }
+
+  test("native top-k ranking equals the decimal-exact q51 ranking") {
+    val native = Similarity.nativeTopk(spark, sf("sf0.001"))
+      .select("query_id", "cand_id", "rnk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val exact = SparkEntry.queries("q51_cosine_topk")(spark, sf("sf0.001"))
+      .select("query_id", "cand_id", "rnk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(native == exact)
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import graft.pipelines.{AnalyticsService, ClusteringJob, EtlJob}
+import org.apache.spark.sql.functions._
+
+/** End-to-end pipeline invariants on sf0.001 (the golden-count style of
+  * SURVEY.md §5.2): ETL star schema → clustering → analytics views.
+  */
+class PipelineSpec extends SparkSpec {
+
+  private lazy val wh = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_wh").toString
+    EtlJob.run(spark, sf("sf0.001"), dir)
+    ClusteringJob.run(spark, sf("sf0.001"), dir)
+    dir
+  }
+
+  test("fact preserves every covered lineitem and assigns a valid interval") {
+    val fact = spark.read.parquet(s"$wh/FactSales")
+    val li = Tables.lineitem(spark, sf("sf0.001"))
+    // every lineitem has an order with a date => full coverage
+    assert(fact.count() == li.count())
+    val dim = spark.read.parquet(s"$wh/DimDate")
+    // each fact interval must be the month of its order date
+    val bad = fact.join(dim, Seq("interval_id"))
+      .filter(date_trunc("month", col("order_date")) =!= col("start_date"))
+      .count()
+    assert(bad == 0, "as-of interval must be the containing month")
+  }
+
+  test("dims are keyed and consistent") {
+    val p = spark.read.parquet(s"$wh/DimProduct")
+    assert(p.count() == p.select("product_id").distinct().count())
+    val d = spark.read.parquet(s"$wh/DimDate")
+    assert(d.count() == d.select("interval_id").distinct().count())
+    // surrogate ids are dense 1..n in start_date order (F17 determinism)
+    val ids = d.orderBy("start_date").select("interval_id")
+      .collect().map(_.getInt(0)).toSeq
+    assert(ids == (1 to ids.length))
+  }
+
+  test("fact is partitioned by order year (partition pruning works)") {
+    val years = new java.io.File(s"$wh/FactSales").listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("order_year="))
+    assert(years.length > 1, "expected one partition dir per year")
+    val pruned = spark.read.parquet(s"$wh/FactSales")
+      .filter(col("order_year") === 1995)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(!plan.contains("order_year=1996"), "scan must prune other years")
+  }
+
+  test("clustering lands k clusters covering every active product") {
+    val pc = spark.read.parquet(s"$wh/product_clustering")
+    assert(pc.select("cluster").distinct().count() == ClusteringJob.K)
+    assert(pc.count() == pc.select("part_id").distinct().count())
+    assert(pc.filter(col("cluster").isNull || col("cluster") < 0).count() == 0)
+  }
+
+  test("analytics views answer over the warehouse") {
+    val svc = new AnalyticsService(spark, wh)
+    assert(svc.lastUpdate().count() == 2) // etl + clustering ledger rows
+    assert(svc.clusterStats().count() == ClusteringJob.K)
+    val page0 = svc.productSearch(None, None, "profit", asc = false, page = 0).collect()
+    val page1 = svc.productSearch(None, None, "profit", asc = false, page = 1).collect()
+    assert(page0.length == 20 && page1.length == 20)
+    assert(page0.map(_.getLong(0)).toSet.intersect(page1.map(_.getLong(0)).toSet).isEmpty,
+      "pages must not overlap (stable total order)")
+    val hits = svc.productSearch(Some("1"), None, "part_id", asc = true, page = 0).collect()
+    assert(hits.forall(r => r.getLong(0).toString.contains("1")
+      || Option(r.getAs[String]("product_name")).exists(_.contains("1"))))
+  }
+}
