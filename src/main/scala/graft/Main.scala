@@ -16,6 +16,9 @@ object Main {
       .master(s"local[$cpus]")
       .appName(s"graft-$task")
       .config("spark.sql.shuffle.partitions", cpus)
+      // test parquet files are single-digit-MB; split them so scans do not
+      // collapse to one task (amplified by explodes downstream)
+      .config("spark.sql.files.maxPartitionBytes", "4m")
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -29,6 +29,8 @@ object Dedup {
   /** Distinct (doc_id, shingle) pairs — the shingle-set representation. */
   private def shingleSet(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
+      // single-split source + 50-80x shingle explode: parallelize first
+      .repartition(col("doc_id"))
       .select(col("doc_id"), TextFns.tokens(col("text")).as("tok"))
       .select(col("doc_id"), explode(TextFns.shingles(col("tok"), 3)).as("shingle"))
       .distinct()
@@ -158,6 +160,7 @@ object Dedup {
       "q48_simhash",
       (s, d) => {
         val tokd = Tables.documents(s, d)
+          .repartition(col("doc_id"))
           .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("token"))
           .distinct()
           .select(col("doc_id"), TextFns.h60(col("token")).as("th"))

@@ -25,6 +25,10 @@ object Similarity {
   /** 0-based (vec_id, pos, x: double) element table. */
   private def elems(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
+      // the embeddings file is one small parquet split; posexplode
+      // amplifies it 64x, so spread rows across the cluster FIRST or
+      // the whole element pipeline runs in a single task
+      .repartition(col("vec_id"))
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "xf")))
       .select(col("vec_id"), col("pos"), col("xf").cast("double").as("x"))
 

@@ -1,0 +1,58 @@
+package graft
+
+/** Plan-shape pins for the scale-critical properties (SURVEY.md §4):
+  * filters and projections must reach the parquet scan, provably-small
+  * dimensions must broadcast, and the single-pass feature matrix must
+  * scan the fact exactly once. These are the properties that decide
+  * whether a plan survives a 100× scale-up, so they are asserted, not
+  * assumed.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf("sf0.001")).queryExecution.executedPlan.toString
+
+  test("time/flag filters are pushed to the parquet scan (q02)") {
+    val p = plan("q02_filter_project")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), s"shipdate filter not pushed:\n$p")
+    assert(p.contains("EqualTo(l_returnflag,R)"), s"returnflag filter not pushed:\n$p")
+  }
+
+  test("column pruning reaches the scan (q02 reads 4 columns, not 16)") {
+    val p = plan("q02_filter_project")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    val cols = "l_\\w+".r.findAllIn(readSchema.split("ReadSchema").last).toSet
+    assert(cols == Set("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate", "l_returnflag"),
+      s"scan reads wrong columns: $cols")
+  }
+
+  test("snowflake dimensions broadcast (q06)") {
+    val p = plan("q06_snowflake_join")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"small dims must not sort-merge:\n$p")
+  }
+
+  test("membership filter is a semi join, not a collected list (q03)") {
+    val p = plan("q03_semi_join")
+    assert(p.contains("LeftSemi"), s"expected left-semi join:\n$p")
+  }
+
+  test("feature matrix scans the fact exactly once (q54 single-pass)") {
+    val p = plan("q54_product_features")
+    val factScans = p.linesIterator.count(l => l.contains("FileScan") && l.contains("lineitem"))
+    assert(factScans == 1, s"fact must be scanned once, found $factScans:\n$p")
+  }
+
+  test("as-of interval assignment broadcasts the dimension (q08)") {
+    val p = plan("q08_asof_interval")
+    assert(p.contains("Broadcast"), s"expected broadcast in as-of join:\n$p")
+  }
+
+  test("native top-k broadcasts the query vectors (q64)") {
+    val p = operators.Similarity.nativeTopk(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query side must broadcast:\n$p")
+  }
+}
