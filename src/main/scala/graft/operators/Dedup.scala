@@ -107,7 +107,10 @@ object Dedup {
     Q(
       "q47_minhash_pairs",
       (s, d) => {
-        val b = bands(s, d)
+        // signature + shingle-set tables are re-read by both join sides
+        // (no exchange reuse across the self-join); persist them — at
+        // scale these are exactly the tables you'd materialize
+        val b = bands(s, d).cache()
         val cands = b.as("a")
           .join(
             b.as("b"),
@@ -115,7 +118,7 @@ object Dedup {
               && col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
           .distinct()
-        val sh = shingleSet(s, d)
+        val sh = shingleSet(s, d).cache()
         val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
         val inter = cands
           .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
@@ -215,7 +218,7 @@ object Dedup {
     Q(
       "q49_jaccard_pairs",
       (s, d) => {
-        val sh = shingleSet(s, d)
+        val sh = shingleSet(s, d).cache()
         val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
         val inter = sh.as("a")
           .join(

@@ -122,6 +122,34 @@ object Events {
                CAST(COUNT(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS n_k,
                CAST(MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS max_k
         FROM events GROUP BY event_type ORDER BY event_type""")
+    ),
+
+    // skew-resistant two-phase (salted) aggregation: partial sums on
+    // (key, salt) spread a hot key over 8 reducers, the final pass
+    // merges the 8 partials per key. Decimal partials are exactly
+    // associative, so the result is identical to the direct groupBy
+    // (and the oracle IS the direct groupBy).
+    Q(
+      "q69_salted_agg",
+      (s, d) => {
+        val salted = Tables.events(s, d)
+          .withColumn("salt", pmod(col("event_id"), lit(8)))
+          .groupBy(col("user_id"), col("salt"))
+          .agg(
+            count(lit(1)).as("pn"),
+            sum(col("value").cast(Det.Money)).as("psum"))
+        salted
+          .groupBy(col("user_id"))
+          .agg(
+            sum(col("pn")).as("n"),
+            sum(col("psum")).cast("double").as("sum_value"))
+          .orderBy(col("user_id"))
+      },
+      Some("""
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY user_id ORDER BY user_id""")
     )
   )
 }

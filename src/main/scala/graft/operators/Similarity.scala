@@ -216,7 +216,7 @@ object Similarity {
     Q(
       "q53_lsh_neardup",
       (s, d) => {
-        val b = lshBuckets(s, d)
+        val b = lshBuckets(s, d).cache()
         val cands = b.as("x")
           .join(b.as("y"), col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
           .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))

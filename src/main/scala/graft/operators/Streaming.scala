@@ -66,6 +66,17 @@ object Streaming {
                CAST(SUM(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_micros
         FROM events GROUP BY user_id ORDER BY user_id"""),
       bench = false
+    ),
+
+    // streaming exact dedup over a doubled input: watermark-bounded
+    // dropDuplicates state; result must equal the un-doubled counts
+    Q(
+      "q70_stream_dedup",
+      (s, d) => EventStream.dedupCounts(s, d).orderBy(col("event_type")),
+      Some("""
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY event_type ORDER BY event_type"""),
+      bench = false
     )
   )
 }

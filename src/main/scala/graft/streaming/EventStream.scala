@@ -105,6 +105,23 @@ object EventStream {
       .drop("__rn")
   }
 
+  /** Streaming exact dedup: the input is doubled (self-union) and
+    * `dropDuplicatesWithinWatermark` on the event key removes the
+    * copies with state bounded by the watermark — the streaming twin of
+    * exact dedup (q45). Returns per-type counts after dedup, which must
+    * equal the batch per-type counts of the ORIGINAL (un-doubled)
+    * table.
+    */
+  def dedupCounts(spark: SparkSession, dir: String): DataFrame = {
+    val doubled = readEvents(spark, dir).unionByName(readEvents(spark, dir))
+    val deduped = doubled
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    runToTable(spark, deduped, "complete")
+  }
+
   /** Gap-based sessions (30 min) via the native session_window —
     * streaming twin of q37's window-function formulation. Emits one row
     * per closed session keyed by (user, session start).
