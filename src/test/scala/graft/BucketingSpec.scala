@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Bucketing: the co-located join pattern for repeated large×large
+  * joins (SURVEY.md §4 / the 100 TB design). Writing both sides
+  * bucketed by the join key lets the join run with NO shuffle exchange
+  * on either side — the property this spec pins in the physical plan.
+  */
+class BucketingSpec extends SparkSpec {
+
+  private lazy val wh = {
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_bkt")
+    Tables.lineitem(spark, sf("sf0.001"))
+      .write.mode("overwrite")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("graft_bkt.lineitem_b")
+    Tables.orders(spark, sf("sf0.001"))
+      .write.mode("overwrite")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("graft_bkt.orders_b")
+    true
+  }
+
+  test("bucketed join on the bucket key runs without a shuffle") {
+    wh // force setup
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val li = spark.table("graft_bkt.lineitem_b")
+      val o = spark.table("graft_bkt.orders_b")
+      val joined = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+      val plan = joined.queryExecution.executedPlan.toString
+      val shufflesBeforeAgg = plan.linesIterator
+        .count(l => l.contains("Exchange hashpartitioning") && l.contains("orderkey"))
+      assert(shufflesBeforeAgg == 0,
+        s"bucketed join must not re-shuffle its inputs:\n$plan")
+      // and it still computes the right thing
+      val n = joined.agg(sum("n")).head().getLong(0)
+      assert(n == Tables.lineitem(spark, sf("sf0.001")).count())
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+}

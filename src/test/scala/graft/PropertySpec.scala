@@ -1,0 +1,71 @@
+package graft
+
+import graft.operators.AsOf
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based checks (SURVEY.md §5.4): as-of join totality/partial
+  * coverage and hash-family invariants over generated ScalaCheck inputs
+  * (Gen driven directly with fixed seeds — the scalatestplus bridge is
+  * not in the offline dependency set).
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Run `body` over `n` deterministic samples of `gen`. */
+  private def forAllSamples[A](gen: Gen[A], n: Int = 20)(body: A => Unit): Unit =
+    (1 to n).foreach { i =>
+      gen.apply(Gen.Parameters.default, Seed(i.toLong)).foreach(body)
+    }
+
+  private val timesGen: Gen[(List[Long], List[Long])] = for {
+    lefts <- Gen.nonEmptyListOf(Gen.choose(0L, 1000L))
+    rights <- Gen.nonEmptyListOf(Gen.choose(0L, 1000L))
+  } yield (lefts.distinct, rights.distinct)
+
+  test("as-of: every left row appears exactly once; match is the floor right time") {
+    forAllSamples(timesGen) { case (lefts, rights) =>
+      val l = lefts.map(t => (1L, t)).toDF("k", "t")
+      val r = rights.map(t => (1L, t, t)).toDF("k", "rt", "payload")
+      val out = AsOf.backward(l, r, "t", "rt", Seq("k"), Seq("payload"))
+        .collect().map(row => row.getLong(1) -> Option(row.get(2)).map(_.asInstanceOf[Long]))
+      // totality: one output row per left row, no dupes, no drops
+      assert(out.length == lefts.length)
+      // correctness: payload is the greatest right time <= t (or none)
+      out.foreach { case (t, got) =>
+        val expect = rights.filter(_ <= t).sorted.lastOption
+        assert(got == expect, s"t=$t got=$got expect=$expect")
+      }
+    }
+  }
+
+  test("minhash family: values stay in [0, P) and identical sets give identical minima") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFns
+    forAllSamples(Gen.nonEmptyListOf(Gen.alphaNumStr.suchThat(_.nonEmpty)), n = 8) { words =>
+      val df = words.distinct.toDF("w")
+        .select(TextFns.hmod(col("w")).as("h"))
+        .select((0 until 4).map(j => min(TextFns.minhashJ(col("h"), lit(j))).as(s"m$j")): _*)
+      val row = df.head()
+      (0 until 4).foreach { j =>
+        val v = row.getLong(j)
+        assert(v >= 0 && v < TextFns.P)
+      }
+      // determinism: same input, same signature
+      assert(df.head() == row)
+    }
+  }
+
+  test("jaccard from shingle-set joins is within [0,1] and 1 iff identical sets") {
+    forAllSamples(Gen.zip(
+      Gen.nonEmptyListOf(Gen.choose(1, 50)),
+      Gen.nonEmptyListOf(Gen.choose(1, 50))), n = 50) { case (a0, b0) =>
+      val a = a0.toSet
+      val b = b0.toSet
+      val inter = a.intersect(b).size.toDouble
+      val j = inter / (a.size + b.size - inter)
+      assert(j >= 0.0 && j <= 1.0)
+      assert((j == 1.0) == (a == b))
+    }
+  }
+}

@@ -22,6 +22,9 @@ object SparkSpec {
       // PlanSpec asserts on scan metadata (PushedFilters/ReadSchema);
       // default truncation at 100 chars hides the later entries
       .config("spark.sql.maxMetadataStringLength", "2000")
+      // static conf: saveAsTable targets (BucketingSpec) land here
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_wh_spec").toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
