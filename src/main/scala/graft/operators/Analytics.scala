@@ -507,6 +507,23 @@ object Analytics {
                CAST(generate_subscripts(embedding, 1) AS INT) AS i,
                CAST(unnest(embedding) AS DOUBLE) AS val
         FROM embeddings WHERE vec_id < 3 ORDER BY vec_id, i""")
+    ),
+
+    // approx distinct (HLL sketch) — the scale path where exact distinct
+    // (A1/A7) would shuffle every key; sketch values are
+    // engine-specific, so the gate is rows-only and the error bound is
+    // pinned in ApproxSpec instead
+    Q(
+      "q71_approx_distinct",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+            approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts")
+          )
+          .orderBy(col("l_returnflag")),
+      None
     )
   )
 }

@@ -1,0 +1,26 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** HLL-sketch error bound: q71's approx distinct counts must stay
+  * within the configured relative standard deviation (2%, asserted at
+  * 3x margin) of the exact counts.
+  */
+class ApproxSpec extends SparkSpec {
+
+  test("approx_count_distinct stays within 3x rsd of exact") {
+    val d = sf("sf0.01")
+    val approx = SparkEntry.queries("q71_approx_distinct")(spark, d)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exact = Tables.lineitem(spark, d)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("o"), countDistinct(col("l_partkey")).as("p"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, (o, p)) =>
+      val (ao, ap) = approx(k)
+      assert(math.abs(ao - o).toDouble / o <= 0.06, s"$k orders: approx=$ao exact=$o")
+      assert(math.abs(ap - p).toDouble / p <= 0.06, s"$k parts: approx=$ap exact=$p")
+    }
+  }
+}
