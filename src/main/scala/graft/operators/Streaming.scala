@@ -77,6 +77,19 @@ object Streaming {
         SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
         FROM events GROUP BY event_type ORDER BY event_type"""),
       bench = false
+    ),
+
+    // stream-static broadcast join + aggregation (streaming J7/J8 twin)
+    Q(
+      "q72_stream_static_join",
+      (s, d) => EventStream.segmentTotals(s, d).orderBy(col("segment")),
+      Some("""
+        SELECT COALESCE(c.c_mktsegment, 'UNKNOWN') AS segment,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(e.value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+        FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY 1 ORDER BY 1"""),
+      bench = false
     )
   )
 }

@@ -105,6 +105,21 @@ object EventStream {
       .drop("__rn")
   }
 
+  /** Stream-static join: the event stream enriched against a static
+    * dimension (customer segment by user id) with a broadcast hash join
+    * inside the micro-batch, then aggregated per segment. The static
+    * side re-resolves per batch — the streaming twin of J7/J8.
+    */
+  def segmentTotals(spark: SparkSession, dir: String): DataFrame = {
+    val dim = spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
+    val agged = readEvents(spark, dir)
+      .join(broadcast(dim), Seq("user_id"), "left")
+      .groupBy(coalesce(col("segment"), lit("UNKNOWN")).as("segment"))
+      .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_value"))
+    runToTable(spark, agged, "complete")
+  }
+
   /** Streaming exact dedup: the input is doubled (self-union) and
     * `dropDuplicatesWithinWatermark` on the event key removes the
     * copies with state bounded by the watermark — the streaming twin of
