@@ -117,15 +117,22 @@ object Analytics {
         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")
     ),
 
-    // O3/O4: top-k by aggregate with deterministic tie-break + rank
+    // O3/O4: top-k by aggregate with deterministic tie-break + rank.
+    // orderBy().limit(k) plans TakeOrderedAndProject — each partition
+    // keeps its local top-15, the driver merges — so the per-part
+    // aggregate (unbounded at scale) is never moved to one partition.
+    // The rank window runs AFTER the limit, over exactly 15 rows; a
+    // global row_number BEFORE the limit would single-partition the
+    // whole aggregate (PlanSpec pins the TakeOrderedAndProject shape).
     Q(
       "q17_topk_parts",
       (s, d) =>
         Tables.lineitem(s, d)
           .groupBy(col("l_partkey"))
           .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+          .orderBy(col("rev").desc, col("l_partkey"))
+          .limit(15)
           .withColumn("rnk", row_number().over(Window.orderBy(col("rev").desc, col("l_partkey"))).cast(IntegerType))
-          .filter(col("rnk") <= 15)
           .select(col("rnk"), col("l_partkey"), col("rev"))
           .orderBy(col("rnk")),
       Some("""
@@ -416,6 +423,10 @@ object Analytics {
         Tables.orders(s, d)
           .select(to_date(col("o_orderdate")).as("dt"))
           .distinct()
+          // global window waiver: the input is the DISTINCT date domain
+          // (one row per calendar day — ~366/year at ANY fact size), so
+          // the single-partition "No Partition Defined" warning is
+          // known-benign here; surrogate ids need the total order
           .withColumn("id", row_number().over(Window.orderBy(col("dt"))).cast(IntegerType))
           .select(
             col("id"), col("dt"),

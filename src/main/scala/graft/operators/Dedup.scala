@@ -13,9 +13,9 @@ import org.apache.spark.sql.types.IntegerType
   *
   * Scale notes (the 100 TB story):
   *  - exact dedup is one hash aggregate on the fingerprint — one shuffle;
-  *  - minhash signatures are explode → two hash aggregates keyed by
-  *    (doc, j) then (doc, band) — shuffles scale with corpus size, never
-  *    with corpus², and candidate pairs come from equi-joins on
+  *  - minhash signatures cost one groupBy(doc_id) — all 16 family
+  *    minima are evaluated in a single projection over the per-doc hash
+  *    array — and candidate pairs come from equi-joins on
   *    (band, signature) buckets, not a cross join;
   *  - n-gram Jaccard pairs join on the shingle value itself — only docs
   *    sharing a shingle ever meet, again no cross product.
@@ -25,6 +25,22 @@ object Dedup {
 
   private val NumHashes = 16
   private val BandRows = 4 // 4 bands × 4 rows
+
+  /** Skew guards, part of the declared pair-generation semantics (the
+    * oracle SQL applies the same caps). An LSH bucket or a shingle
+    * shared by more than this many documents generates O(n²) candidate
+    * pairs from a single shuffle key; at corpus scale a cluster of
+    * near-empty or boilerplate documents makes one such key quadratic.
+    * Dropping oversized buckets / hot shingles is the standard move
+    * (frequent-shingle removal in CCNet/Gopher-style dedup): a key hit
+    * by >128 documents carries no discriminating signal anyway. Chosen
+    * above every observed bucket size at the test scale factors (max 15
+    * band-bucket / 25 shingle-df at sf0.1) so results are unchanged
+    * there, while pair counts stay provably ≤ 128²/2 per key at any
+    * scale (DedupSkewSpec pins this with a degenerate corpus).
+    */
+  private[operators] val MaxBucket = 128
+  private[operators] val MaxShingleDf = 128
 
   /** Distinct (doc_id, shingle) pairs — the shingle-set representation. */
   private def shingleSet(s: SparkSession, d: String): DataFrame =
@@ -42,26 +58,35 @@ object Dedup {
 
   /** Per-(doc, band) LSH signature: the band's [[NumHashes]]/[[BandRows]]
     * minhash values joined with '-' in j order.
+    *
+    * All [[NumHashes]] minima are computed inside ONE projection over the
+    * per-doc hash array (`array_min(transform(hms, ...))` per j), so the
+    * whole signature costs a single groupBy(doc_id) shuffle. The obvious
+    * alternative — explode 16 (j, h) rows per shingle and aggregate by
+    * (doc, j) then (doc, band) — amplifies the shuffle 16× and pays two
+    * keyed aggregations for the same numbers.
     */
   private def bands(s: SparkSession, d: String): DataFrame = {
-    val hm = shingleSet(s, d)
+    val numBands = NumHashes / BandRows
+    shingleSet(s, d)
       .select(col("doc_id"), TextFns.hmod(col("shingle")).as("hm"))
-    val jh = hm.select(
-      col("doc_id"),
-      explode(
-        transform(
-          sequence(lit(0), lit(NumHashes - 1)),
-          j => struct(j.as("j"), TextFns.minhashJ(col("hm"), j).as("h"))))
-        .as("jh"))
-    jh.groupBy(col("doc_id"), col("jh.j").as("j"))
-      .agg(min(col("jh.h")).as("mh"))
-      .groupBy(col("doc_id"), expr(s"j div $BandRows").cast(IntegerType).as("band"))
-      .agg(
-        concat_ws(
-          "-",
+      .groupBy(col("doc_id"))
+      .agg(collect_list(col("hm")).as("hms"))
+      .select(
+        col("doc_id"),
+        posexplode(
           transform(
-            array_sort(collect_list(struct(col("j"), col("mh")))),
-            x => x.getField("mh").cast("string"))).as("sig"))
+            sequence(lit(0), lit(numBands - 1)),
+            b =>
+              concat_ws(
+                "-",
+                transform(
+                  sequence(lit(0), lit(BandRows - 1)),
+                  r =>
+                    array_min(
+                      transform(col("hms"), h => TextFns.minhashJ(h, b * BandRows + r)))
+                      .cast("string"))))))
+      .select(col("doc_id"), col("pos").cast(IntegerType).as("band"), col("col").as("sig"))
   }
 
   private val bandsSql: String =
@@ -110,7 +135,17 @@ object Dedup {
         // signature + shingle-set tables are re-read by both join sides
         // (no exchange reuse across the self-join); persist them — at
         // scale these are exactly the tables you'd materialize
-        val b = bands(s, d).cache()
+        val b = bands(s, d)
+          // skew guard: drop degenerate buckets before the self-join
+          // (window key == join key, so this adds no extra shuffle)
+          .withColumn(
+            "bsz",
+            count(lit(1)).over(
+              org.apache.spark.sql.expressions.Window
+                .partitionBy(col("band"), col("sig"))))
+          .filter(col("bsz") <= MaxBucket)
+          .drop("bsz")
+          .cache()
         val cands = b.as("a")
           .join(
             b.as("b"),
@@ -140,8 +175,11 @@ object Dedup {
       },
       Some(s"""
         WITH $bandsSql,
+        sized AS (SELECT doc_id, band, sig FROM (
+                    SELECT *, COUNT(*) OVER (PARTITION BY band, sig) AS bsz FROM bands)
+                  WHERE bsz <= $MaxBucket),
         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-                 FROM bands a JOIN bands b
+                 FROM sized a JOIN sized b
                    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
         sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
         inter AS (SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS inter
@@ -220,9 +258,21 @@ object Dedup {
       (s, d) => {
         val sh = shingleSet(s, d).cache()
         val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-        val inter = sh.as("a")
+        // skew guard: a shingle present in >MaxShingleDf docs is
+        // boilerplate (stopword-like) — it would meet quadratically in
+        // the shuffle while carrying no near-dup signal. Set sizes stay
+        // exact; only the intersection join skips hot shingles. Window
+        // key == join key: no extra shuffle.
+        val joinable = sh
+          .withColumn(
+            "df",
+            count(lit(1)).over(
+              org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))))
+          .filter(col("df") <= MaxShingleDf)
+          .drop("df")
+        val inter = joinable.as("a")
           .join(
-            sh.as("b"),
+            joinable.as("b"),
             col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
           .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
           .agg(count(lit(1)).as("inter"))
@@ -241,8 +291,11 @@ object Dedup {
       Some(s"""
         WITH $shingleSetSql,
         sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+        joinable AS (SELECT doc_id, shingle FROM (
+                       SELECT *, COUNT(*) OVER (PARTITION BY shingle) AS df FROM sh)
+                     WHERE df <= $MaxShingleDf),
         inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS inter
-                  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                  FROM joinable a JOIN joinable b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
                   GROUP BY a.doc_id, b.doc_id)
         SELECT doc_a, doc_b, inter, jaccard FROM (
           SELECT i.doc_a, i.doc_b, i.inter,

@@ -85,6 +85,16 @@ object Similarity {
 
   private val NBits = 12
 
+  /** Skew guard (mirrored in the oracle SQL): an LSH bucket holding
+    * more than this many vectors — e.g. a mass of zero/duplicate
+    * embeddings all signing identically — would emit O(n²) candidate
+    * pairs from one shuffle key. Oversized buckets are dropped from
+    * candidate generation; at the test scale factors no bucket exceeds
+    * it (max 73 at sf0.1), so results are unchanged while pair counts
+    * stay bounded at any corpus size (pinned in DedupSkewSpec).
+    */
+  private[operators] val MaxBucket = 128
+
   /** 12-bit random-hyperplane signature per vector. Hyperplane weight
     * w(p, i) ∈ {-1, +1} comes from a glibc-constants LCG over the flat
     * index p*64+i — pure int64 arithmetic, reproducible in any engine.
@@ -216,7 +226,13 @@ object Similarity {
     Q(
       "q53_lsh_neardup",
       (s, d) => {
-        val b = lshBuckets(s, d).cache()
+        val b = lshBuckets(s, d)
+          // skew guard: drop degenerate buckets before the self-join
+          // (window key == join key — no extra shuffle)
+          .withColumn("bn", count(lit(1)).over(Window.partitionBy(col("bucket"))))
+          .filter(col("bn") <= MaxBucket)
+          .drop("bn")
+          .cache()
         val cands = b.as("x")
           .join(b.as("y"), col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
           .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
@@ -238,8 +254,11 @@ object Similarity {
         WITH $elemsSql,
         $normsSql,
         $lshSql,
+        sizedb AS (SELECT vec_id, bucket FROM (
+                     SELECT *, COUNT(*) OVER (PARTITION BY bucket) AS bn FROM b)
+                   WHERE bn <= $MaxBucket),
         cand AS (SELECT x.vec_id AS vec_a, y.vec_id AS vec_b
-                 FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id),
+                 FROM sizedb x JOIN sizedb y ON x.bucket = y.bucket AND x.vec_id < y.vec_id),
         dots AS (SELECT c.vec_a, c.vec_b,
                         CAST(SUM(CAST(a.x*bb.x AS DECIMAL(38,12))) AS DOUBLE) AS dot
                  FROM cand c

@@ -49,6 +49,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Broadcast"), s"expected broadcast in as-of join:\n$p")
   }
 
+  test("top-k by aggregate is distributed TakeOrderedAndProject, not a global window (q17)") {
+    val p = plan("q17_topk_parts")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"expected per-partition top-k + driver merge (TakeOrderedAndProject):\n$p")
+    // the rank window must consume the 15-row limit output, never the
+    // unbounded per-part aggregate: the plan would then hold a Window
+    // directly over the aggregate with no preceding TakeOrdered
+    val winIdx = p.indexOf("Window")
+    val topIdx = p.indexOf("TakeOrderedAndProject")
+    assert(winIdx >= 0 && winIdx < topIdx,
+      s"rank window must sit above (consume) the TakeOrdered output:\n$p")
+  }
+
   test("native top-k broadcasts the query vectors (q64)") {
     val p = operators.Similarity.nativeTopk(spark, sf("sf0.001"))
       .queryExecution.executedPlan.toString
