@@ -107,12 +107,19 @@ object Events {
         ORDER BY p.user_id, p.event_id""")
     ),
 
-    // JSON attribute extraction from the props payload
+    // JSON attribute extraction from the props payload. from_json with
+    // an explicit schema parses each payload once into a typed struct
+    // (a per-field get_json_object re-parses the string for every field
+    // extracted — N parses per row at N fields).
     Q(
       "q39_json_extract",
       (s, d) =>
         Tables.events(s, d)
-          .select(col("event_type"), get_json_object(col("props"), "$.k").cast(IntegerType).as("k"))
+          .select(
+            col("event_type"),
+            from_json(col("props"), org.apache.spark.sql.types.StructType(
+              Seq(org.apache.spark.sql.types.StructField("k", IntegerType))))
+              .getField("k").as("k"))
           .groupBy(col("event_type"))
           .agg(sum(col("k")).as("sum_k"), count(col("k")).as("n_k"), max(col("k")).cast(IntegerType).as("max_k"))
           .orderBy(col("event_type")),

@@ -4,7 +4,7 @@ import graft.{Det, Q, Tables}
 import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.evaluation.ClusteringEvaluator
 import org.apache.spark.ml.feature.{PCA, VectorAssembler}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.IntegerType
@@ -116,7 +116,7 @@ object MLOps {
       FROM agged a CROSS JOIN anchor x
       WHERE a.order_frequency > 0)"""
 
-  private val MatrixFeatures =
+  private[graft] val MatrixFeatures =
     Seq("profit", "profit_margin", "average_unit_price", "avg_quantity_sold",
       "nunique_customer", "customer_loyalty", "revenue_growth", "selling_duration")
 
@@ -165,6 +165,97 @@ object MLOps {
       SELECT part_id,
              $zcols
       FROM clean CROSS JOIN stats)"""
+  }
+
+  /** Fixed nearest-centroid cluster assignment over the z-scored
+    * matrix — the model-APPLICATION half of the clustering pipeline
+    * (`/root/reference/src/pipelines/clustering.py:131-136` persists
+    * fitted labels; scoring new data against fixed centroids is how a
+    * trained k-means is applied at scale: broadcast k centroid
+    * constants, one codegen'd argmin projection per row, zero
+    * shuffles). Centroids are fixed constants so the assignment is
+    * deterministic and SQL-expressible — the trajectory query built on
+    * it carries a full DuckDB oracle, unlike the MLlib fit (q56) whose
+    * labels are library-specific.
+    */
+  private[graft] val Centroids: Seq[Map[String, Double]] = Seq(
+    Map.empty, // the average product (origin of z-space)
+    MatrixFeatures.map(_ -> 1.0).toMap, // above average on every axis
+    MatrixFeatures.map(_ -> -1.0).toMap, // below average on every axis
+    Map("average_unit_price" -> 2.0, "avg_quantity_sold" -> -1.0) // premium niche
+  )
+
+  /** (part_id, cluster) via argmin of squared z-space distance to the
+    * four [[Centroids]]. Ties break to the lowest cluster id (CASE
+    * first-match, identical in Spark and DuckDB).
+    */
+  private[graft] def centroidLabels(s: SparkSession, d: String): DataFrame = {
+    def dist(c: Map[String, Double]): Column =
+      MatrixFeatures.map { f =>
+        val dz = col(s"z_$f") - lit(c.getOrElse(f, 0.0))
+        dz * dz
+      }.reduceLeft(_ + _)
+    val ds = Centroids.indices.map(i => dist(Centroids(i)).as(s"d$i"))
+    zscored(s, d)
+      .select(col("part_id") +: ds: _*)
+      .select(
+        col("part_id"),
+        when(col("d0") <= col("d1") && col("d0") <= col("d2") && col("d0") <= col("d3"), 0)
+          .when(col("d1") <= col("d2") && col("d1") <= col("d3"), 1)
+          .when(col("d2") <= col("d3"), 2)
+          .otherwise(3)
+          .cast(IntegerType)
+          .as("cluster"))
+  }
+
+  private val centroidLabelsSql: String = {
+    def dist(c: Map[String, Double]): String =
+      MatrixFeatures
+        .map(f => s"(z_$f - ${c.getOrElse(f, 0.0)}) * (z_$f - ${c.getOrElse(f, 0.0)})")
+        .mkString(" + ")
+    val ds = Centroids.indices.map(i => s"${dist(Centroids(i))} AS d$i").mkString(",\n             ")
+    s"""
+    dists AS (
+      SELECT part_id,
+             $ds
+      FROM zs),
+    labels AS (
+      SELECT part_id,
+             CAST(CASE WHEN d0 <= d1 AND d0 <= d2 AND d0 <= d3 THEN 0
+                       WHEN d1 <= d2 AND d1 <= d3 THEN 1
+                       WHEN d2 <= d3 THEN 2
+                       ELSE 3 END AS INT) AS cluster
+      FROM dists)"""
+  }
+
+  /** A12 core: per-(cluster, quarter) mean/std trajectory of quarterly
+    * revenue (LSTM_features_learning.ipynb cell 24 computes exactly
+    * this per-cluster-per-quarter mean/std frame). `labels` is any
+    * (part_id, cluster) assignment — q74 feeds [[centroidLabels]] (SQL-
+    * expressible → full oracle), MLGateSpec feeds the MLlib
+    * [[kmeansCanonical]] labels to pin the kmeans-backed variant.
+    * Moments follow the q55 recipe: exact decimal sums, then a fixed
+    * sequence of single IEEE double ops, identical in both engines.
+    */
+  private[graft] def trajectory(s: SparkSession, d: String, labels: DataFrame): DataFrame = {
+    val pq = Tables.lineitem(s, d)
+      .groupBy(
+        col("l_partkey").as("part_id"),
+        year(col("l_shipdate")).cast(IntegerType).as("y"),
+        quarter(col("l_shipdate")).cast(IntegerType).as("q"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("rev_cents"))
+    val n = count(lit(1)).cast("double")
+    val sum1 = sum(col("rev_cents").cast(Money)).cast("double")
+    val sum2 = sum((col("rev_cents") * col("rev_cents")).cast(Money)).cast("double")
+    pq.join(labels, "part_id")
+      .groupBy(col("cluster"), col("y"), col("q"))
+      .agg(
+        count(lit(1)).as("n_parts"),
+        round(sum1 / n, 4).as("mean_rev_cents"),
+        round(
+          sqrt(greatest(sum2 / n - (sum1 / n) * (sum1 / n), lit(0.0))), 4)
+          .as("std_rev_cents"))
+      .orderBy(col("cluster"), col("y"), col("q"))
   }
 
   /** KMeans on a z-scored frame; labels canonicalized by (cluster size
@@ -345,6 +436,61 @@ object MLOps {
                      CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
               FROM lineitem GROUP BY 1, 2, 3)
         GROUP BY l_partkey ORDER BY l_partkey""")
+    ),
+
+    // F9: whole-quarter difference arithmetic ((y1-y2)*4 + (q1-q2),
+    // quarter_format.py:19) — quarters spanned by each part's sales
+    // history, via graft.functions.DateFns
+    Q(
+      "q73_quarter_span",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .groupBy(col("l_partkey"))
+          .agg(
+            min(to_date(col("l_shipdate"))).as("first_sale"),
+            max(to_date(col("l_shipdate"))).as("last_sale"))
+          .select(
+            col("l_partkey"), col("first_sale"), col("last_sale"),
+            graft.functions.DateFns.quarterDiff(col("last_sale"), col("first_sale"))
+              .as("quarters_spanned"))
+          .orderBy(col("l_partkey")),
+      Some(s"""
+        SELECT l_partkey, first_sale, last_sale,
+               ${graft.functions.DateFns.Sql.quarterDiff("last_sale", "first_sale")} AS quarters_spanned
+        FROM (SELECT l_partkey,
+                     CAST(min(l_shipdate) AS DATE) AS first_sale,
+                     CAST(max(l_shipdate) AS DATE) AS last_sale
+              FROM lineitem GROUP BY 1)
+        ORDER BY l_partkey""")
+    ),
+
+    // A12: per-(cluster, quarter) mean/std revenue trajectories over the
+    // nearest-centroid cluster assignment (model application — the SQL-
+    // expressible path; the MLlib-kmeans-labeled variant of the same
+    // trajectory is pinned in MLGateSpec)
+    Q(
+      "q74_cluster_trajectory",
+      (s, d) => trajectory(s, d, centroidLabels(s, d)),
+      Some(s"""
+        WITH $featuresSql,
+        $zscoredSql,
+        $centroidLabelsSql,
+        pq AS (SELECT l_partkey AS part_id,
+                      CAST(year(l_shipdate) AS INT) AS y,
+                      CAST(quarter(l_shipdate) AS INT) AS q,
+                      CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+               FROM lineitem GROUP BY 1, 2, 3)
+        SELECT lb.cluster, pq.y, pq.q,
+               CAST(COUNT(*) AS BIGINT) AS n_parts,
+               ROUND(CAST(SUM(CAST(rev_cents AS DECIMAL(38,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 4) AS mean_rev_cents,
+               ROUND(sqrt(greatest(
+                   CAST(SUM(CAST(rev_cents * rev_cents AS DECIMAL(38,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                     - (CAST(SUM(CAST(rev_cents AS DECIMAL(38,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+                     * (CAST(SUM(CAST(rev_cents AS DECIMAL(38,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)),
+                   CAST(0 AS DOUBLE))), 4) AS std_rev_cents
+        FROM pq JOIN labels lb ON pq.part_id = lb.part_id
+        GROUP BY lb.cluster, pq.y, pq.q
+        ORDER BY cluster, y, q""")
     )
   )
 }

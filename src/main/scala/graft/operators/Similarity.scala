@@ -72,14 +72,17 @@ object Similarity {
       .select(
         col("query_id"),
         col("vec_id").as("cand_id"),
-        (expr("graft_dot(v, qv)") / (col("norm") * col("qn"))).as("cos"))
+        // rank on the ROUNDED cosine (like q51 and the shared oracle):
+        // ranking on the raw double would break ties differently
+        // whenever two candidates agree to 6 decimals
+        round(expr("graft_dot(v, qv)") / (col("norm") * col("qn")), 6).as("cos"))
       .withColumn(
         "rnk",
         row_number()
           .over(Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("cand_id")))
           .cast(IntegerType))
       .filter(col("rnk") <= 10)
-      .select(col("query_id"), col("cand_id"), round(col("cos"), 6).as("cos"), col("rnk"))
+      .select(col("query_id"), col("cand_id"), col("cos"), col("rnk"))
       .orderBy(col("query_id"), col("rnk"))
   }
 
@@ -125,6 +128,31 @@ object Similarity {
         b AS (SELECT vec_id,
                      CAST(SUM(CASE WHEN sp > 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket
               FROM sp GROUP BY vec_id)"""
+
+  /** Shared oracle for q51 and q64: both produce the identical
+    * (query_id, cand_id, cos, rnk) contract — q51 through decimal-exact
+    * element sums, q64 through the native codegen'd dot-product kernel.
+    * Gating the native kernel on the same SQL proves the fast path
+    * rounds to the same 6-decimal cosines and the same ranking.
+    */
+  private val topkOracleSql: String = s"""
+        WITH $elemsSql,
+        $normsSql,
+        dots AS (SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+                        CAST(SUM(CAST(a.x*b.x AS DECIMAL(38,12))) AS DOUBLE) AS dot
+                 FROM el a JOIN el b ON a.pos = b.pos AND a.vec_id != b.vec_id
+                 WHERE a.vec_id < 8
+                 GROUP BY a.vec_id, b.vec_id),
+        scored AS (SELECT d.query_id, d.cand_id,
+                          ROUND(d.dot / (na.norm * nb.norm), 6) AS cos
+                   FROM dots d
+                   JOIN norms na ON d.query_id = na.vec_id
+                   JOIN norms nb ON d.cand_id = nb.vec_id)
+        SELECT query_id, cand_id, cos,
+               CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS INT) AS rnk
+        FROM scored
+        QUALIFY rnk <= 10
+        ORDER BY query_id, rnk"""
 
   val all: Seq[Q] = Seq(
     // embedding-cosine near-dup pairs (brute force over pos-join; the
@@ -186,24 +214,7 @@ object Similarity {
           .filter(col("rnk") <= 10)
           .orderBy(col("query_id"), col("rnk"))
       },
-      Some(s"""
-        WITH $elemsSql,
-        $normsSql,
-        dots AS (SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
-                        CAST(SUM(CAST(a.x*b.x AS DECIMAL(38,12))) AS DOUBLE) AS dot
-                 FROM el a JOIN el b ON a.pos = b.pos AND a.vec_id != b.vec_id
-                 WHERE a.vec_id < 8
-                 GROUP BY a.vec_id, b.vec_id),
-        scored AS (SELECT d.query_id, d.cand_id,
-                          ROUND(d.dot / (na.norm * nb.norm), 6) AS cos
-                   FROM dots d
-                   JOIN norms na ON d.query_id = na.vec_id
-                   JOIN norms nb ON d.cand_id = nb.vec_id)
-        SELECT query_id, cand_id, cos,
-               CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS INT) AS rnk
-        FROM scored
-        QUALIFY rnk <= 10
-        ORDER BY query_id, rnk""")
+      Some(topkOracleSql)
     ),
 
     // random-hyperplane LSH bucketing (12-bit signature via integer LCG)
@@ -274,9 +285,11 @@ object Similarity {
         ORDER BY vec_a, vec_b""")
     ),
 
-    // native-Expression ANN baseline (rows-only; ranking equality with
-    // the decimal-exact q51 is asserted in NativeFnSpec)
-    Q("q64_native_topk", (s, d) => nativeTopk(s, d), None)
+    // native-Expression ANN path, gated on the SAME oracle as q51: the
+    // codegen'd kernel must reproduce the decimal-exact cosines after
+    // 6-decimal rounding, not just the ranking (NativeFnSpec pins the
+    // ranking equality too)
+    Q("q64_native_topk", (s, d) => nativeTopk(s, d), Some(topkOracleSql))
   )
 
 }

@@ -15,10 +15,15 @@ import org.apache.spark.sql.types._
 object Sources {
   import Det._
 
-  private def scratch(name: String): String = {
-    val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft_$name")
-    dir.getAbsolutePath
-  }
+  /** Per-JVM unique scratch root: concurrent graft JVMs (bench + verify)
+    * would otherwise race on the same fixed /tmp path — one JVM's
+    * overwrite deleting files the other is mid-read on.
+    */
+  private lazy val scratchRoot: java.io.File =
+    java.nio.file.Files.createTempDirectory("graft_scratch_").toFile
+
+  private def scratch(name: String): String =
+    new java.io.File(scratchRoot, name).getAbsolutePath
 
   private val customerSchema = new StructType()
     .add("c_custkey", LongType).add("c_nationkey", LongType)

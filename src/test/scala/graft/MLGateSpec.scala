@@ -1,0 +1,107 @@
+package graft
+
+import graft.operators.MLOps
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.feature.VectorAssembler
+import org.apache.spark.sql.functions._
+
+/** Property gates for the ML queries whose outputs cannot be expressed
+  * as DuckDB oracle SQL (library-specific numerics): q58's PCA variance
+  * summary and q67's silhouette. Instead of "returns rows", these pin
+  * the mathematical contract — a valid deterministic variance spectrum,
+  * and the evaluator's silhouette agreeing with an exact from-scratch
+  * recomputation of the squared-euclidean silhouette definition.
+  */
+class MLGateSpec extends SparkSpec {
+
+  private def pcaVariances: Array[Double] =
+    SparkEntry.queries("q58_pca_variance")(spark, sf("sf0.001"))
+      .collect().sortBy(_.getInt(0)).map(_.getDouble(1))
+
+  test("q58: explained variance is a valid, descending, deterministic spectrum") {
+    val ev = pcaVariances
+    assert(ev.length == 4, s"expected 4 components, got ${ev.length}")
+    assert(ev.forall(v => v >= 0.0 && v <= 1.0), s"variance ratios out of [0,1]: ${ev.mkString(",")}")
+    assert(ev.sliding(2).forall(p => p(0) >= p(1) - 1e-12),
+      s"explained variance must be non-increasing: ${ev.mkString(",")}")
+    assert(ev.sum <= 1.0 + 1e-9, s"ratios sum over 1: ${ev.sum}")
+    // the top 4 of 8 nonnegative variance ratios necessarily carry at
+    // least half the total variance
+    assert(ev.sum >= 0.5 - 1e-9, s"top-4 components must explain >= half the variance: ${ev.sum}")
+    assert(pcaVariances.sameElements(ev), "PCA spectrum must be run-to-run deterministic")
+  }
+
+  test("A12 trajectory with MLlib kmeans labels: 4 clusters, sane moments, deterministic") {
+    val z = MLOps.zscored(spark, sf("sf0.001"))
+    val labels = MLOps
+      .kmeansCanonical(z, MLOps.MatrixFeatures.map(c => s"z_$c"), "part_id", 4)
+      .select(col("part_id"), col("cluster"))
+    val rows = MLOps.trajectory(spark, sf("sf0.001"), labels).collect()
+    assert(rows.map(_.getInt(0)).toSet == Set(0, 1, 2, 3),
+      "every canonical cluster id must appear in the trajectory")
+    rows.foreach { r =>
+      assert(r.getLong(3) >= 1, s"empty (cluster, quarter) group emitted: $r")
+      assert(r.getDouble(4) > 0.0, s"quarterly mean revenue must be positive: $r")
+      assert(r.getDouble(5) >= 0.0, s"std must be non-negative: $r")
+    }
+    // quarters are contiguous calendar keys, rows ordered by (cluster, y, q)
+    val ordered = rows.map(r => (r.getInt(0), r.getInt(1), r.getInt(2)))
+    assert(ordered.sameElements(ordered.sorted), "trajectory must be ordered by cluster, y, q")
+    val again = MLOps.trajectory(spark, sf("sf0.001"), labels).collect()
+    assert(rows.sameElements(again), "trajectory must be run-to-run deterministic")
+  }
+
+  test("q67: evaluator silhouette matches an exact squared-euclidean recomputation") {
+    val reported = SparkEntry.queries("q67_silhouette")(spark, sf("sf0.001"))
+      .collect().head.getDouble(1)
+
+    // refit the identical pipeline (same session, same seed) to get the
+    // assignments q67's evaluator scored
+    val zCols = MLOps.MatrixFeatures.map(c => s"z_$c")
+    val assembled = new VectorAssembler()
+      .setInputCols(zCols.toArray).setOutputCol("fv")
+      .transform(MLOps.zscored(spark, sf("sf0.001")).na.drop())
+    val fitted = new KMeans()
+      .setK(4).setSeed(42L).setFeaturesCol("fv").setPredictionCol("cluster")
+      .fit(assembled).transform(assembled)
+
+    val pts = fitted.select(col("cluster"), col("fv")).collect().map { r =>
+      (r.getInt(0), r.getAs[org.apache.spark.ml.linalg.Vector](1).toArray)
+    }
+    // exact mean squared distance from x to cluster C:
+    //   avg_{y in C} ||x-y||^2 = ||x||^2 + (sum_{y} ||y||^2)/|C| - 2 (x . sum_y y)/|C|
+    // own-cluster dissimilarity rescales by n/(n-1) (the ||x-x||^2 = 0
+    // self term contributes nothing and must not dilute the mean);
+    // silhouette of a singleton-cluster point is 0 by definition.
+    val dim = pts.head._2.length
+    val stats = pts.groupBy(_._1).map { case (c, arr) =>
+      val n = arr.length
+      val sumVec = Array.fill(dim)(0.0)
+      var sumSq = 0.0
+      arr.foreach { case (_, v) =>
+        var i = 0
+        while (i < dim) { sumVec(i) += v(i); sumSq += v(i) * v(i); i += 1 }
+      }
+      c -> (n, sumVec, sumSq)
+    }
+    val sils = pts.map { case (c, x) =>
+      val xx = x.map(v => v * v).sum
+      def meanSqDist(cl: Int): Double = {
+        val (n, sv, sq) = stats(cl)
+        val dot = x.indices.map(i => x(i) * sv(i)).sum
+        xx + sq / n - 2.0 * dot / n
+      }
+      val (nOwn, _, _) = stats(c)
+      if (nOwn == 1) 0.0
+      else {
+        val a = meanSqDist(c) * nOwn / (nOwn - 1)
+        val b = stats.keys.filter(_ != c).map(meanSqDist).min
+        (b - a) / math.max(a, b)
+      }
+    }
+    val exact = sils.sum / sils.length
+    // q67 rounds to 4 decimals; recomputation order differences are ~1e-12
+    assert(math.abs(exact - reported) <= 5e-5 + 1e-9,
+      s"evaluator silhouette $reported drifts from exact recomputation $exact")
+  }
+}
