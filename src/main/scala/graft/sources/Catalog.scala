@@ -1,0 +1,87 @@
+package graft.sources
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Warehouse catalog abstraction (SURVEY.md §2.1 S1/S2/S5). The
+  * reference reads whole tables from SQL Server / PostgreSQL over JDBC
+  * (`/root/reference/src/config/database_connection.py:13-27`,
+  * `src/pipelines/etl.py:19-24`) and writes results back with a
+  * replace-then-insert. Here the same surface is a trait with two
+  * interchangeable implementations: the columnar parquet warehouse
+  * (the performance path — scans prune and push down) and a real JDBC
+  * catalog for integrating with an RDBMS.
+  */
+trait Catalog {
+  def table(s: SparkSession, name: String): DataFrame
+}
+
+/** Parquet-backed catalog over a scale-factor directory — delegates to
+  * [[graft.Tables]], the path every declared query runs on.
+  */
+final class ParquetCatalog(dir: String) extends Catalog {
+  def table(s: SparkSession, name: String): DataFrame = Tables(s, dir, name)
+}
+
+/** JDBC-backed catalog. Two read shapes:
+  *
+  *  - [[table]]: pushes `query` (arbitrary SQL, so projections/filters
+  *    run inside the RDBMS) over a SINGLE connection — correct for
+  *    dimension-sized tables, a bottleneck for facts;
+  *  - [[tablePartitioned]]: the scale path — N executors open N
+  *    parallel connections, each reading one stride of
+  *    `partitionColumn` (Spark's predicate-ranged JDBC scan). At 100 TB
+  *    the fact table must come through this path (or better, a one-time
+  *    parquet export): a single JDBC cursor cannot feed a cluster.
+  *
+  * Writes go through [[replace]] (S5: the reference's delete-then-insert
+  * becomes mode=Overwrite with truncate) and [[append]] (S7 ledger).
+  */
+final class JdbcCatalog(url: String, driver: String) extends Catalog {
+
+  private def base(s: SparkSession) =
+    s.read.format("jdbc").option("url", url).option("driver", driver)
+
+  def table(s: SparkSession, name: String): DataFrame =
+    base(s).option("dbtable", name).load()
+
+  /** Arbitrary pushed-down SQL (S3 over JDBC: the RDBMS aggregates,
+    * Spark receives the result rows).
+    */
+  def query(s: SparkSession, sql: String): DataFrame =
+    base(s).option("query", sql).load()
+
+  def tablePartitioned(
+      s: SparkSession,
+      name: String,
+      partitionColumn: String,
+      lowerBound: Long,
+      upperBound: Long,
+      numPartitions: Int): DataFrame =
+    base(s)
+      .option("dbtable", name)
+      .option("partitionColumn", partitionColumn)
+      .option("lowerBound", lowerBound)
+      .option("upperBound", upperBound)
+      .option("numPartitions", numPartitions)
+      .load()
+
+  /** S5 replace-mode sink. `truncate` keeps the RDBMS-side DDL (and any
+    * grants/indexes) instead of drop-and-recreate when overwriting.
+    */
+  def replace(df: DataFrame, name: String): Unit =
+    df.write.format("jdbc")
+      .option("url", url).option("driver", driver)
+      .option("dbtable", name)
+      .option("truncate", "true")
+      .mode(SaveMode.Overwrite)
+      .save()
+
+  /** S7 append-only sink (run ledger shape). */
+  def append(df: DataFrame, name: String): Unit =
+    df.write.format("jdbc")
+      .option("url", url).option("driver", driver)
+      .option("dbtable", name)
+      .mode(SaveMode.Append)
+      .save()
+}
