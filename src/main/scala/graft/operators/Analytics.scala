@@ -145,7 +145,10 @@ object Analytics {
         ORDER BY rnk""")
     ),
 
-    // O5: offset pagination with total ordering
+    // O5: offset pagination with total ordering. Offset semantics force
+    // a global sort of the first offset+limit rows — inherent to OFFSET
+    // and fine for UI page sizes; the scale path for deep pagination is
+    // q75's keyset variant below.
     Q(
       "q18_pagination",
       (s, d) =>
@@ -157,6 +160,32 @@ object Analytics {
       Some("""
         SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS order_date, o_totalprice
         FROM orders ORDER BY o_orderdate, o_orderkey LIMIT 25 OFFSET 200""")
+    ),
+
+    // O5 at scale: KEYSET pagination — "the page after cursor
+    // (date, key)". The cursor predicate is pushed to the parquet scan
+    // and the limit plans TakeOrderedAndProject, so page N costs the
+    // same as page 1 (OFFSET N pages costs O(N); plan shape pinned in
+    // PlanSpec).
+    Q(
+      "q75_keyset_pagination",
+      (s, d) => {
+        val curDate = lit("1995-06-15").cast("timestamp")
+        val curKey = lit(30000L)
+        Tables.orders(s, d)
+          .filter(
+            col("o_orderdate") > curDate ||
+              (col("o_orderdate") === curDate && col("o_orderkey") > curKey))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .limit(25)
+          .select(col("o_orderkey"), col("o_custkey"), to_date(col("o_orderdate")).as("order_date"), col("o_totalprice"))
+      },
+      Some("""
+        SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS order_date, o_totalprice
+        FROM orders
+        WHERE o_orderdate > TIMESTAMP '1995-06-15' OR
+              (o_orderdate = TIMESTAMP '1995-06-15' AND o_orderkey > 30000)
+        ORDER BY o_orderdate, o_orderkey LIMIT 25""")
     ),
 
     // P12/O6: sorted distinct value domain

@@ -62,6 +62,13 @@ class PlanSpec extends SparkSpec {
       s"rank window must sit above (consume) the TakeOrdered output:\n$p")
   }
 
+  test("keyset pagination pushes the cursor to the scan and takes ordered (q75)") {
+    val p = plan("q75_keyset_pagination")
+    assert(p.contains("TakeOrderedAndProject"), s"expected TakeOrderedAndProject:\n$p")
+    assert(p.contains("PushedFilters: [Or(GreaterThan(o_orderdate"),
+      s"cursor predicate must reach the parquet scan:\n$p")
+  }
+
   test("native top-k broadcasts the query vectors (q64)") {
     val p = operators.Similarity.nativeTopk(spark, sf("sf0.001"))
       .queryExecution.executedPlan.toString
