@@ -129,6 +129,94 @@ object Similarity {
                      CAST(SUM(CASE WHEN sp > 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket
               FROM sp GROUP BY vec_id)"""
 
+  private val IvfCells = 8
+  private val IvfProbes = 2
+
+  /** IVF coarse-centroid component c_j[i] ∈ {-1,+1} from a second LCG
+    * stream (constants 69069/1 — decorrelated from the 1103515245/12345
+    * stream that draws the LSH hyperplanes).
+    */
+  private def ivfW(j: Int): Column =
+    when(
+      (lit(69069L) * (lit(j) * 64 + col("pos")) + 1L) % 2147483648L < 1073741824L,
+      -1).otherwise(1)
+
+  /** Per-vector dot products against all [[IvfCells]] centroids: ONE
+    * groupBy(vec_id) with 8 decimal-exact sums — no per-centroid row
+    * explosion, so the shuffle stays corpus-sized.
+    */
+  private def cellDots(s: SparkSession, d: String): DataFrame = {
+    val aggs = (0 until IvfCells).map(j =>
+      sum((ivfW(j) * col("x")).cast(Acc)).cast("double").as(s"cd$j"))
+    elems(s, d).groupBy(col("vec_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** argmax over cd0..cd7, ties to the lowest cell id. Branch j only
+    * compares against LATER cells: if an earlier cell were strictly
+    * larger, some branch before j already failed on the same evidence —
+    * first-match CASE semantics make this the lowest argmax in both
+    * engines.
+    */
+  private def cellOf: Column = {
+    val chain = (0 until IvfCells - 1).foldLeft(when(lit(false), -1)) { (acc, j) =>
+      val beatsLater = ((j + 1) until IvfCells)
+        .map(k => col(s"cd$j") >= col(s"cd$k"))
+        .reduceLeft(_ && _)
+      acc.when(beatsLater, j)
+    }
+    chain.otherwise(IvfCells - 1).cast(IntegerType)
+  }
+
+  private val ivfOracleSql: String = {
+    def w(j: Int) =
+      s"(CASE WHEN (69069::BIGINT * ($j*64 + pos) + 1) % 2147483648 < 1073741824 THEN -1 ELSE 1 END)"
+    val cdCols = (0 until IvfCells)
+      .map(j => s"CAST(SUM(CAST(${w(j)} * x AS DECIMAL(38,12))) AS DOUBLE) AS cd$j")
+      .mkString(",\n                   ")
+    val caseArms = (0 until IvfCells - 1)
+      .map(j =>
+        "WHEN " + ((j + 1) until IvfCells).map(k => s"cd$j >= cd$k").mkString(" AND ") + s" THEN $j")
+      .mkString("\n                         ")
+    val unnestList = (0 until IvfCells)
+      .map(j => s"{'cell': $j, 'cd': cd$j}")
+      .mkString("[", ", ", "]")
+    s"""
+        WITH $elemsSql,
+        $normsSql,
+        cd AS (SELECT vec_id,
+                   $cdCols
+               FROM el GROUP BY vec_id),
+        cells AS (SELECT vec_id,
+                         CAST(CASE $caseArms
+                         ELSE ${IvfCells - 1} END AS INT) AS cell
+                  FROM cd),
+        probes AS (
+          SELECT query_id, cell FROM (
+            SELECT query_id, cell, cd,
+                   row_number() OVER (PARTITION BY query_id ORDER BY cd DESC, cell) AS pr
+            FROM (SELECT vec_id AS query_id, u.cell AS cell, u.cd AS cd
+                  FROM (SELECT vec_id, unnest($unnestList) AS u FROM cd WHERE vec_id < 8)))
+          WHERE pr <= $IvfProbes),
+        cand AS (SELECT p.query_id, c.vec_id AS cand_id
+                 FROM probes p JOIN cells c ON p.cell = c.cell AND c.vec_id != p.query_id),
+        pdots AS (SELECT cn.query_id, cn.cand_id,
+                         CAST(SUM(CAST(a.x*b.x AS DECIMAL(38,12))) AS DOUBLE) AS dot
+                  FROM cand cn
+                  JOIN el a ON cn.query_id = a.vec_id
+                  JOIN el b ON cn.cand_id = b.vec_id AND a.pos = b.pos
+                  GROUP BY cn.query_id, cn.cand_id),
+        scored AS (SELECT d.query_id, d.cand_id,
+                          ROUND(d.dot / (na.norm * nb.norm), 6) AS cos
+                   FROM pdots d
+                   JOIN norms na ON d.query_id = na.vec_id
+                   JOIN norms nb ON d.cand_id = nb.vec_id)
+        SELECT query_id, cand_id, cos,
+               CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS INT) AS rnk
+        FROM scored
+        QUALIFY rnk <= 10
+        ORDER BY query_id, rnk"""
+  }
+
   /** Shared oracle for q51 and q64: both produce the identical
     * (query_id, cand_id, cos, rnk) contract — q51 through decimal-exact
     * element sums, q64 through the native codegen'd dot-product kernel.
@@ -289,7 +377,60 @@ object Similarity {
     // codegen'd kernel must reproduce the decimal-exact cosines after
     // 6-decimal rounding, not just the ranking (NativeFnSpec pins the
     // ranking equality too)
-    Q("q64_native_topk", (s, d) => nativeTopk(s, d), Some(topkOracleSql))
+    Q("q64_native_topk", (s, d) => nativeTopk(s, d), Some(topkOracleSql)),
+
+    // IVF-style ANN: coarse-quantize every vector to its nearest of
+    // [[IvfCells]] fixed ±1 centroids (all centroids have equal norm, so
+    // nearest-L2 = argmax dot — one groupBy(vec) with 8 decimal-exact
+    // conditional sums, NO per-centroid row explosion), then search each
+    // query's [[IvfProbes]] best cells with exact cosine. At corpus
+    // scale candidates come from a keyed equi-join on cell id — the
+    // shuffle carries corpus × (probes/cells) rows, never corpus².
+    // Fixed centroids keep the whole index SQL-expressible → full
+    // DuckDB oracle (a trained coarse quantizer would broadcast its
+    // centroid matrix the same way).
+    Q(
+      "q76_ivf_topk",
+      (s, d) => {
+        val dots = cellDots(s, d).cache()
+        val cells = dots.select(col("vec_id"), cellOf.as("cell"))
+        val probes = dots
+          .filter(col("vec_id") < 8)
+          .select(
+            col("vec_id").as("query_id"),
+            posexplode(array((0 until IvfCells).map(j => col(s"cd$j")): _*))
+              .as(Seq("cell", "cd")))
+          .withColumn(
+            "pr",
+            row_number().over(
+              Window.partitionBy(col("query_id")).orderBy(col("cd").desc, col("cell"))))
+          .filter(col("pr") <= IvfProbes)
+          .select(col("query_id"), col("cell"))
+        val cands = probes
+          .join(cells, Seq("cell"))
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id").as("cand_id"))
+        val el = elems(s, d).cache()
+        val pairDots = cands
+          .join(el.as("a"), col("query_id") === col("a.vec_id"))
+          .join(el.as("b"), col("cand_id") === col("b.vec_id") && col("a.pos") === col("b.pos"))
+          .groupBy(col("query_id"), col("cand_id"))
+          .agg(sum((col("a.x") * col("b.x")).cast(Acc)).cast("double").as("dot"))
+        val n = norms(s, d)
+        pairDots
+          .join(n.as("na"), col("query_id") === col("na.vec_id"))
+          .join(n.as("nb"), col("cand_id") === col("nb.vec_id"))
+          .select(col("query_id"), col("cand_id"), cosine(col("dot"), col("na.norm"), col("nb.norm")).as("cos"))
+          .withColumn(
+            "rnk",
+            row_number()
+              .over(Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("cand_id")))
+              .cast(IntegerType))
+          .filter(col("rnk") <= 10)
+          .orderBy(col("query_id"), col("rnk"))
+      },
+      Some(ivfOracleSql)
+    )
   )
 
 }
