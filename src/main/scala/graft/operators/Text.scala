@@ -193,6 +193,72 @@ object Text {
                min(${T.hmod("shingle")}) AS min_h,
                max(${T.hmod("shingle")}) AS max_h
         FROM ds GROUP BY doc_id ORDER BY doc_id""")
+    ),
+
+    // Training-shard assignment (sequence packing): documents are packed
+    // greedily into ~TokenBudget-token shards per (lang, source) stream
+    // in deterministic doc_id order — shard id = starting token offset
+    // div budget. The running offset is a keyed window cumsum: the
+    // shuffle is one exchange on (lang, source), and at corpus scale the
+    // same assignment distributes as the classic two-phase cumsum
+    // (per-partition partial sums -> broadcast offsets -> local scan);
+    // the (lang, source) keying is what keeps any one window bounded to
+    // a stream, not the corpus.
+    Q(
+      "q77_token_packing",
+      (s, d) => {
+        val budget = 4096
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang"), col("source"))
+          .orderBy(col("doc_id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        docs(s, d)
+          .select(col("doc_id"), col("lang"), col("source"), size(col("tok")).cast("long").as("n_tokens"))
+          .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+          .withColumn("shard", expr(s"cum_before div $budget").cast(IntegerType))
+          .groupBy(col("lang"), col("source"), col("shard"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("shard_tokens"))
+          .orderBy(col("lang"), col("source"), col("shard"))
+      },
+      Some(s"""
+        WITH t AS (SELECT doc_id, lang, source, CAST(len(${T.tokens}) AS BIGINT) AS n_tokens
+                   FROM documents),
+        c AS (SELECT doc_id, lang, source, n_tokens,
+                     COALESCE(CAST(SUM(n_tokens) OVER (
+                       PARTITION BY lang, source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cum_before
+              FROM t)
+        SELECT lang, source, CAST(cum_before // 4096 AS INT) AS shard,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens
+        FROM c GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")
+    ),
+
+    // Deterministic hash-based train/eval split (the md5 bucket is a
+    // pure projection — any worker, any engine, any day assigns a doc to
+    // the same split; no RNG, no state). 90/10 by bucket, summarized
+    // per (lang, split).
+    Q(
+      "q78_train_split",
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(
+            col("doc_id"), col("lang"),
+            (TextFns.h60(col("doc_id").cast("string")) % 100).as("bucket"))
+          .withColumn("split", when(col("bucket") < 90, "train").otherwise("eval"))
+          .groupBy(col("lang"), col("split"))
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy(col("lang"), col("split")),
+      Some(s"""
+        WITH t AS (SELECT doc_id, lang,
+                          (${T.h60("CAST(doc_id AS VARCHAR)")} % 100) AS bucket
+                   FROM documents)
+        SELECT lang,
+               CASE WHEN bucket < 90 THEN 'train' ELSE 'eval' END AS split,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM t GROUP BY 1, 2 ORDER BY 1, 2""")
     )
   )
 }
