@@ -90,6 +90,25 @@ object Streaming {
         FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
         GROUP BY 1 ORDER BY 1"""),
       bench = false
+    ),
+
+    // stream-stream inner join with watermarks + time-range state
+    // eviction: clicks attributed to same-user purchases within 1 hour
+    Q(
+      "q79_stream_stream_join",
+      (s, d) => EventStream.clickAttribution(s, d).orderBy(col("purchase_id")),
+      Some("""
+        SELECT p.event_id AS purchase_id,
+               p.user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_clicks
+        FROM events p
+        JOIN events c
+          ON p.event_type = 'purchase' AND c.event_type = 'click'
+         AND p.user_id = c.user_id
+         AND CAST(c.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL 1 HOUR
+         AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+        GROUP BY 1, 2 ORDER BY 1"""),
+      bench = false
     )
   )
 }

@@ -137,6 +137,36 @@ object EventStream {
     runToTable(spark, deduped, "complete")
   }
 
+  /** STREAM-STREAM inner join: purchases joined to the same user's
+    * clicks from the preceding hour. Both sides carry watermarks and
+    * the join condition carries the time-range bound — that pair is
+    * what lets Spark expire buffered state (a click older than
+    * purchase-watermark − 1h can never match again and is evicted), so
+    * state stays bounded on an unbounded stream. The attribution count
+    * per purchase is aggregated after the streamed join completes.
+    */
+  def clickAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val clicks = readEvents(spark, dir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = readEvents(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("user_id").as("p_user"),
+        col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = purchases.join(
+      clicks,
+      col("p_user") === col("user_id") &&
+        col("click_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("click_ts") <= col("p_ts"))
+    runToTable(spark, joined, "append")
+      .groupBy(col("purchase_id"), col("p_user").as("user_id"))
+      .agg(count(lit(1)).as("n_clicks"))
+  }
+
   /** Gap-based sessions (30 min) via the native session_window —
     * streaming twin of q37's window-function formulation. Emits one row
     * per closed session keyed by (user, session start).

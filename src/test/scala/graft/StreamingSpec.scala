@@ -26,4 +26,23 @@ class StreamingSpec extends SparkSpec {
       .select("user_id", "start_us", "end_us", "n_events", "sum_value")
     assert(canon(streamed) == canon(batch))
   }
+
+  test("stream-stream join == batch interval self-join") {
+    import org.apache.spark.sql.functions._
+    val streamed = EventStream.clickAttribution(spark, sf("sf0.001"))
+    val ev = Tables.events(spark, sf("sf0.001"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+    val batch = p.join(
+        c,
+        col("user_id") === col("c_user") &&
+          col("click_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("click_ts") <= col("p_ts"))
+      .groupBy(col("purchase_id"), col("user_id"))
+      .agg(count(lit(1)).as("n_clicks"))
+    assert(canon(streamed) == canon(batch))
+    assert(streamed.count() > 0, "fixture must exercise the join")
+  }
 }
