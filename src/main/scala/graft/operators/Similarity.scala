@@ -38,9 +38,13 @@ object Similarity {
               CAST(unnest(embedding) AS DOUBLE) AS x
        FROM embeddings)"""
 
-  private def norms(s: SparkSession, d: String): DataFrame =
-    elems(s, d)
-      .groupBy(col("vec_id"))
+  /** Norms from an ALREADY-BUILT element frame: callers cache their
+    * element table and derive norms from the same frame, so the scan /
+    * explode / repartition pipeline runs once per query, not once per
+    * derived table (self-joins get no exchange reuse — CLAUDE.md rule).
+    */
+  private def normsOf(el: DataFrame): DataFrame =
+    el.groupBy(col("vec_id"))
       .agg(sqrt(sum((col("x") * col("x")).cast(Acc)).cast("double")).as("norm"))
 
   private val normsSql: String =
@@ -248,12 +252,12 @@ object Similarity {
     Q(
       "q50_embedding_neardup",
       (s, d) => {
-        val el = elems(s, d)
+        val el = elems(s, d).cache()
         val dots = el.as("a")
           .join(el.as("b"), col("a.pos") === col("b.pos") && col("a.vec_id") < col("b.vec_id"))
           .groupBy(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
           .agg(sum((col("a.x") * col("b.x")).cast(Acc)).cast("double").as("dot"))
-        val n = norms(s, d)
+        val n = normsOf(el)
         dots
           .join(n.as("na"), col("vec_a") === col("na.vec_id"))
           .join(n.as("nb"), col("vec_b") === col("nb.vec_id"))
@@ -282,13 +286,13 @@ object Similarity {
     Q(
       "q51_cosine_topk",
       (s, d) => {
-        val el = elems(s, d)
+        val el = elems(s, d).cache()
         val q = el.filter(col("vec_id") < 8)
         val dots = q.as("a")
           .join(el.as("b"), col("a.pos") === col("b.pos") && col("a.vec_id") =!= col("b.vec_id"))
           .groupBy(col("a.vec_id").as("query_id"), col("b.vec_id").as("cand_id"))
           .agg(sum((col("a.x") * col("b.x")).cast(Acc)).cast("double").as("dot"))
-        val n = norms(s, d)
+        val n = normsOf(el)
         val scored = dots
           .join(n.as("na"), col("query_id") === col("na.vec_id"))
           .join(n.as("nb"), col("cand_id") === col("nb.vec_id"))
@@ -335,13 +339,13 @@ object Similarity {
         val cands = b.as("x")
           .join(b.as("y"), col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
           .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
-        val el = elems(s, d)
+        val el = elems(s, d).cache()
         val dots = cands
           .join(el.as("a"), col("vec_a") === col("a.vec_id"))
           .join(el.as("b"), col("vec_b") === col("b.vec_id") && col("a.pos") === col("b.pos"))
           .groupBy(col("vec_a"), col("vec_b"))
           .agg(sum((col("a.x") * col("b.x")).cast(Acc)).cast("double").as("dot"))
-        val n = norms(s, d)
+        val n = normsOf(el)
         dots
           .join(n.as("na"), col("vec_a") === col("na.vec_id"))
           .join(n.as("nb"), col("vec_b") === col("nb.vec_id"))
@@ -416,7 +420,7 @@ object Similarity {
           .join(el.as("b"), col("cand_id") === col("b.vec_id") && col("a.pos") === col("b.pos"))
           .groupBy(col("query_id"), col("cand_id"))
           .agg(sum((col("a.x") * col("b.x")).cast(Acc)).cast("double").as("dot"))
-        val n = norms(s, d)
+        val n = normsOf(el)
         pairDots
           .join(n.as("na"), col("query_id") === col("na.vec_id"))
           .join(n.as("nb"), col("cand_id") === col("nb.vec_id"))
