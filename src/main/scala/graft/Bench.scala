@@ -63,11 +63,16 @@ object Bench {
     }
   }
 
-  private def jsonLine(sfDir: String, done: Seq[(String, Double)], dnf: Seq[String]): String = {
+  private def jsonLine(
+      sfDir: String,
+      done: Seq[(String, Double)],
+      dnf: Seq[String],
+      skipped: Seq[String]): String = {
     val qs = done.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = done.map(_._2).sum
     val dnfs = dnf.map("\"" + _ + "\"").mkString("[", ",", "]")
-    f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"dnf":$dnfs,"sf":"$sfDir"}"""
+    val skips = skipped.map("\"" + _ + "\"").mkString("[", ",", "]")
+    f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"dnf":$dnfs,"skipped":$skips,"sf":"$sfDir"}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -84,32 +89,58 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Suite-level wall-clock budget: even in the worst case (every
+    // query twice at the per-run cap on a badly stalling host) the
+    // bench must finish INSIDE the driver's window with its JSON
+    // emitted — round 1 died to exactly this. Queries past the deadline
+    // degrade to a single timed run, then to being recorded as skipped.
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "1200").toLong
+    val deadlineNs = System.nanoTime() + budgetSec * 1000000000L
+    def remainingSec: Long = (deadlineNs - System.nanoTime()) / 1000000000L
+
     // Warm every query's plan shape at the smallest sf first (not
     // timed): Janino codegen compilation + JIT of the generated classes
     // costs tens of seconds across the suite and would otherwise be
-    // charged to whichever query first uses a shape.
+    // charged to whichever query first uses a shape. Warmup may spend at
+    // most a quarter of the budget — timed runs have priority.
     SparkEntry.benchQueries.foreach { q =>
-      runCapped(spark, q, "/root/testdata/sf0.001", WarmCapSec)
-      spark.catalog.clearCache()
+      if (remainingSec > budgetSec * 3 / 4) {
+        runCapped(spark, q, "/root/testdata/sf0.001", WarmCapSec)
+        spark.catalog.clearCache()
+      }
     }
 
     var done = Vector.empty[(String, Double)]
     var dnf = Vector.empty[String]
+    var skipped = Vector.empty[String]
     SparkEntry.benchQueries.foreach { q =>
-      val runs = (1 to 2).flatMap(_ => runCapped(spark, q, sfDir, RunCapSec))
-      if (runs.nonEmpty) {
-        val sec = runs.min
-        done :+= (q.name -> sec)
-        System.err.println(
-          f"[bench] ${q.name}%-28s $sec%8.2fs  (runs: ${runs.map(r => f"$r%.2f").mkString(", ")})")
+      if (remainingSec <= 5) {
+        skipped :+= q.name
       } else {
-        dnf :+= q.name
-        done :+= (q.name -> RunCapSec.toDouble) // cap charged so totals stay comparable
+        // degrade gracefully as the deadline nears: drop to one timed
+        // run, then tighten the per-run cap to whatever time is left
+        val cap = math.min(RunCapSec, remainingSec - 2)
+        val nRuns = if (remainingSec > 2 * RunCapSec) 2 else 1
+        val runs = (1 to nRuns).flatMap(_ => runCapped(spark, q, sfDir, cap))
+        if (runs.nonEmpty) {
+          val sec = runs.min
+          done :+= (q.name -> sec)
+          System.err.println(
+            f"[bench] ${q.name}%-28s $sec%8.2fs  (runs: ${runs.map(r => f"$r%.2f").mkString(", ")})")
+        } else {
+          dnf :+= q.name
+          done :+= (q.name -> cap.toDouble) // cap charged so totals stay comparable
+        }
+        // caches are per-query scoped (self-join sharing); never let them
+        // accumulate across the suite
+        spark.catalog.clearCache()
+        println(jsonLine(sfDir, done, dnf, skipped))
+        System.out.flush()
       }
-      // caches are per-query scoped (self-join sharing); never let them
-      // accumulate across the suite
-      spark.catalog.clearCache()
-      println(jsonLine(sfDir, done, dnf))
+    }
+    if (skipped.nonEmpty) {
+      System.err.println(s"[bench] budget exhausted; skipped: ${skipped.mkString(", ")}")
+      println(jsonLine(sfDir, done, dnf, skipped))
       System.out.flush()
     }
     spark.stop()
