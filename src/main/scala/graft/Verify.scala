@@ -18,21 +18,43 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    writeOracles(outDir) // FIRST: a mid-run death must not lose the whole gate
     // optional trailing args: dump only the named queries (local
     // iteration; the driver always runs the full set)
     val selected =
       if (only.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => only.contains(n) }
+    // per-query wall-clock cap: one hanging query must not eat the
+    // whole correctness window — it is recorded as failed, the rest
+    // still dump (jobs cancelled via job group so executors free up)
+    val capSec = sys.env.getOrElse("SPARK_GRAFT_VERIFY_CAP", "300").toLong
+    val pool = java.util.concurrent.Executors.newCachedThreadPool()
     selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      val fut = pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = {
+          spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        }
+      })
+      try fut.get(capSec, java.util.concurrent.TimeUnit.SECONDS)
+      catch {
+        case _: java.util.concurrent.TimeoutException =>
+          spark.sparkContext.cancelJobGroup(name)
+          fut.cancel(true)
+          System.err.println(s"[verify] $name: timed out (> ${capSec}s), jobs cancelled")
+        case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${Option(e.getCause).getOrElse(e).getMessage}")
       }
     }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
+    spark.stop()
+  }
+
+  /** Dump SparkEntry.oracleSql as JSON. String escape covers backslash,
+    * quote, and ALL control chars (<0x20) — a tab or CR in
+    * builder-authored SQL would otherwise make the driver's json.load
+    * fail and silently zero the round's correctness.
+    */
+  private def writeOracles(outDir: String): Unit = {
     def q(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"
@@ -45,6 +67,5 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    spark.stop()
   }
 }
