@@ -96,6 +96,66 @@ object Multimodal {
                CAST(least($FrameBytes, n_bytes - frame_id * $FrameBytes) AS INT) AS frame_len,
                CAST('0x' || substr(md5(substr(text, frame_id * $FrameBytes + 1, $FrameBytes)), 1, 15) AS BIGINT) AS frame_fp
         FROM f ORDER BY doc_id, frame_id""")
+    ),
+
+    // stubbed audio feature extraction: fixed-rate sample windows over
+    // the binary payload (bytes standing in for PCM samples), per-window
+    // energy/peak computed imperatively per partition — the
+    // feature-extract half of the multimodal story (q62 is the
+    // frame-sample half). A real pipeline swaps the byte loop for a
+    // codec call; schema, batching, and partitioning stay identical.
+    Q(
+      "q80_audio_windows",
+      (s, d) => {
+        val src = Tables.documents(s, d)
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        val outSchema = new StructType()
+          .add("doc_id", LongType)
+          .add("window_id", IntegerType)
+          .add("n_samples", IntegerType)
+          .add("energy", LongType)
+          .add("peak", IntegerType)
+        val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+        src
+          .mapPartitions { rows =>
+            rows.flatMap { r =>
+              val docId = r.getLong(0)
+              val payload = r.getAs[Array[Byte]](1)
+              val nWin = math.min(MaxFrames, (payload.length + FrameBytes - 1) / FrameBytes)
+              (0 until nWin).iterator.map { w =>
+                val off = w * FrameBytes
+                val len = math.min(FrameBytes, payload.length - off)
+                var i = 0; var energy = 0L; var peak = 0
+                while (i < len) {
+                  val v = payload(off + i) & 0xff
+                  energy += v
+                  if (v > peak) peak = v
+                  i += 1
+                }
+                Row(docId, w, len, energy, peak)
+              }
+            }
+          }(encoder)
+          .orderBy(col("doc_id"), col("window_id"))
+      },
+      Some(s"""
+        WITH f AS (
+          SELECT doc_id, text, octet_length(encode(text)) AS n_bytes,
+                 unnest(generate_series(0,
+                   least($MaxFrames, CAST(ceil(octet_length(encode(text)) / $FrameBytes.0) AS INT)) - 1)) AS window_id
+          FROM documents),
+        seg AS (
+          SELECT doc_id, window_id,
+                 substr(text, window_id * $FrameBytes + 1, $FrameBytes) AS sg
+          FROM f)
+        SELECT doc_id,
+               CAST(window_id AS INT) AS window_id,
+               CAST(len(sg) AS INT) AS n_samples,
+               CAST(list_sum(list_transform(generate_series(1, len(sg)),
+                      i -> ascii(substr(sg, i, 1)))) AS BIGINT) AS energy,
+               CAST(list_max(list_transform(generate_series(1, len(sg)),
+                      i -> ascii(substr(sg, i, 1)))) AS INT) AS peak
+        FROM seg ORDER BY doc_id, window_id""")
     )
   )
 }
