@@ -69,6 +69,22 @@ class PlanSpec extends SparkSpec {
       s"cursor predicate must reach the parquet scan:\n$p")
   }
 
+  test("JSON extraction parses once via from_json, never per-field re-parse (q39)") {
+    val p = plan("q39_json_extract")
+    assert(!p.contains("get_json_object"),
+      s"per-field get_json_object re-parses the payload for every field:\n$p")
+    assert(p.contains("from_json"), s"expected typed from_json parse:\n$p")
+  }
+
+  test("minhash signature pipeline stays at three exchanges (q46)") {
+    // repartition after the single-split scan + shingle DISTINCT +
+    // groupBy(doc_id): the measured-optimal formulation. A regression to
+    // the exploded per-(doc, j) form adds two more keyed exchanges.
+    val p = plan("q46_minhash_bands")
+    val exchanges = p.linesIterator.count(l => l.contains("Exchange") && !l.contains("Reused"))
+    assert(exchanges <= 4, s"q46 grew extra shuffles ($exchanges):\n$p")
+  }
+
   test("native top-k broadcasts the query vectors (q64)") {
     val p = operators.Similarity.nativeTopk(spark, sf("sf0.001"))
       .queryExecution.executedPlan.toString

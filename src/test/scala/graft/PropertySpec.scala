@@ -68,4 +68,23 @@ class PropertySpec extends SparkSpec {
       assert((j == 1.0) == (a == b))
     }
   }
+
+  private val keyedGen: Gen[(List[(Long, Long)], List[(Long, Long)])] = for {
+    lefts <- Gen.nonEmptyListOf(Gen.zip(Gen.choose(1L, 3L), Gen.choose(0L, 200L)))
+    rights <- Gen.nonEmptyListOf(Gen.zip(Gen.choose(1L, 3L), Gen.choose(0L, 200L)))
+  } yield (lefts.distinct, rights.distinct)
+
+  test("as-of: sort-merge and broadcast-range formulations agree on random keyed data") {
+    forAllSamples(keyedGen, n = 15) { case (lefts, rights) =>
+      val l = lefts.map { case (k, t) => (k, t) }.toDF("k", "t")
+      val r = rights.map { case (k, t) => (k, t, t * 10) }.toDF("k", "rt", "payload")
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.collect()
+          .map(row => (row.getLong(0), row.getLong(1), Option(row.get(2))))
+          .sortBy(x => (x._1, x._2)).toSeq
+      val sm = canon(AsOf.backward(l, r, "t", "rt", Seq("k"), Seq("payload")))
+      val bc = canon(AsOf.backwardBroadcast(l, r, "t", "rt", Seq("k"), Seq("payload")))
+      assert(sm == bc, s"formulations diverge:\n sm=$sm\n bc=$bc")
+    }
+  }
 }
