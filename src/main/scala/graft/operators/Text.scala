@@ -195,6 +195,64 @@ object Text {
         FROM ds GROUP BY doc_id ORDER BY doc_id""")
     ),
 
+    // BPE-ish sub-word piece counting: a GPT-2-style pretokenizer regex
+    // (contraction suffixes, letter runs, digit runs, punctuation runs,
+    // each with an optional leading space) — restricted to the
+    // RE2-compatible subset (the original's \\s+(?!\\S) lookahead is not
+    // RE2-expressible, and the oracle engine is RE2-based) so Java and
+    // RE2 tokenize identically. Pure codegen projection, no UDF.
+    Q(
+      "q81_bpe_pieces",
+      (s, d) => {
+        val pat = """'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"""
+        docs(s, d)
+          .select(
+            col("doc_id"),
+            size(col("tok")).as("n_ws_tokens"),
+            size(regexp_extract_all(col("text"), lit(pat), lit(0))).as("n_pieces"))
+          .withColumn("pieces_per_token", r6(col("n_pieces"), col("n_ws_tokens")))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH t AS (SELECT doc_id, text, ${T.tokens} AS tok FROM documents)
+        SELECT doc_id,
+               CAST(len(tok) AS INT) AS n_ws_tokens,
+               CAST(len(regexp_extract_all(text,
+                 '''(?:[sdmt]|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+')) AS INT) AS n_pieces,
+               ROUND(CAST(len(regexp_extract_all(text,
+                 '''(?:[sdmt]|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+')) AS DOUBLE)
+                 / CAST(len(tok) AS DOUBLE), 6) AS pieces_per_token
+        FROM t ORDER BY doc_id""")
+    ),
+
+    // Rolling-hash document fingerprint: left fold h = (h*B + hmod(tok))
+    // mod P over the token stream — order-sensitive (reordered docs get
+    // different fingerprints, unlike a bag-of-shingles minimum), one
+    // higher-order function per row, no shuffle. B*P stays < 2^38 so
+    // the fold never overflows int64 in either engine.
+    Q(
+      "q82_rolling_fingerprint",
+      (s, d) =>
+        docs(s, d)
+          .filter(size(col("tok")) > 0)
+          .select(
+            col("doc_id"),
+            size(col("tok")).as("n_tokens"),
+            aggregate(
+              slice(col("tok"), lit(2), greatest(size(col("tok")) - 1, lit(0))),
+              TextFns.hmod(col("tok").getItem(0)),
+              (acc, t) => (acc * 131L + TextFns.hmod(t)) % TextFns.P)
+              .as("rolling_fp"))
+          .orderBy(col("doc_id")),
+      Some(s"""
+        WITH t AS (SELECT doc_id, ${T.tokens} AS tok FROM documents)
+        SELECT doc_id,
+               CAST(len(tok) AS INT) AS n_tokens,
+               list_reduce(list_transform(tok, x -> ${T.hmod("x")}),
+                           (a, b) -> (a * 131 + b) % 1000000007) AS rolling_fp
+        FROM t WHERE len(tok) > 0 ORDER BY doc_id""")
+    ),
+
     // Training-shard assignment (sequence packing): documents are packed
     // greedily into ~TokenBudget-token shards per (lang, source) stream
     // in deterministic doc_id order — shard id = starting token offset
