@@ -156,6 +156,42 @@ object Multimodal {
                CAST(list_max(list_transform(generate_series(1, len(sg)),
                       i -> ascii(substr(sg, i, 1)))) AS INT) AS peak
         FROM seg ORDER BY doc_id, window_id""")
+    ),
+
+    // stubbed resize/resample: deterministic 4:1 stride downsample of
+    // the payload (every 4th byte), the media-resize slot of the
+    // multimodal pipeline — a real image resize swaps the stride for a
+    // codec scale call; the column shape (binary in, smaller binary +
+    // fingerprint out, pure projection, no shuffle) is what matters.
+    Q(
+      "q83_resample",
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(
+            col("doc_id"),
+            col("n_chars"),
+            array_join(
+              transform(
+                sequence(lit(1), col("n_chars").cast(IntegerType), lit(4)),
+                i => col("text").substr(i, lit(1))),
+              "").as("small"))
+          .select(
+            col("doc_id"),
+            col("n_chars"),
+            length(col("small")).as("resized_chars"),
+            md5(col("small")).as("resized_md5"))
+          .orderBy(col("doc_id")),
+      Some("""
+        WITH r AS (
+          SELECT doc_id, n_chars,
+                 array_to_string(list_transform(
+                   generate_series(1, CAST(n_chars AS INT), 4),
+                   i -> substr(text, i, 1)), '') AS small
+          FROM documents)
+        SELECT doc_id, n_chars,
+               CAST(len(small) AS INT) AS resized_chars,
+               md5(small) AS resized_md5
+        FROM r ORDER BY doc_id""")
     )
   )
 }
