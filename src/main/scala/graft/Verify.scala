@@ -17,6 +17,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Bench.muteBoundedWindowWarning()
     new java.io.File(outDir).mkdirs()
     writeOracles(outDir) // FIRST: a mid-run death must not lose the whole gate
     // optional trailing args: dump only the named queries (local
