@@ -23,6 +23,7 @@ object PlanProbe {
         if (n > 0) println(s"  $t scans: $n")
       }
       println("  single-partition exchanges: " + p.linesIterator.count(_.contains("Exchange SinglePartition")))
+      println("  expands: " + p.linesIterator.count(_.contains("Expand")))
     }
     spark.stop()
   }

@@ -34,29 +34,49 @@ object MLOps {
 
   private val Cutoff = "2000-01-01" // "recent" window anchor, like ACTIVE_TIME_MOCK
 
-  /** Per-part 8-feature matrix, single pass + one orders broadcast join.
-    * Mirrors clustering.py:77-121 feature semantics on TPC-H columns.
+  /** Per-part 8-feature matrix, single pass over the fact + one orders
+    * broadcast join. Mirrors clustering.py:77-121 feature semantics on
+    * TPC-H columns.
+    *
+    * Two-level aggregation: the fact pre-aggregates by (part, order) —
+    * where customer and the recency flag are constant — so only ONE
+    * distinct aggregate (customers) survives to the final pass. The
+    * direct one-level form needs TWO countDistinct groups, which Spark
+    * plans as an Expand that triples every fact row before the shuffle;
+    * here the first shuffle carries map-side-combined (part, order)
+    * partials and the second is per-part. Decimal partial sums are
+    * exactly associative, so the two-level totals are bit-identical to
+    * the one-level oracle.
     */
   private[graft] def features(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
     val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
-    val recent = col("o_orderdate") >= lit(Cutoff).cast("timestamp")
     val revenue = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
     val profit = revenue - col("l_quantity") * col("l_supplycost")
     val enriched = li
       .join(o, li("l_orderkey") === o("o_orderkey"), "left")
       .withColumn("l_supplycost", col("l_extendedprice") / col("l_quantity") * lit(0.8))
-    val agged = enriched
-      .groupBy(col("l_partkey").as("part_id"))
+    val perOrder = enriched
+      .groupBy(col("l_partkey").as("part_id"), col("o_orderkey"))
       .agg(
-        dsumIf(recent, profit).as("profit"),
-        dsumIf(recent, revenue).as("recent_revenue"),
-        dsumIf(recent, col("l_quantity")).as("recent_qty"),
-        countDistinct(when(recent, col("o_custkey"))).as("nunique_customer"),
-        countDistinct(when(recent, col("o_orderkey"))).as("order_frequency"),
-        dsum(revenue).as("overall_revenue"),
-        min(to_date(col("o_orderdate"))).as("first_date"),
-        max(to_date(col("o_orderdate"))).as("last_date")
+        // constant within (part, order); min() for determinism
+        min(col("o_custkey")).as("cust"),
+        min(col("o_orderdate")).as("odate"),
+        sum(profit.cast(Det.Money)).as("p_profit"),
+        sum(revenue.cast(Det.Money)).as("p_revenue"),
+        sum(col("l_quantity").cast(Det.Money)).as("p_qty"))
+    val recent = col("odate") >= lit(Cutoff).cast("timestamp")
+    val agged = perOrder
+      .groupBy(col("part_id"))
+      .agg(
+        sum(when(recent, col("p_profit"))).cast("double").as("profit"),
+        sum(when(recent, col("p_revenue"))).cast("double").as("recent_revenue"),
+        sum(when(recent, col("p_qty"))).cast("double").as("recent_qty"),
+        countDistinct(when(recent, col("cust"))).as("nunique_customer"),
+        count(when(recent, lit(1))).as("order_frequency"),
+        sum(col("p_revenue")).cast("double").as("overall_revenue"),
+        min(to_date(col("odate"))).as("first_date"),
+        max(to_date(col("odate"))).as("last_date")
       )
     val anchor = Tables.orders(s, d)
       .agg(date_add(to_date(max(col("o_orderdate"))), 1).as("final_date"))

@@ -44,6 +44,14 @@ class PlanSpec extends SparkSpec {
     assert(factScans == 1, s"fact must be scanned once, found $factScans:\n$p")
   }
 
+  test("feature matrix has no Expand (q54 two-level agg, single distinct)") {
+    // two countDistinct groups in one aggregate would plan an Expand
+    // that triples every fact row before the shuffle; the (part, order)
+    // pre-aggregation leaves one distinct and no Expand
+    val p = plan("q54_product_features")
+    assert(!p.contains("Expand"), s"q54 regressed to a multi-distinct Expand:\n$p")
+  }
+
   test("as-of interval assignment broadcasts the dimension (q08)") {
     val p = plan("q08_asof_interval")
     assert(p.contains("Broadcast"), s"expected broadcast in as-of join:\n$p")
