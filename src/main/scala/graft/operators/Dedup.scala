@@ -4,7 +4,7 @@ import graft.{Q, Tables}
 import graft.functions.TextFns
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{DecimalType, IntegerType}
 
 /** Deduplication operators over `documents`: exact (hash groupBy),
   * MinHash+LSH banding, SimHash, and n-gram Jaccard. All hashing goes
@@ -99,6 +99,176 @@ object Dedup {
                          string_agg(CAST(mh AS VARCHAR), '-' ORDER BY j) AS sig
                   FROM minh GROUP BY doc_id, CAST(j // $BandRows AS INT))"""
 
+  /** Near-dup candidate pairs (LSH band equi-join) with exact Jaccard
+    * verification: (doc_a, doc_b, inter, jaccard), doc_a < doc_b.
+    * Signature + shingle-set tables are re-read by both join sides (no
+    * exchange reuse across a self-join), so both are persisted — at
+    * scale these are exactly the tables you'd materialize.
+    */
+  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
+    val b = bands(s, d)
+      // skew guard: drop degenerate buckets before the self-join
+      // (window key == join key, so this adds no extra shuffle)
+      .withColumn(
+        "bsz",
+        count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("band"), col("sig"))))
+      .filter(col("bsz") <= MaxBucket)
+      .drop("bsz")
+      .cache()
+    val cands = b.as("a")
+      .join(
+        b.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sh = shingleSet(s, d).cache()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = cands
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(
+        sh.as("sb"),
+        col("doc_b") === col("sb.doc_id") && col("sa.shingle") === col("sb.shingle"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("na"), col("doc_a") === col("na.doc_id"))
+      .join(sizes.as("nb"), col("doc_b") === col("nb.doc_id"))
+      .select(
+        col("doc_a"), col("doc_b"), col("inter"),
+        round(
+          col("inter").cast("double")
+            / (col("na.n") + col("nb.n") - col("inter")).cast("double"),
+          6).as("jaccard"))
+  }
+
+  /** CTE chain ending in `pairs(doc_a, doc_b, inter, jaccard)` — the
+    * oracle twin of [[minhashPairs]].
+    */
+  private val minhashPairsSql: String =
+    s"""$bandsSql,
+        sized AS (SELECT doc_id, band, sig FROM (
+                    SELECT *, COUNT(*) OVER (PARTITION BY band, sig) AS bsz FROM bands)
+                  WHERE bsz <= $MaxBucket),
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                 FROM sized a JOIN sized b
+                   ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+        sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+        inter AS (SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS inter
+                  FROM cand c
+                  JOIN sh sa ON c.doc_a = sa.doc_id
+                  JOIN sh sb ON c.doc_b = sb.doc_id AND sa.shingle = sb.shingle
+                  GROUP BY c.doc_a, c.doc_b),
+        pairs AS (SELECT i.doc_a, i.doc_b, i.inter,
+                         ROUND(CAST(i.inter AS DOUBLE)
+                               / CAST(na.n + nb.n - i.inter AS DOUBLE), 6) AS jaccard
+                  FROM inter i
+                  JOIN sizes na ON i.doc_a = na.doc_id
+                  JOIN sizes nb ON i.doc_b = nb.doc_id)"""
+
+  /** Jaccard threshold above which a candidate pair is a duplicate edge
+    * (observed corpus: true near-dups sit at >= 0.9, accidental band
+    * collisions at <= 0.02 — 0.5 separates them with a wide margin).
+    */
+  private[operators] val DupJaccard = 0.5
+
+  /** 60-bit SimHash near-dup pairs (hamming <= 3) over a (doc_id, text)
+    * frame. See the q85 declaration for the completeness argument
+    * (4 x 15-bit bands + pigeonhole) and skew guard.
+    */
+  private[graft] def simhashPairs(docsDf: DataFrame): DataFrame = {
+    val bits = 60
+    val tokd = docsDf
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("token"))
+      .distinct()
+      .select(col("doc_id"), TextFns.h60(col("token")).as("th"))
+    val bitSums = (0 until bits).map { b =>
+      sum(when(shiftright(col("th"), b).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"s$b")
+    }
+    val sim = (0 until bits)
+      .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L))
+      .reduce(_ + _)
+    val sh = tokd
+      .groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), sim.as("simhash"))
+    val banded = sh
+      .select(
+        col("doc_id"), col("simhash"),
+        posexplode(array((0 until 4).map(i =>
+          (shiftright(col("simhash"), 15 * i) % 32768)): _*)))
+      .select(
+        col("doc_id"), col("simhash"),
+        col("pos").cast(IntegerType).as("band"), col("col").as("bval"))
+      .withColumn(
+        "bsz",
+        count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("band"), col("bval"))))
+      .filter(col("bsz") <= MaxBucket)
+      .drop("bsz")
+    banded.as("a")
+      .join(
+        banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bval") === col("b.bval")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+  }
+
+  /** Distributed min-label-propagation connected components over an
+    * undirected pair list (2 columns: the two endpoint ids). Returns
+    * (node, lbl) where lbl is the component's minimum node id. Each
+    * round is one equi-join + one keyed min-agg; rounds needed = graph
+    * diameter (dup clusters are band-collision cliques, diameter <= 3
+    * observed — for adversarial long chains the escalation path is
+    * large-star/small-star, Kiveris et al. "Connected Components in
+    * MapReduce", which needs only O(log d) rounds). The driver collects
+    * ONE scalar per round: the decimal label-sum convergence certificate
+    * (labels are monotone non-increasing, so an unchanged sum proves a
+    * global fixpoint — and decimal(38) can't overflow on large surrogate
+    * ids the way an int64 sum could). The label table itself never
+    * leaves the cluster.
+    */
+  private[graft] def connectedComponents(pairsDf: DataFrame): DataFrame = {
+    val undirected = pairsDf.toDF("pa", "pb")
+    val edges = undirected
+      .union(undirected.select(col("pb"), col("pa")))
+      .toDF("src", "dst")
+      .cache()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+    def certificate(df: DataFrame): BigDecimal =
+      Option(
+        df.agg(sum(col("lbl").cast(DecimalType(38, 0)))).head.getDecimal(0))
+        .map(BigDecimal(_)).getOrElse(BigDecimal(0))
+    var cur = certificate(labels)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 30) {
+      val prop = edges
+        .join(labels, col("src") === col("node"))
+        .select(col("dst").as("node"), col("lbl"))
+      val next = labels.union(prop)
+        .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
+        .cache()
+      val nxt = certificate(next)
+      labels.unpersist()
+      labels = next
+      converged = nxt == cur
+      cur = nxt
+      rounds += 1
+    }
+    require(converged, s"label propagation did not converge in $rounds rounds")
+    labels
+  }
+
   val all: Seq[Q] = Seq(
     // exact dedup: one hash aggregate on the normalized-text fingerprint
     Q(
@@ -131,69 +301,11 @@ object Dedup {
     // LSH candidate pairs (equi-join on band buckets) + exact Jaccard verify
     Q(
       "q47_minhash_pairs",
-      (s, d) => {
-        // signature + shingle-set tables are re-read by both join sides
-        // (no exchange reuse across the self-join); persist them — at
-        // scale these are exactly the tables you'd materialize
-        val b = bands(s, d)
-          // skew guard: drop degenerate buckets before the self-join
-          // (window key == join key, so this adds no extra shuffle)
-          .withColumn(
-            "bsz",
-            count(lit(1)).over(
-              org.apache.spark.sql.expressions.Window
-                .partitionBy(col("band"), col("sig"))))
-          .filter(col("bsz") <= MaxBucket)
-          .drop("bsz")
-          .cache()
-        val cands = b.as("a")
-          .join(
-            b.as("b"),
-            col("a.band") === col("b.band") && col("a.sig") === col("b.sig")
-              && col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .distinct()
-        val sh = shingleSet(s, d).cache()
-        val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-        val inter = cands
-          .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
-          .join(
-            sh.as("sb"),
-            col("doc_b") === col("sb.doc_id") && col("sa.shingle") === col("sb.shingle"))
-          .groupBy(col("doc_a"), col("doc_b"))
-          .agg(count(lit(1)).as("inter"))
-        inter
-          .join(sizes.as("na"), col("doc_a") === col("na.doc_id"))
-          .join(sizes.as("nb"), col("doc_b") === col("nb.doc_id"))
-          .select(
-            col("doc_a"), col("doc_b"), col("inter"),
-            round(
-              col("inter").cast("double")
-                / (col("na.n") + col("nb.n") - col("inter")).cast("double"),
-              6).as("jaccard"))
-          .orderBy(col("doc_a"), col("doc_b"))
-      },
+      (s, d) => minhashPairs(s, d).orderBy(col("doc_a"), col("doc_b")),
       Some(s"""
-        WITH $bandsSql,
-        sized AS (SELECT doc_id, band, sig FROM (
-                    SELECT *, COUNT(*) OVER (PARTITION BY band, sig) AS bsz FROM bands)
-                  WHERE bsz <= $MaxBucket),
-        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-                 FROM sized a JOIN sized b
-                   ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
-        sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
-        inter AS (SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS inter
-                  FROM cand c
-                  JOIN sh sa ON c.doc_a = sa.doc_id
-                  JOIN sh sb ON c.doc_b = sb.doc_id AND sa.shingle = sb.shingle
-                  GROUP BY c.doc_a, c.doc_b)
-        SELECT i.doc_a, i.doc_b, i.inter,
-               ROUND(CAST(i.inter AS DOUBLE)
-                     / CAST(na.n + nb.n - i.inter AS DOUBLE), 6) AS jaccard
-        FROM inter i
-        JOIN sizes na ON i.doc_a = na.doc_id
-        JOIN sizes nb ON i.doc_b = nb.doc_id
-        ORDER BY i.doc_a, i.doc_b""")
+        WITH $minhashPairsSql
+        SELECT doc_a, doc_b, inter, jaccard FROM pairs
+        ORDER BY doc_a, doc_b""")
     ),
 
     // SimHash: 32-bit sign-aggregated token-hash fingerprint + 8-bit bands
@@ -306,6 +418,91 @@ object Dedup {
           JOIN sizes nb ON i.doc_b = nb.doc_id)
         WHERE jaccard >= 0.1
         ORDER BY doc_a, doc_b""")
+    ),
+
+    // Duplicate-cluster resolution: connected components over the
+    // near-dup pair graph (jaccard >= DupJaccard), each doc labeled with
+    // its component's min doc_id — the canonical representative a dedup
+    // pipeline keeps. Pairs only say "these two match"; transitive
+    // closure ([[connectedComponents]]) is what turns A~B, B~C into one
+    // cluster {A,B,C} with one survivor.
+    Q(
+      "q84_dup_clusters",
+      (s, d) =>
+        connectedComponents(
+          minhashPairs(s, d)
+            .filter(col("jaccard") >= DupJaccard)
+            .select(col("doc_a"), col("doc_b")))
+          .select(col("node").as("doc_id"), col("lbl").as("cluster_rep"))
+          .withColumn(
+            "cluster_size",
+            count(lit(1)).over(
+              org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_rep")))
+              .cast(IntegerType))
+          .withColumn(
+            "is_canonical",
+            (col("doc_id") === col("cluster_rep")).cast(IntegerType))
+          .orderBy(col("doc_id")),
+      Some(s"""
+        WITH RECURSIVE $minhashPairsSql,
+        dup AS (SELECT doc_a, doc_b FROM pairs WHERE jaccard >= $DupJaccard),
+        edges AS (SELECT doc_a AS src, doc_b AS dst FROM dup
+                  UNION ALL SELECT doc_b, doc_a FROM dup),
+        reach(node, lbl) AS (
+          SELECT DISTINCT src, src FROM edges
+          UNION
+          -- propagating only labels below the destination id is safe:
+          -- the component min is below every other member, so it still
+          -- reaches everywhere; everything larger is never the answer
+          SELECT e.dst, r.lbl FROM reach r
+          JOIN edges e ON e.src = r.node WHERE r.lbl < e.dst),
+        cc AS (SELECT node AS doc_id, min(lbl) AS cluster_rep FROM reach GROUP BY node)
+        SELECT doc_id, cluster_rep,
+               CAST(COUNT(*) OVER (PARTITION BY cluster_rep) AS INT) AS cluster_size,
+               CAST(doc_id = cluster_rep AS INT) AS is_canonical
+        FROM cc ORDER BY doc_id""")
+    ),
+
+    // SimHash near-dup pairs: 60-bit simhash (the 32-bit q48 signature
+    // is a demo width — at 32 bits unrelated docs collide at hamming 0
+    // by the thousands even at 500 docs), banded 4 x 15 bits. Pigeonhole
+    // makes the band join COMPLETE for hamming <= 3: 3 differing bits
+    // touch at most 3 of the 4 bands, so one band is always identical —
+    // candidate generation is an equi-join (with the same bucket-size
+    // skew guard as MinHash), never an all-pairs scan, and the exact
+    // hamming check (bit_count of xor) runs only inside buckets.
+    Q(
+      "q85_simhash_pairs",
+      (s, d) =>
+        simhashPairs(Tables.documents(s, d).repartition(col("doc_id")))
+          .orderBy(col("doc_a"), col("doc_b")),
+      Some {
+        val bits = 60
+        val sumCols = (0 until bits)
+          .map(b => s"SUM(CASE WHEN (th >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b")
+          .mkString(", ")
+        val simExpr = (0 until bits)
+          .map(b => s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END")
+          .mkString(" + ")
+        s"""
+        WITH t AS (SELECT doc_id, ${T.tokens} AS tok FROM documents),
+        e AS (SELECT DISTINCT doc_id, unnest(tok) AS token FROM t),
+        h AS (SELECT doc_id, ${T.h60("token")} AS th FROM e),
+        sums AS (SELECT doc_id, $sumCols FROM h GROUP BY doc_id),
+        sh AS (SELECT doc_id, CAST($simExpr AS BIGINT) AS simhash FROM sums),
+        banded AS (
+          SELECT doc_id, simhash, band, (simhash >> (15 * band)) % 32768 AS bval
+          FROM sh, (SELECT unnest(generate_series(0, 3)) AS band)),
+        sized AS (SELECT doc_id, simhash, band, bval FROM (
+                    SELECT *, COUNT(*) OVER (PARTITION BY band, bval) AS bsz FROM banded)
+                  WHERE bsz <= $MaxBucket),
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                        CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+                 FROM sized a JOIN sized b
+                   ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b, hamming FROM cand
+        WHERE hamming <= 3 ORDER BY doc_a, doc_b"""
+      }
     )
   )
 }

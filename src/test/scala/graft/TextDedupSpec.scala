@@ -90,4 +90,35 @@ class TextDedupSpec extends SparkSpec {
     // DuckDB: SELECT CAST('0x'||substr(md5('hello'),1,15) AS BIGINT) = 419982666956583591
     assert(v == 419982666956583591L)
   }
+
+  test("connected components: chain needs multi-round propagation, cliques stay separate") {
+    // chain 10-11-...-17 (diameter 7, forces >= 7 propagation rounds)
+    // plus a disjoint triangle {30, 31, 32} and an isolated pair {40, 41}
+    val chain = (10L until 17L).map(i => (i, i + 1))
+    val pairs = (chain ++ Seq((30L, 31L), (31L, 32L), (30L, 32L), (40L, 41L)))
+      .toDF("a", "b")
+    val labels = operators.Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (10L to 17L).foreach(n => assert(labels(n) == 10L, s"chain node $n"))
+    (30L to 32L).foreach(n => assert(labels(n) == 30L, s"triangle node $n"))
+    (40L to 41L).foreach(n => assert(labels(n) == 40L, s"pair node $n"))
+    assert(labels.size == 13)
+  }
+
+  test("connected components: empty edge set yields empty labels") {
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(operators.Dedup.connectedComponents(empty).count() == 0)
+  }
+
+  test("simhash pairs: exact+near dups pair up within hamming 3, disjoint docs don't") {
+    val out = operators.Dedup.simhashPairs(docs)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(out.contains((0L, 1L)) && out((0L, 1L)) == 0,
+      "exact dup must pair at hamming 0")
+    // doc 2 differs from doc 0 by one token — hamming stays tiny
+    assert(out.get((0L, 2L)).forall(_ <= 3))
+    assert(!out.keys.exists { case (a, b) => a == 3L || b == 3L },
+      "disjoint doc must not appear in any near-dup pair")
+  }
 }
