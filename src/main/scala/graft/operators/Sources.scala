@@ -73,6 +73,33 @@ object Sources {
                CAST(SUM(CAST(s_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS sum_bal
         FROM supplier GROUP BY 1 ORDER BY 1"""),
       bench = false
+    ),
+
+    // ORC sink + source (columnar twin to the parquet warehouse; like
+    // q65/q66, the oracle runs on the ORIGINAL parquet, so any loss or
+    // type drift in the ORC conversion breaks the hash match)
+    Q(
+      "q86_orc_roundtrip",
+      (s, d) => {
+        val out = scratch("orc")
+        Tables.part(s, d)
+          .select(col("p_partkey"), col("p_brand"), col("p_size"), col("p_retailprice"))
+          .write.mode("overwrite").orc(out)
+        s.read.orc(out)
+          .groupBy(col("p_brand"))
+          .agg(
+            count(lit(1)).as("n"),
+            min(col("p_size")).as("min_size"),
+            dsum(col("p_retailprice")).as("sum_price"))
+          .orderBy(col("p_brand"))
+      },
+      Some("""
+        SELECT p_brand,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               min(p_size) AS min_size,
+               CAST(SUM(CAST(p_retailprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+        FROM part GROUP BY 1 ORDER BY 1"""),
+      bench = false
     )
   )
 }

@@ -317,6 +317,232 @@ object Text {
                CASE WHEN bucket < 90 THEN 'train' ELSE 'eval' END AS split,
                CAST(COUNT(*) AS BIGINT) AS n_docs
         FROM t GROUP BY 1, 2 ORDER BY 1, 2""")
+    ),
+
+    // Keyword extraction: top-3 terms per doc by a log-free TF-IDF
+    // score, tf * (N - df + 0.5) / (df + 0.5) — the BM25 idf core
+    // without the log. Rational arithmetic keeps it decimal-exact in
+    // both engines (a transcendental log could drift in the last ulp
+    // and break the hash gate). Three shuffles: tf agg on (doc, token),
+    // df agg on token, and the per-doc top-k window; the df table is
+    // vocabulary-sized (Zipf-bounded), so at corpus scale it broadcasts
+    // and the tf->df join never shuffles the big side. N arrives as a
+    // broadcast scalar, not a collected literal.
+    Q(
+      "q87_tfidf_terms",
+      (s, d) => {
+        val tok = docs(s, d)
+          .select(col("doc_id"), explode(col("tok")).as("token"))
+        val tf = tok.groupBy(col("doc_id"), col("token"))
+          .agg(count(lit(1)).as("tf"))
+        val df = tok.select(col("doc_id"), col("token")).distinct()
+          .groupBy(col("token")).agg(count(lit(1)).as("df"))
+        val n = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("token"))
+        tf.join(broadcast(df), "token")
+          .crossJoin(broadcast(n))
+          .withColumn(
+            "score",
+            round(
+              col("tf").cast("double") * (col("n_docs") - col("df") + lit(0.5))
+                / (col("df") + lit(0.5)),
+              6))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(col("doc_id"), col("rank"), col("token"), col("tf"), col("df"), col("score"))
+          .orderBy(col("doc_id"), col("rank"))
+      },
+      Some(s"""
+        WITH t AS (SELECT doc_id, ${T.tokens} AS tok FROM documents),
+        e AS (SELECT doc_id, unnest(tok) AS token FROM t),
+        tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+               FROM e GROUP BY 1, 2),
+        df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+               FROM (SELECT DISTINCT doc_id, token FROM e) GROUP BY 1),
+        n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+        scored AS (
+          SELECT tf.doc_id, tf.token, tf.tf, df.df,
+                 ROUND(CAST(tf.tf AS DOUBLE) * (n.n_docs - df.df + 0.5)
+                       / (df.df + 0.5), 6) AS score
+          FROM tf JOIN df ON tf.token = df.token CROSS JOIN n),
+        ranked AS (
+          SELECT *, CAST(ROW_NUMBER() OVER (
+                   PARTITION BY doc_id ORDER BY score DESC, token) AS INT) AS rank
+          FROM scored)
+        SELECT doc_id, rank, token, tf, df, score
+        FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""")
+    ),
+
+    // Stratified corpus sampling: per-language keep rates (downsample
+    // over-represented languages — the standard data-mix move), applied
+    // through a salted md5 bucket so the decision is a pure projection:
+    // any worker, any engine, any day keeps the same docs, and the salt
+    // decorrelates it from q78's train/eval buckets. Rates live in a
+    // broadcast config dim (joined, not hardcoded in the expression) —
+    // exactly how a sampling config table would flow at scale.
+    Q(
+      "q88_stratified_sample",
+      (s, d) => {
+        import s.implicits._
+        val rates = Seq(
+          ("en", 50), ("es", 40), ("de", 30), ("fr", 20), ("zh", 10)
+        ).toDF("lang", "keep_pct")
+        Tables.documents(s, d)
+          .select(
+            col("doc_id"), col("lang"),
+            (TextFns.h60(concat(lit("strat:"), col("doc_id").cast("string"))) % 100)
+              .as("bucket"))
+          .join(broadcast(rates), "lang")
+          .filter(col("bucket") < col("keep_pct"))
+          .select(col("doc_id"), col("lang"), col("bucket"), col("keep_pct"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH rates(lang, keep_pct) AS (
+          VALUES ('en', 50), ('es', 40), ('de', 30), ('fr', 20), ('zh', 10)),
+        t AS (SELECT doc_id, lang,
+                     (${T.h60("'strat:' || CAST(doc_id AS VARCHAR)")} % 100) AS bucket
+              FROM documents)
+        SELECT t.doc_id, t.lang, t.bucket, r.keep_pct
+        FROM t JOIN rates r ON t.lang = r.lang
+        WHERE t.bucket < r.keep_pct
+        ORDER BY t.doc_id""")
+    ),
+
+    // Intra-document repetition filter (the Gopher-rules quality gate):
+    // fraction of 2-gram occurrences that are repeats, plus the share of
+    // the single most frequent 2-gram. Two keyed aggs — (doc, gram) then
+    // doc — both partition-local after the first shuffle; no self-join.
+    Q(
+      "q89_repetition",
+      (s, d) => {
+        val grams = docs(s, d)
+          .repartition(col("doc_id"))
+          .select(col("doc_id"), explode(TextFns.shingles(col("tok"), 2)).as("gram"))
+        val perGram = grams.groupBy(col("doc_id"), col("gram"))
+          .agg(count(lit(1)).as("cnt"))
+        perGram.groupBy(col("doc_id"))
+          .agg(
+            sum(col("cnt")).as("n_grams"),
+            count(lit(1)).as("n_distinct"),
+            max(col("cnt")).as("top_cnt"))
+          .select(
+            col("doc_id"), col("n_grams"), col("n_distinct"),
+            round(lit(1.0) - col("n_distinct").cast("double") / col("n_grams"), 6)
+              .as("dup_ratio"),
+            r6(col("top_cnt"), col("n_grams")).as("top_gram_share"))
+          .withColumn("repetitive", (col("dup_ratio") > 0.2).cast(IntegerType))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH t AS (SELECT doc_id, ${T.tokens} AS tok FROM documents),
+        e AS (SELECT doc_id, unnest(${T.shingles("tok", 2)}) AS gram FROM t),
+        pg AS (SELECT doc_id, gram, CAST(COUNT(*) AS BIGINT) AS cnt FROM e GROUP BY 1, 2),
+        m AS (SELECT doc_id,
+                     CAST(SUM(cnt) AS BIGINT) AS n_grams,
+                     CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                     CAST(MAX(cnt) AS BIGINT) AS top_cnt
+              FROM pg GROUP BY doc_id)
+        SELECT doc_id, n_grams, n_distinct,
+               ROUND(1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_grams AS DOUBLE), 6) AS dup_ratio,
+               ROUND(CAST(top_cnt AS DOUBLE) / CAST(n_grams AS DOUBLE), 6) AS top_gram_share,
+               CAST(ROUND(1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_grams AS DOUBLE), 6) > 0.2
+                    AS INT) AS repetitive
+        FROM m ORDER BY doc_id""")
+    ),
+
+    // Pattern scan (PII-shaped cleaning pass): per-doc counts of
+    // email-, URL-, number- and capitalized-word-shaped spans. Patterns
+    // stay in the RE2-compatible subset with explicit [0-9]/[A-Za-z]
+    // classes so Java and RE2 count identically; the whole query is one
+    // codegen projection, no shuffle at all.
+    Q(
+      "q90_pattern_scan",
+      (s, d) => {
+        def cnt(pat: String): Column =
+          size(regexp_extract_all(col("text"), lit(pat), lit(0)))
+        Tables.documents(s, d)
+          .select(
+            col("doc_id"),
+            cnt("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+").as("n_emails"),
+            cnt("https?://[^ ]+").as("n_urls"),
+            cnt("[0-9]+").as("n_numbers"),
+            cnt("[A-Z][a-z]+").as("n_caps"))
+          .withColumn(
+            "clean",
+            ((col("n_emails") === 0) && (col("n_urls") === 0)).cast(IntegerType))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+')) AS INT) AS n_emails,
+               CAST(len(regexp_extract_all(text, 'https?://[^ ]+')) AS INT) AS n_urls,
+               CAST(len(regexp_extract_all(text, '[0-9]+')) AS INT) AS n_numbers,
+               CAST(len(regexp_extract_all(text, '[A-Z][a-z]+')) AS INT) AS n_caps,
+               CAST(len(regexp_extract_all(text,
+                      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+')) = 0
+                    AND len(regexp_extract_all(text, 'https?://[^ ]+')) = 0
+                    AS INT) AS clean
+        FROM documents ORDER BY doc_id""")
+    ),
+
+    // Train<->eval decontamination: which training docs share verbatim
+    // 8-grams with the held-out split (q78's md5 buckets define the
+    // split, so the check composes with the split it protects). The
+    // eval side is a deduplicated shingle set orders of magnitude
+    // smaller than the corpus — broadcast it; the training side streams
+    // through one explode + one semi-shaped equi-join + one agg, never
+    // shuffling on anything wider than (doc_id).
+    Q(
+      "q91_decontamination",
+      (s, d) => {
+        val n = 8
+        val bucketed = docs(s, d)
+          .repartition(col("doc_id"))
+          .withColumn(
+            "bucket", TextFns.h60(col("doc_id").cast("string")) % 100)
+        val trainSh = bucketed.filter(col("bucket") < 90)
+          .select(col("doc_id"), explode(TextFns.shingles(col("tok"), n)).as("sh"))
+          .distinct()
+        val evalSh = bucketed.filter(col("bucket") >= 90)
+          .select(col("doc_id").as("eval_doc"), explode(TextFns.shingles(col("tok"), n)).as("sh"))
+          .distinct()
+        val totals = trainSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+        trainSh
+          .join(broadcast(evalSh), "sh")
+          .groupBy(col("doc_id"))
+          .agg(
+            countDistinct(col("sh")).as("n_overlap"),
+            countDistinct(col("eval_doc")).as("n_eval_docs"))
+          .join(totals, "doc_id")
+          .select(
+            col("doc_id"), col("n_overlap"), col("n_shingles"), col("n_eval_docs"),
+            r6(col("n_overlap"), col("n_shingles")).as("contamination"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH t AS (SELECT doc_id, ${T.tokens} AS tok,
+                          (${T.h60("CAST(doc_id AS VARCHAR)")} % 100) AS bucket
+                   FROM documents),
+        train AS (SELECT DISTINCT doc_id, unnest(${T.shingles("tok", 8)}) AS sh
+                  FROM t WHERE bucket < 90),
+        ev AS (SELECT DISTINCT doc_id AS eval_doc, unnest(${T.shingles("tok", 8)}) AS sh
+               FROM t WHERE bucket >= 90),
+        totals AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles
+                   FROM train GROUP BY doc_id),
+        hit AS (SELECT tr.doc_id,
+                       CAST(COUNT(DISTINCT tr.sh) AS BIGINT) AS n_overlap,
+                       CAST(COUNT(DISTINCT ev.eval_doc) AS BIGINT) AS n_eval_docs
+                FROM train tr JOIN ev ON tr.sh = ev.sh
+                GROUP BY tr.doc_id)
+        SELECT h.doc_id, h.n_overlap, t.n_shingles, h.n_eval_docs,
+               ROUND(CAST(h.n_overlap AS DOUBLE) / CAST(t.n_shingles AS DOUBLE), 6)
+                 AS contamination
+        FROM hit h JOIN totals t ON h.doc_id = t.doc_id
+        ORDER BY h.doc_id""")
     )
   )
 }
