@@ -255,11 +255,14 @@ object Dedup {
       val prop = edges
         .join(labels, col("src") === col("node"))
         .select(col("dst").as("node"), col("lbl"))
+      // localCheckpoint (eager), not cache: it TRUNCATES lineage, so the
+      // plan stays bounded no matter how many rounds run — with cache the
+      // logical plan grows by one join+agg per round and the driver pays
+      // ever-longer analysis (and eventually OOMs) on big graphs
       val next = labels.union(prop)
         .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
-        .cache()
+        .localCheckpoint()
       val nxt = certificate(next)
-      labels.unpersist()
       labels = next
       converged = nxt == cur
       cur = nxt

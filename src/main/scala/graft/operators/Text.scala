@@ -333,10 +333,14 @@ object Text {
       (s, d) => {
         val tok = docs(s, d)
           .select(col("doc_id"), explode(col("tok")).as("token"))
+        // tf feeds both the vocabulary agg and the final join (cache:
+        // no exchange reuse across the two consumers)
         val tf = tok.groupBy(col("doc_id"), col("token"))
           .agg(count(lit(1)).as("tf"))
-        val df = tok.select(col("doc_id"), col("token")).distinct()
-          .groupBy(col("token")).agg(count(lit(1)).as("df"))
+          .cache()
+        // tf already has exactly one row per (doc, token), so document
+        // frequency is a re-aggregation of tf — no second corpus scan
+        val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
         val n = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("doc_id"))

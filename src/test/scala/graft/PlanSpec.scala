@@ -99,4 +99,22 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       s"query side must broadcast:\n$p")
   }
+
+  test("connected components output plan is bounded regardless of rounds (q84)") {
+    // each propagation round localCheckpoints, truncating lineage — a
+    // regression to cache() grows the final plan by a join + agg per
+    // round (and the driver's analysis time with it)
+    val p = plan("q84_dup_clusters")
+    val exchanges = p.linesIterator.count(l => l.contains("Exchange") && !l.contains("Reused"))
+    assert(exchanges <= 4, s"q84 final plan must not carry per-round lineage ($exchanges):\n$p")
+    assert(!p.contains("FileScan"),
+      s"q84 output must read checkpointed labels, not re-derive from source:\n$p")
+  }
+
+  test("decontamination broadcasts the eval shingle set (q91)") {
+    val p = plan("q91_decontamination")
+    assert(p.contains("BroadcastHashJoin"), s"eval side must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"train side must stream, never sort-merge against eval:\n$p")
+  }
 }
