@@ -96,9 +96,11 @@ object ArrayDot {
   * native functions in every session of a cluster.
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction(
       (FunctionIdentifier("graft_dot"),
         new ExpressionInfo(classOf[ArrayDot].getName, "graft_dot"),
         (children: Seq[Expression]) => ArrayDot(children.head, children(1))))
+    ext.injectFunction(TopKAgg.info)
+  }
 }

@@ -1,0 +1,137 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, InternalRow}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.{GenericArrayData, TypeUtils}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType}
+
+/** Native per-group top-k aggregate: keeps the k FIRST values of `child`
+  * under its natural ascending ordering and returns them as a sorted
+  * array (descending ranks are expressed by negating / inverting the key
+  * on the way in, as SQL `ORDER BY x DESC` would).
+  *
+  * This is the scale-path replacement for the `row_number() OVER
+  * (PARTITION BY g ORDER BY ...) <= k` idiom (reference behavior:
+  * `/root/reference/src/pipelines/analysis_service.py:31-38` "latest
+  * record per key"): a window function must shuffle EVERY row of the
+  * group to one partition and sort it, whereas a TypedImperativeAggregate
+  * runs in partial mode map-side, so at most k values per group per
+  * input partition ever cross the shuffle — on a 100 TB fact with
+  * millions of rows per group that is the difference between a bounded
+  * ObjectHashAggregate and a full-data sort.
+  *
+  * The buffer is a bounded max-heap (size-k `PriorityQueue` evicting its
+  * largest element), serialized between partial and final passes as
+  * length-prefixed `UnsafeRow` bytes. Any orderable type works — for
+  * "top-k rows" pack the ordering key and payload into a `struct` whose
+  * leading fields are the sort key.
+  */
+case class TopKAgg(
+    child: Expression,
+    kExpr: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.PriorityQueue[Any]] {
+
+  private lazy val k: Int = kExpr.eval().asInstanceOf[Number].intValue()
+  private lazy val ord: Ordering[Any] = TypeUtils.getInterpretedOrdering(child.dataType)
+  @transient private lazy val proj = UnsafeProjection.create(Array(child.dataType))
+
+  override def children: Seq[Expression] = Seq(child, kExpr)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(child.dataType, containsNull = false)
+  override def prettyName: String = "graft_top_k"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (!kExpr.foldable || kExpr.dataType != IntegerType)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName: k must be an INT literal")
+    else if (kExpr.eval() == null || kExpr.eval().asInstanceOf[Number].intValue() <= 0)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName: k must be positive")
+    else TypeUtils.checkForOrderingExpr(child.dataType, prettyName)
+
+  override def createAggregationBuffer(): mutable.PriorityQueue[Any] =
+    new mutable.PriorityQueue[Any]()(ord) // dequeues its LARGEST element
+
+  private def insert(buf: mutable.PriorityQueue[Any], v: Any): Unit =
+    if (buf.size < k) buf.enqueue(v)
+    else if (ord.lt(v, buf.head)) { buf.dequeue(); buf.enqueue(v) }
+
+  override def update(
+      buf: mutable.PriorityQueue[Any], input: InternalRow): mutable.PriorityQueue[Any] = {
+    val v = child.eval(input)
+    // copy: struct/array/string results share the scan's reused buffers
+    if (v != null) insert(buf, InternalRow.copyValue(v))
+    buf
+  }
+
+  override def merge(
+      buf: mutable.PriorityQueue[Any],
+      other: mutable.PriorityQueue[Any]): mutable.PriorityQueue[Any] = {
+    other.foreach(insert(buf, _))
+    buf
+  }
+
+  override def eval(buf: mutable.PriorityQueue[Any]): Any =
+    new GenericArrayData(buf.toArray.sorted(ord))
+
+  override def serialize(buf: mutable.PriorityQueue[Any]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.size)
+    buf.foreach { v =>
+      val row = proj(InternalRow(v))
+      out.writeInt(row.getSizeInBytes)
+      out.write(row.getBytes)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.PriorityQueue[Any] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val buf = createAggregationBuffer()
+    val n = in.readInt()
+    var i = 0
+    while (i < n) {
+      val size = in.readInt()
+      val b = new Array[Byte](size)
+      in.readFully(b)
+      val row = new UnsafeRow(1)
+      row.pointTo(b, size)
+      insert(buf, InternalRow.copyValue(row.get(0, child.dataType)))
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(offset: Int): TopKAgg =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): TopKAgg =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): TopKAgg =
+    copy(child = newChildren(0), kExpr = newChildren(1))
+}
+
+object TopKAgg {
+
+  private[functions] val info =
+    (FunctionIdentifier("graft_top_k"),
+      new ExpressionInfo(classOf[TopKAgg].getName, "graft_top_k"),
+      (children: Seq[Expression]) => TopKAgg(children.head, children(1)))
+
+  /** Idempotently register `graft_top_k(expr, k)` in a session's function
+    * registry (for sessions not built via [[GraftExtensions]]).
+    */
+  def register(spark: SparkSession): Unit =
+    if (!spark.sessionState.functionRegistry.functionExists(info._1)) {
+      spark.sessionState.functionRegistry.registerFunction(info._1, info._2, info._3)
+    }
+}

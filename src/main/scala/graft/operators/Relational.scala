@@ -281,6 +281,39 @@ object Relational {
                               CAST(o_orderdate AS DATE)) AS INT) AS gap_days
         FROM orders
         ORDER BY o_custkey, o_orderkey""")
+    ),
+
+    // W3 at scale: per-group top-k via the native TypedImperativeAggregate
+    // (map-side partials — at most k rows per group per partition cross
+    // the shuffle, vs the full-group sort a row_number window needs).
+    // Ascending struct ordering encodes (price DESC, orderkey ASC) by
+    // negating the price in the packed sort key.
+    Q(
+      "q92_topk_native",
+      (s, d) => {
+        graft.functions.TopKAgg.register(s)
+        Tables.orders(s, d)
+          .groupBy(col("o_custkey"))
+          .agg(expr(
+            "graft_top_k(struct(-o_totalprice AS np, o_orderkey AS ok, CAST(o_orderdate AS DATE) AS od), 3)")
+            .as("top"))
+          .select(col("o_custkey"), posexplode(col("top")))
+          .select(
+            col("o_custkey"),
+            (col("pos") + 1).cast(IntegerType).as("rank"),
+            col("col.ok").as("o_orderkey"),
+            col("col.od").as("order_date"),
+            (-col("col.np")).as("o_totalprice"))
+          .orderBy(col("o_custkey"), col("rank"))
+      },
+      Some("""
+        SELECT o_custkey, CAST(rn AS INT) AS rank, o_orderkey,
+               CAST(o_orderdate AS DATE) AS order_date, o_totalprice
+        FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+                                           ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+              FROM orders)
+        WHERE rn <= 3
+        ORDER BY o_custkey, rank""")
     )
   )
 }

@@ -70,4 +70,33 @@ class NativeFnSpec extends SparkSpec {
     // the floor leaves headroom for corpus drift, not for regressions
     assert(recall >= 0.8, s"IVF recall@10 degraded to $recall")
   }
+
+  test("GraftExtensions injects both native functions into a fresh session") {
+    import org.apache.spark.sql.SparkSession
+    val orig = spark
+    // spark.sql.extensions is a static conf read from the SparkContext,
+    // which already exists in this JVM — withExtensions passes the same
+    // hook object directly, exercising the identical injection path a
+    // cluster's --conf spark.sql.extensions=graft.functions.GraftExtensions
+    // would run at session build
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new graft.functions.GraftExtensions)
+        .getOrCreate()
+      assert(s2 ne orig)
+      val d = s2.sql("SELECT graft_dot(array(1.0d,2.0d), array(3.0d,4.0d)) AS d")
+        .head().getDouble(0)
+      assert(d == 11.0)
+      val tk = s2.sql(
+        "SELECT graft_top_k(x, 2) AS t FROM (SELECT explode(array(5,1,4,2,3)) AS x)")
+        .head().getSeq[Int](0)
+      assert(tk == Seq(1, 2))
+    } finally {
+      SparkSession.setActiveSession(orig)
+      SparkSession.setDefaultSession(orig)
+    }
+  }
 }

@@ -111,6 +111,13 @@ class PlanSpec extends SparkSpec {
       s"q84 output must read checkpointed labels, not re-derive from source:\n$p")
   }
 
+  test("native top-k aggregates map-side, no window shuffle (q92)") {
+    val p = plan("q92_topk_native")
+    assert(p.linesIterator.count(_.contains("ObjectHashAggregate")) >= 2,
+      s"expected partial+final ObjectHashAggregate:\n$p")
+    assert(!p.contains("Window"), s"q92 must not fall back to a window sort:\n$p")
+  }
+
   test("decontamination broadcasts the eval shingle set (q91)") {
     val p = plan("q91_decontamination")
     assert(p.contains("BroadcastHashJoin"), s"eval side must broadcast:\n$p")
