@@ -547,6 +547,77 @@ object Text {
                  AS contamination
         FROM hit h JOIN totals t ON h.doc_id = t.doc_id
         ORDER BY h.doc_id""")
+    ),
+
+    // Context-window chunking: split each document's token stream into
+    // fixed-size training chunks (64 tokens, stride 48 → 16-token
+    // overlap). Pure per-row explode of a computed offset sequence — no
+    // shuffle at all until the output sort, so it scales as a map-only
+    // pass over the corpus.
+    Q(
+      "q93_context_chunks",
+      (s, d) => {
+        val size_ = 64
+        val stride = 48
+        docs(s, d)
+          .select(
+            col("doc_id"), col("tok"),
+            posexplode(sequence(lit(0), size(col("tok")) - 1, lit(stride))))
+          .select(
+            col("doc_id"),
+            col("pos").cast(IntegerType).as("chunk_id"),
+            col("col").cast(IntegerType).as("start_tok"),
+            size(slice(col("tok"), col("col") + 1, lit(size_))).as("n_tok"),
+            array_join(slice(col("tok"), col("col") + 1, lit(size_)), " ").as("chunk_text"))
+          .orderBy(col("doc_id"), col("chunk_id"))
+      },
+      Some(s"""
+        WITH t AS (SELECT doc_id, ${T.tokens} AS tok FROM documents),
+        c AS (SELECT doc_id, tok,
+                     unnest(generate_series(0, len(tok) - 1, 48)) AS st
+              FROM t)
+        SELECT doc_id,
+               CAST(st / 48 AS INT) AS chunk_id,
+               CAST(st AS INT) AS start_tok,
+               CAST(len(list_slice(tok, st + 1, st + 64)) AS INT) AS n_tok,
+               array_to_string(list_slice(tok, st + 1, st + 64), ' ') AS chunk_text
+        FROM c
+        ORDER BY doc_id, chunk_id""")
+    ),
+
+    // Tokenizer-style vocabulary build: corpus term + document
+    // frequencies, top-256 by frequency with deterministic tie-break,
+    // dense ids. One shuffle to the token agg; the id-assigning window
+    // runs AFTER the limit, so it only ever sees the bounded vocab
+    // (same waiver as q07/q31 bounded-domain windows).
+    Q(
+      "q94_vocab_build",
+      (s, d) => {
+        val top = docs(s, d)
+          .select(col("doc_id"), explode(col("tok")).as("token"))
+          .groupBy(col("token"))
+          .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+          .orderBy(col("tf").desc, col("token"))
+          .limit(256)
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("tf").desc, col("token"))
+        top
+          .select(
+            row_number().over(w).cast(IntegerType).as("vocab_id"),
+            col("token"), col("tf"), col("df"))
+          .orderBy(col("vocab_id"))
+      },
+      Some(s"""
+        WITH tok AS (SELECT doc_id, unnest(${T.tokens}) AS token FROM documents),
+        agg AS (SELECT token,
+                       CAST(COUNT(*) AS BIGINT) AS tf,
+                       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+                FROM tok GROUP BY token),
+        top AS (SELECT * FROM agg ORDER BY tf DESC, token LIMIT 256)
+        SELECT CAST(row_number() OVER (ORDER BY tf DESC, token) AS INT) AS vocab_id,
+               token, tf, df
+        FROM top
+        ORDER BY vocab_id""")
     )
   )
 }
