@@ -20,6 +20,7 @@ object Main {
       // collapse to one task (amplified by explodes downstream)
       .config("spark.sql.files.maxPartitionBytes", "4m")
       .config("spark.sql.session.timeZone", "UTC")
+      .withExtensions(new graft.functions.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     task match {

@@ -10,7 +10,8 @@ object PlanProbe {
       .config("spark.sql.shuffle.partitions","4")
       .config("spark.sql.files.maxPartitionBytes","4m")
       .config("spark.sql.session.timeZone","UTC")
-      .config("spark.ui.enabled","false").getOrCreate()
+      .config("spark.ui.enabled","false")
+      .withExtensions(new graft.functions.GraftExtensions).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     for (q <- args) {
       val p = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
@@ -24,6 +25,8 @@ object PlanProbe {
       }
       println("  single-partition exchanges: " + p.linesIterator.count(_.contains("Exchange SinglePartition")))
       println("  expands: " + p.linesIterator.count(_.contains("Expand")))
+      println("  window execs: " + p.linesIterator.count(_.contains("Window")))
+      println("  object hash aggs: " + p.linesIterator.count(_.contains("ObjectHashAggregate")))
     }
     spark.stop()
   }

@@ -15,6 +15,9 @@ object Verify {
       .config("spark.sql.files.maxPartitionBytes", "4m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // native functions + the top-k window rewrite, as a user's cluster
+      // would get via spark.sql.extensions=graft.functions.GraftExtensions
+      .withExtensions(new graft.functions.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Bench.muteBoundedWindowWarning()

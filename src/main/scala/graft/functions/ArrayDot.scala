@@ -102,5 +102,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         new ExpressionInfo(classOf[ArrayDot].getName, "graft_dot"),
         (children: Seq[Expression]) => ArrayDot(children.head, children(1))))
     ext.injectFunction(TopKAgg.info)
+    // plans the row_number-filter top-k idiom as a bounded aggregate
+    ext.injectOptimizerRule(_ => graft.plans.TopKRewrite)
   }
 }
