@@ -157,6 +157,85 @@ object Events {
                CAST(COUNT(*) AS BIGINT) AS n,
                CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
         FROM events GROUP BY user_id ORDER BY user_id""")
+    ),
+
+    // Ordered funnel (view -> click -> purchase): earliest view, earliest
+    // click AFTER that view, earliest purchase AFTER that click. Three
+    // stage aggregates, each a pushed-down event_type scan + keyed min,
+    // chained by per-user equi-joins — no windows, no full-event sort, so
+    // every stage shuffles only its own event type's per-user minima.
+    Q(
+      "q96_funnel",
+      (s, d) => {
+        def stage(tpe: String) = Tables.events(s, d)
+          .filter(col("event_type") === tpe)
+          .select(col("user_id"), unix_micros(col("ts")).as("us"))
+        val v = stage("view").groupBy(col("user_id")).agg(min(col("us")).as("view_us"))
+        val c = stage("click").join(v, "user_id")
+          .filter(col("us") > col("view_us"))
+          .groupBy(col("user_id")).agg(min(col("us")).as("click_us"))
+        val p = stage("purchase").join(c, "user_id")
+          .filter(col("us") > col("click_us"))
+          .groupBy(col("user_id")).agg(min(col("us")).as("purchase_us"))
+        v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+          .select(
+            col("user_id"), col("view_us"), col("click_us"), col("purchase_us"),
+            (lit(1)
+              + when(col("click_us").isNotNull, 1).otherwise(0)
+              + when(col("purchase_us").isNotNull, 1).otherwise(0))
+              .cast(IntegerType).as("stage"))
+          .orderBy(col("user_id"))
+      },
+      Some("""
+        WITH e AS (SELECT user_id, event_type,
+                          epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        v AS (SELECT user_id, min(us) AS view_us FROM e
+              WHERE event_type = 'view' GROUP BY user_id),
+        c AS (SELECT e.user_id, min(us) AS click_us
+              FROM e JOIN v ON e.user_id = v.user_id
+              WHERE event_type = 'click' AND us > view_us GROUP BY e.user_id),
+        p AS (SELECT e.user_id, min(us) AS purchase_us
+              FROM e JOIN c ON e.user_id = c.user_id
+              WHERE event_type = 'purchase' AND us > click_us GROUP BY e.user_id)
+        SELECT v.user_id, view_us, click_us, purchase_us,
+               CAST(1 + CASE WHEN click_us IS NOT NULL THEN 1 ELSE 0 END
+                      + CASE WHEN purchase_us IS NOT NULL THEN 1 ELSE 0 END AS INT) AS stage
+        FROM v LEFT JOIN c ON v.user_id = c.user_id
+               LEFT JOIN p ON v.user_id = p.user_id
+        ORDER BY v.user_id""")
+    ),
+
+    // Cohort retention: users grouped by first-active week, distinct
+    // active users per (cohort week, weeks since). Two keyed aggs plus
+    // one per-user join — the classic warehouse retention matrix without
+    // any window function.
+    Q(
+      "q97_cohort_retention",
+      (s, d) => {
+        val wk = Tables.events(s, d)
+          .select(col("user_id"), to_date(date_trunc("week", col("ts"))).as("wk"))
+          .distinct()
+        val first = wk.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+        wk.join(first, "user_id")
+          .select(
+            col("cohort_wk"),
+            (datediff(col("wk"), col("cohort_wk")) / 7).cast(IntegerType).as("weeks_since"),
+            col("user_id"))
+          .groupBy(col("cohort_wk"), col("weeks_since"))
+          .agg(countDistinct(col("user_id")).as("n_users"))
+          .orderBy(col("cohort_wk"), col("weeks_since"))
+      },
+      Some("""
+        WITH wk AS (SELECT DISTINCT user_id,
+                           CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS wk
+                    FROM events),
+        first AS (SELECT user_id, min(wk) AS cohort_wk FROM wk GROUP BY user_id)
+        SELECT f.cohort_wk,
+               CAST(date_diff('day', f.cohort_wk, w.wk) / 7 AS INT) AS weeks_since,
+               CAST(COUNT(DISTINCT w.user_id) AS BIGINT) AS n_users
+        FROM wk w JOIN first f ON w.user_id = f.user_id
+        GROUP BY f.cohort_wk, weeks_since
+        ORDER BY f.cohort_wk, weeks_since""")
     )
   )
 }

@@ -511,6 +511,38 @@ object MLOps {
         FROM pq JOIN labels lb ON pq.part_id = lb.part_id
         GROUP BY lb.cluster, pq.y, pq.q
         ORDER BY cluster, y, q""")
+    ),
+
+    // Per-label centroids over the embedding column, decimal-exact (the
+    // deterministic core of IVF training / nearest-centroid assignment,
+    // unlike q57's seed-dependent KMeans which is spec-gated). One
+    // posexplode + one keyed agg: shuffles (label, dim) partial sums,
+    // never raw vectors.
+    Q(
+      "q95_label_centroids",
+      (s, d) =>
+        Tables.embeddings(s, d)
+          .select(col("label"), posexplode(col("embedding")))
+          .select(
+            col("label"),
+            (col("pos") + 1).cast(IntegerType).as("dim"),
+            col("col").cast("double").as("v"))
+          .groupBy(col("label"), col("dim"))
+          .agg(
+            count(lit(1)).as("n"),
+            round(dsum(col("v")) / count(lit(1)).cast("double"), 6).as("centroid"))
+          .orderBy(col("label"), col("dim")),
+      Some("""
+        WITH e AS (SELECT label,
+                          CAST(generate_subscripts(embedding, 1) AS INT) AS dim,
+                          CAST(unnest(embedding) AS DOUBLE) AS v
+                   FROM embeddings)
+        SELECT label, dim,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE)
+                     / CAST(COUNT(*) AS DOUBLE), 6) AS centroid
+        FROM e GROUP BY label, dim
+        ORDER BY label, dim""")
     )
   )
 }

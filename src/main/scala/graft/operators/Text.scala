@@ -618,6 +618,42 @@ object Text {
                token, tf, df
         FROM top
         ORDER BY vocab_id""")
+    ),
+
+    // Deterministic per-stratum reservoir: the 5 docs with the smallest
+    // seeded hash per language — a fixed-size uniform sample whose
+    // membership is stable across runs and cluster sizes. Uses the
+    // native graft_top_k aggregate, so each partition contributes at
+    // most 5 candidates per language to the shuffle (vs the row_number
+    // window sorting every doc).
+    Q(
+      "q98_reservoir_sample",
+      (s, d) => {
+        graft.functions.TopKAgg.register(s)
+        Tables.documents(s, d)
+          .select(
+            col("lang"), col("doc_id"),
+            TextFns.h60(concat(lit("rsv:"), col("doc_id").cast("string"))).as("h"))
+          .groupBy(col("lang"))
+          .agg(expr("graft_top_k(struct(h, doc_id), 5)").as("top"))
+          .select(col("lang"), posexplode(col("top")))
+          .select(
+            col("lang"),
+            (col("pos") + 1).cast(IntegerType).as("rk"),
+            col("col.doc_id").as("doc_id"),
+            col("col.h").as("h"))
+          .orderBy(col("lang"), col("rk"))
+      },
+      Some(s"""
+        WITH t AS (SELECT lang, doc_id,
+                          ${T.h60("'rsv:' || CAST(doc_id AS VARCHAR)")} AS h
+                   FROM documents),
+        r AS (SELECT *, row_number() OVER (PARTITION BY lang
+                                           ORDER BY h, doc_id) AS rn
+              FROM t)
+        SELECT lang, CAST(rn AS INT) AS rk, doc_id, h
+        FROM r WHERE rn <= 5
+        ORDER BY lang, rk""")
     )
   )
 }
