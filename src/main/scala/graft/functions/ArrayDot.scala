@@ -104,5 +104,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction(TopKAgg.info)
     // plans the row_number-filter top-k idiom as a bounded aggregate
     ext.injectOptimizerRule(_ => graft.plans.TopKRewrite)
+    // plans the AsOfJoin logical node as the streaming-merge exec
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

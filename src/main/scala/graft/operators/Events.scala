@@ -107,6 +107,41 @@ object Events {
         ORDER BY p.user_id, p.event_id""")
     ),
 
+    // The same as-of contract as q38, planned through the custom
+    // whole-operator path: AsOfJoin logical node -> AsOfJoinStrategy ->
+    // AsOfJoinExec streaming merge (one shuffle + one sort per side,
+    // O(1) merge state — no union row blow-up, no window state). Shares
+    // q38's oracle verbatim; formulation agreement is pinned in
+    // AsOfJoinExecSpec.
+    Q(
+      "q99_asof_exec",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), col("ts"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_event_id"))
+        graft.plans.AsOfJoin
+          .frame(purchases, clicks, "ts", "click_ts", Seq("user_id"), Seq("click_event_id", "click_ts"))
+          .select(
+            col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("ts_us"),
+            col("click_event_id"),
+            unix_micros(col("click_ts")).as("click_ts_us")
+          )
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some("""
+        SELECT p.user_id, p.event_id,
+               epoch_us(CAST(p.ts AS TIMESTAMP)) AS ts_us,
+               c.event_id AS click_event_id,
+               epoch_us(CAST(c.ts AS TIMESTAMP)) AS click_ts_us
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+        ORDER BY p.user_id, p.event_id""")
+    ),
+
     // JSON attribute extraction from the props payload. from_json with
     // an explicit schema parses each payload once into a typed struct
     // (a per-field get_json_object re-parses the string for every field

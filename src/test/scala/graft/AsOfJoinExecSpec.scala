@@ -1,0 +1,99 @@
+package graft
+
+import graft.operators.AsOf
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** The custom physical as-of join: plan shape (AsOfJoinExec, one
+  * exchange + sort per side), agreement with the composed sort-merge
+  * formulation on real and generated data (including empty right sides,
+  * equal timestamps, and keys present on only one side), and the
+  * self-join disambiguation path.
+  */
+class AsOfJoinExecSpec extends SparkSpec {
+
+  private lazy val ext: SparkSession = SparkSpec.extSession
+
+  private def q38Shape(s: SparkSession, via: String): Seq[(Long, Long, Option[Long])] = {
+    val ev = Tables.events(s, sf("sf0.001"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_event_id"))
+    val joined = via match {
+      case "exec" =>
+        graft.plans.AsOfJoin.frame(
+          purchases, clicks, "ts", "click_ts", Seq("user_id"), Seq("click_event_id", "click_ts"))
+      case "composed" =>
+        AsOf.backward(
+          purchases, clicks, "ts", "click_ts", Seq("user_id"), Seq("click_event_id", "click_ts"))
+    }
+    joined
+      .select(col("user_id"), col("event_id"), col("click_event_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      .toSeq.sorted
+  }
+
+  test("AsOfJoinExec plans with one exchange and one sort per side") {
+    val ev = Tables.events(ext, sf("sf0.001"))
+    val l = ev.filter(col("event_type") === "purchase").select(col("user_id"), col("ts"))
+    val r = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("cts"), col("event_id").as("ceid"))
+    val df = graft.plans.AsOfJoin.frame(l, r, "ts", "cts", Seq("user_id"), Seq("ceid"))
+    val p = df.queryExecution.executedPlan.toString
+    // SparkPlan.nodeName strips the "Exec" suffix in plan strings
+    assert(p.contains("AsOfJoin "), s"expected the custom exec:\n$p")
+    assert(p.linesIterator.count(l0 => l0.contains("Exchange") && !l0.contains("Reused")) == 2,
+      s"expected exactly one exchange per side:\n$p")
+    assert(p.linesIterator.count(_.contains("Sort ")) == 2,
+      s"expected exactly one sort per side:\n$p")
+  }
+
+  test("exec agrees with the composed sort-merge formulation on q38's shape (self-join)") {
+    assert(q38Shape(ext, "exec") == q38Shape(ext, "composed"))
+  }
+
+  private def forAllSamples[A](gen: Gen[A], n: Int)(body: A => Unit): Unit =
+    (1 to n).foreach { i =>
+      gen.apply(Gen.Parameters.default, Seed(i.toLong)).foreach(body)
+    }
+
+  test("exec agrees with the composed formulation on generated keyed series") {
+    val gen = for {
+      lefts <- Gen.listOfN(120, Gen.zip(Gen.choose(0, 5), Gen.choose(0L, 100L)))
+      rights <- Gen.listOfN(80, Gen.zip(Gen.choose(0, 7), Gen.choose(0L, 100L)))
+    } yield (lefts, rights)
+    forAllSamples(gen, n = 8) { case (lefts, rights) =>
+      import ext.implicits._
+      val l = lefts.zipWithIndex
+        .map { case ((k, t), i) => (k, t, i.toLong) }
+        .toDF("k", "t", "lid").repartition(5)
+      // distinct (k, t) on the right: at equal key+time the "latest" row
+      // is otherwise ambiguous, and both formulations may pick either
+      val r = rights.distinct.groupBy(x => (x._1, x._2)).map(_._2.head).toSeq.zipWithIndex
+        .map { case ((k, t), i) => (k, t, i.toLong + 1000) }
+        .toDF("k", "rt", "rid").repartition(3)
+      def canon(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("k"), col("t"), col("lid"), col("rid"))
+        .collect()
+        .map(x => (x.getInt(0), x.getLong(1), x.getLong(2),
+          if (x.isNullAt(3)) -1L else x.getLong(3)))
+        .toSeq.sorted
+      val viaExec = canon(graft.plans.AsOfJoin.frame(l, r, "t", "rt", Seq("k"), Seq("rid")))
+      val viaComposed = canon(AsOf.backward(l, r, "t", "rt", Seq("k"), Seq("rid")))
+      assert(viaExec == viaComposed)
+    }
+  }
+
+  test("empty right side yields all-null payload") {
+    import ext.implicits._
+    val l = Seq((1, 10L), (2, 20L)).toDF("k", "t")
+    val r = Seq.empty[(Int, Long, Long)].toDF("k", "rt", "rid")
+    val got = graft.plans.AsOfJoin.frame(l, r, "t", "rt", Seq("k"), Seq("rid"))
+      .collect().map(x => (x.getInt(0), x.isNullAt(2))).toSet
+    assert(got == Set((1, true), (2, true)))
+  }
+}

@@ -30,4 +30,26 @@ object SparkSpec {
     s.sparkContext.setLogLevel("WARN")
     s
   }
+
+  /** A second session over the same SparkContext with GraftExtensions
+    * applied (native functions, TopKRewrite, AsOfJoinStrategy) — the
+    * harness-session configuration. The plain [[session]] stays the
+    * control for asserting the un-extended plans.
+    */
+  lazy val extSession: SparkSession = {
+    val orig = session
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      SparkSession.builder()
+        .master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.session.timeZone", "UTC")
+        .withExtensions(new graft.functions.GraftExtensions)
+        .getOrCreate()
+    } finally {
+      SparkSession.setActiveSession(orig)
+      SparkSession.setDefaultSession(orig)
+    }
+  }
 }

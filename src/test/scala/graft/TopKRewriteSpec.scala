@@ -14,20 +14,7 @@ import org.scalacheck.rng.Seed
   */
 class TopKRewriteSpec extends SparkSpec {
 
-  private lazy val ext: SparkSession = {
-    val orig = spark // force shared-session init first
-    SparkSession.clearActiveSession()
-    SparkSession.clearDefaultSession()
-    val s = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .withExtensions(new graft.functions.GraftExtensions)
-      .getOrCreate()
-    SparkSession.setActiveSession(orig)
-    SparkSession.setDefaultSession(orig)
-    s
-  }
+  private lazy val ext: SparkSession = SparkSpec.extSession
 
   private def forAllSamples[A](gen: Gen[A], n: Int)(body: A => Unit): Unit =
     (1 to n).foreach { i =>
