@@ -26,6 +26,32 @@ import org.apache.spark.sql.functions._
   */
 object AsOf {
 
+  /** Formulation dispatch by estimated right-side size, the same
+    * statistic Spark's own join selection keys off: a right side under
+    * `spark.sql.autoBroadcastJoinThreshold` takes the zero-fact-shuffle
+    * broadcast range join; anything larger takes the co-partitioned
+    * streaming-merge [[graft.plans.AsOfJoin]] operator (falling back to
+    * the composed [[backward]] when the session lacks GraftExtensions).
+    */
+  def auto(
+      left: DataFrame,
+      right: DataFrame,
+      leftTime: String,
+      rightTime: String,
+      by: Seq[String],
+      rightPayload: Seq[String]
+  ): DataFrame = {
+    val threshold = left.sparkSession.conf
+      .get("spark.sql.autoBroadcastJoinThreshold", "10485760").toLong
+    val rightBytes = right.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (threshold >= 0 && rightBytes <= threshold)
+      backwardBroadcast(left, right, leftTime, rightTime, by, rightPayload)
+    else if (left.sparkSession.sessionState.planner.strategies
+        .contains(graft.plans.AsOfJoinStrategy))
+      graft.plans.AsOfJoin.frame(left, right, leftTime, rightTime, by, rightPayload)
+    else backward(left, right, leftTime, rightTime, by, rightPayload)
+  }
+
   /** Sort-merge as-of. Attaches `rightPayload` columns of the latest
     * right row with rightTime <= leftTime within equal `by` keys;
     * payload columns are null when no right row precedes.

@@ -111,12 +111,20 @@ case class AsOfJoinExec(
   override def outputPartitioning: Partitioning = left.outputPartitioning
   override def outputOrdering: Seq[SortOrder] = left.outputOrdering
 
+  override lazy val metrics = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"),
+    "numMatched" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "rows with an as-of match"))
+
   override protected def doExecute(): RDD[InternalRow] = {
     val lOut = left.output
     val rOut = right.output
     val payloadAttrs = rightPayload
     val keyTypes = leftKeys.map(_.dataType)
     val timeType = leftTime.dataType
+    val outRows = longMetric("numOutputRows")
+    val matchedRows = longMetric("numMatched")
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(leftKeys, lOut)
       val rKeyProj = UnsafeProjection.create(rightKeys, rOut)
@@ -159,6 +167,8 @@ case class AsOfJoinExec(
           }
           val matched =
             held != null && heldKey != null && keyOrd.compare(heldKey, lKey) == 0
+          outRows += 1
+          if (matched) matchedRows += 1
           joined(l, if (matched) held else nullRight)
           result(joined)
         }

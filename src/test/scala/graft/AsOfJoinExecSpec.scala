@@ -88,6 +88,25 @@ class AsOfJoinExecSpec extends SparkSpec {
     }
   }
 
+  test("AsOf.auto dispatches by right-side size estimate") {
+    val ev = Tables.events(ext, sf("sf0.001"))
+    val l = ev.filter(col("event_type") === "purchase").select(col("user_id"), col("ts"))
+    val r = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("cts"), col("event_id").as("ceid"))
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val old = ext.conf.get(key)
+    try {
+      ext.conf.set(key, "1048576") // sf0.001 clicks fit: broadcast path
+      val pSmall = AsOf.auto(l, r, "ts", "cts", Seq("user_id"), Seq("ceid"))
+        .queryExecution.executedPlan.toString
+      assert(pSmall.contains("Broadcast"), s"small right must broadcast:\n$pSmall")
+      ext.conf.set(key, "-1") // broadcast disabled: the custom exec path
+      val pBig = AsOf.auto(l, r, "ts", "cts", Seq("user_id"), Seq("ceid"))
+        .queryExecution.executedPlan.toString
+      assert(pBig.contains("AsOfJoin "), s"large right must take the merge exec:\n$pBig")
+    } finally ext.conf.set(key, old)
+  }
+
   test("empty right side yields all-null payload") {
     import ext.implicits._
     val l = Seq((1, 10L), (2, 20L)).toDF("k", "t")
