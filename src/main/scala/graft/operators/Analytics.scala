@@ -99,6 +99,45 @@ object Analytics {
         ORDER BY status, priority, gid""")
     ),
 
+    // explicit GROUPING SETS (the rollup/cube generalization) through
+    // the SQL front end — status totals, year totals, and the grand
+    // total in one pass, disambiguated by grouping() flags
+    Q(
+      "q101_grouping_sets",
+      (s, d) => {
+        Tables.orders(s, d)
+          .select(
+            col("o_orderstatus").as("status"),
+            year(col("o_orderdate")).as("y"),
+            col("o_totalprice"))
+          .createOrReplaceTempView("orders_gs")
+        s.sql("""
+          SELECT COALESCE(status, 'ALL') AS status,
+                 COALESCE(y, -1) AS y,
+                 CAST(grouping(status) AS INT) AS g_status,
+                 CAST(grouping(y) AS INT) AS g_y,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_total
+          FROM orders_gs
+          GROUP BY GROUPING SETS ((status), (y), ())
+          ORDER BY g_status, g_y, status, y""")
+      },
+      Some("""
+        WITH o AS (SELECT o_orderstatus AS status,
+                          CAST(year(o_orderdate) AS INT) AS y,
+                          o_totalprice
+                   FROM orders)
+        SELECT COALESCE(status, 'ALL') AS status,
+               COALESCE(y, -1) AS y,
+               CAST(grouping(status) AS INT) AS g_status,
+               CAST(grouping(y) AS INT) AS g_y,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_total
+        FROM o
+        GROUP BY GROUPING SETS ((status), (y), ())
+        ORDER BY g_status, g_y, status, y""")
+    ),
+
     // A10: pivot / contingency table with explicit value list
     Q(
       "q16_pivot",

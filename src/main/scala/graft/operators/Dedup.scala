@@ -506,6 +506,42 @@ object Dedup {
         SELECT doc_a, doc_b, hamming FROM cand
         WHERE hamming <= 3 ORDER BY doc_a, doc_b"""
       }
+    ),
+
+    // Fuzzy (edit-distance) near-dup over the NAME DOMAIN: distinct-first
+    // shrinks the quadratic surface from rows to vocabulary (the scale
+    // move — a 100 TB catalog still has a bounded name vocab), then a
+    // first-char block + length band caps each block before the
+    // levenshtein check. Lev <= 3 keeps typo-range matches.
+    Q(
+      "q103_fuzzy_neardup",
+      (s, d) => {
+        val names = Tables.part(s, d)
+          .select(col("p_name")).distinct()
+          .withColumn("blk", substring(col("p_name"), 1, 1))
+          .cache() // both sides of the self-join (no exchange reuse)
+        val a = names.select(col("blk"), col("p_name").as("name_a"))
+        val b = names.select(col("blk"), col("p_name").as("name_b"))
+        a.join(b, Seq("blk"))
+          .filter(
+            col("name_a") < col("name_b") &&
+              abs(length(col("name_a")) - length(col("name_b"))) <= 2 &&
+              levenshtein(col("name_a"), col("name_b")) <= 3)
+          .select(
+            col("name_a"), col("name_b"),
+            levenshtein(col("name_a"), col("name_b")).as("dist"))
+          .orderBy(col("name_a"), col("name_b"))
+      },
+      Some("""
+        WITH n AS (SELECT DISTINCT p_name FROM part)
+        SELECT a.p_name AS name_a, b.p_name AS name_b,
+               CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+        FROM n a JOIN n b
+          ON substr(a.p_name, 1, 1) = substr(b.p_name, 1, 1)
+         AND a.p_name < b.p_name
+        WHERE abs(length(a.p_name) - length(b.p_name)) <= 2
+          AND levenshtein(a.p_name, b.p_name) <= 3
+        ORDER BY name_a, name_b""")
     )
   )
 }

@@ -314,6 +314,61 @@ object Relational {
               FROM orders)
         WHERE rn <= 3
         ORDER BY o_custkey, rank""")
+    ),
+
+    // time-RANGE window frame: per-customer trailing-7-day spend. The
+    // frame is over integer epoch days (RANGE 6 PRECEDING), so same-day
+    // orders aggregate identically regardless of intra-day tie order.
+    Q(
+      "q100_rolling_7d",
+      (s, d) => {
+        val w = Window
+          .partitionBy(col("o_custkey"))
+          .orderBy(expr("unix_date(CAST(o_orderdate AS DATE))"))
+          .rangeBetween(-6, Window.currentRow)
+        Tables.orders(s, d)
+          .select(
+            col("o_custkey"),
+            col("o_orderkey"),
+            to_date(col("o_orderdate")).as("od"),
+            sum(col("o_totalprice").cast(Det.Money)).over(w).cast("double").as("sum_7d"))
+          .orderBy(col("o_custkey"), col("o_orderkey"))
+      },
+      Some("""
+        SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS od,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                   RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS sum_7d
+        FROM orders
+        ORDER BY o_custkey, o_orderkey""")
+    ),
+
+    // rank-family windows: quartile bucket, percent_rank, cume_dist per
+    // customer under a total (price, orderkey) order
+    Q(
+      "q102_rank_family",
+      (s, d) => {
+        val w = Window
+          .partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        Tables.orders(s, d)
+          .select(
+            col("o_custkey"),
+            col("o_orderkey"),
+            ntile(4).over(w).cast(IntegerType).as("quartile"),
+            round(percent_rank().over(w), 6).as("pct_rank"),
+            round(cume_dist().over(w), 6).as("cume"))
+          .orderBy(col("o_custkey"), col("o_orderkey"))
+      },
+      Some("""
+        SELECT o_custkey, o_orderkey,
+               CAST(ntile(4) OVER w AS INT) AS quartile,
+               ROUND(percent_rank() OVER w, 6) AS pct_rank,
+               ROUND(cume_dist() OVER w, 6) AS cume
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+        ORDER BY o_custkey, o_orderkey""")
     )
   )
 }

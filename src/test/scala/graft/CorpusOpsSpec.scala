@@ -87,6 +87,71 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("q100 trailing-7-day sums match a brute-force recomputation") {
+    val rows = SparkEntry.queries("q100_rolling_7d")(spark, d)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDate(2).toLocalDate.toEpochDay, r.getDouble(3)))
+    val orders = Tables.orders(spark, d)
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("od"),
+        col("o_totalprice").cast(Det.Money).as("p"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate.toEpochDay, r.getDecimal(2)))
+      .groupBy(_._1)
+    rows.foreach { case (cust, _, day, got) =>
+      val want = orders(cust)
+        .filter { case (_, od, _) => od >= day - 6 && od <= day }
+        .map(_._3).reduce(_ add _).doubleValue()
+      assert(got == want, s"customer $cust day $day: $got != $want")
+    }
+  }
+
+  test("q101 grouping sets reconcile with the grand total") {
+    val rows = SparkEntry.queries("q101_grouping_sets")(spark, d).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4)))
+    val total = Tables.orders(spark, d).count()
+    val grand = rows.filter(r => r._3 == 1 && r._4 == 1)
+    assert(grand.map(_._5).sum == total)
+    assert(rows.filter(r => r._3 == 0).map(_._5).sum == total, "status set must partition")
+    assert(rows.filter(r => r._4 == 0).map(_._5).sum == total, "year set must partition")
+  }
+
+  test("q102 rank family is bounded and cume_dist is monotone per customer") {
+    val rows = SparkEntry.queries("q102_rank_family")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getDouble(3), r.getDouble(4)))
+    rows.foreach { case (_, q, pr, cd) =>
+      assert(q >= 1 && q <= 4); assert(pr >= 0 && pr <= 1); assert(cd > 0 && cd <= 1)
+    }
+    // cume_dist sorted ascending equals its own order within a customer
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      val cds = rs.map(_._4).toSeq
+      assert(cds.max == 1.0)
+    }
+  }
+
+  test("q103 pairs are a subset of brute-force edit-distance matches") {
+    val got = SparkEntry.queries("q103_fuzzy_neardup")(spark, d)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    val names = Tables.part(spark, d).select("p_name").distinct()
+      .collect().map(_.getString(0)).toSeq
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1)(i => Array.tabulate(b.length + 1)(j => i.max(j)))
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = Seq(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1,
+          dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1)).min
+      dp(a.length)(b.length)
+    }
+    val brute = (for {
+      a <- names; b <- names if a < b
+      dist = lev(a, b) if dist <= 3
+    } yield (a, b, dist)).toSet
+    assert(got.subsetOf(brute), "reported pair with wrong distance")
+    // blocking is candidate generation: within-block recall is complete
+    val inBlock = brute.filter { case (a, b, _) =>
+      a.head == b.head && math.abs(a.length - b.length) <= 2
+    }
+    assert(got == inBlock, "missed a pair the block should have produced")
+  }
+
   test("q95 centroid row count is labels x dims and n matches label sizes") {
     val cent = SparkEntry.queries("q95_label_centroids")(spark, d).collect()
     val dims = Tables.embeddings(spark, d)
