@@ -88,6 +88,34 @@ class AsOfJoinExecSpec extends SparkSpec {
     }
   }
 
+  test("exec agrees with the composed formulation on composite and nullable keys") {
+    val gen = for {
+      lefts <- Gen.listOfN(100, Gen.zip(
+        Gen.option(Gen.choose(0, 2)), Gen.choose(0, 2), Gen.choose(0L, 60L)))
+      rights <- Gen.listOfN(60, Gen.zip(
+        Gen.option(Gen.choose(0, 2)), Gen.choose(0, 2), Gen.choose(0L, 60L)))
+    } yield (lefts, rights)
+    forAllSamples(gen, n = 6) { case (lefts, rights) =>
+      import ext.implicits._
+      val l = lefts.zipWithIndex
+        .map { case ((k1, k2, t), i) => (k1, k2, t, i.toLong) }
+        .toDF("k1", "k2", "t", "lid").repartition(4)
+      val r = rights.distinct.groupBy(x => (x._1, x._2, x._3)).map(_._2.head).toSeq.zipWithIndex
+        .map { case ((k1, k2, t), i) => (k1, k2, t, i.toLong + 1000) }
+        .toDF("k1", "k2", "rt", "rid").repartition(3)
+      def canon(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("lid"), col("rid"))
+        .collect()
+        .map(x => (x.getLong(0), if (x.isNullAt(1)) -1L else x.getLong(1)))
+        .toSeq.sorted
+      val viaExec = canon(
+        graft.plans.AsOfJoin.frame(l, r, "t", "rt", Seq("k1", "k2"), Seq("rid")))
+      val viaComposed = canon(
+        AsOf.backward(l, r, "t", "rt", Seq("k1", "k2"), Seq("rid")))
+      assert(viaExec == viaComposed)
+    }
+  }
+
   test("AsOf.auto dispatches by right-side size estimate") {
     val ev = Tables.events(ext, sf("sf0.001"))
     val l = ev.filter(col("event_type") === "purchase").select(col("user_id"), col("ts"))
