@@ -1,0 +1,321 @@
+package graft.operators
+
+import graft.{Det, Q, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType}
+
+/** Warehouse-maintenance and data-quality operators: banded range
+  * joins, SCD Type-2 history merges, one-pass column profiling,
+  * hopping-window aggregation, exact quantiles, and per-source quota
+  * capping. These extend the reference's warehouse surface (interval
+  * dims, history tables — `/root/reference/src/pipelines/etl.py`) with
+  * the maintenance verbs a production warehouse needs around them.
+  */
+object Warehouse {
+  import Det._
+
+  val all: Seq[Q] = Seq(
+    // Banded range self-join: pairs of orders by the same customer
+    // placed within 30 days of each other (reorder-interval analysis).
+    // The scale path for a range predicate is BANDING: bucket each row
+    // into floor(day/30); a qualifying pair can differ by at most one
+    // bucket, so exploding the probe side into its 3 candidate buckets
+    // and equi-joining on (custkey, bucket) bounds comparisons to
+    // +-1 band instead of all-pairs-per-customer. Each qualifying pair
+    // meets exactly once (the build side keeps its single bucket), so
+    // no dedup pass is needed. 3x probe amplification buys a pure
+    // equi-join shuffle — no theta join, no per-key quadratic blowup.
+    Q(
+      "q104_reorder_pairs",
+      (s, d) => {
+        val o = Tables.orders(s, d).select(
+          col("o_custkey"), col("o_orderkey"),
+          datediff(to_date(col("o_orderdate")), lit("1970-01-01")).as("day"))
+        val probe = o
+          .withColumn("jb", explode(array(
+            expr("day div 30") - 1, expr("day div 30"), expr("day div 30") + 1)))
+        val build = o
+          .withColumn("band", expr("day div 30"))
+          .select(
+            col("o_custkey"), col("band"),
+            col("o_orderkey").as("ok2"), col("day").as("day2"))
+        probe
+          .join(
+            build,
+            probe("o_custkey") === build("o_custkey") && col("jb") === col("band") &&
+              probe("o_orderkey") < col("ok2") &&
+              abs(col("day") - col("day2")) <= 30,
+            "inner")
+          .select(
+            probe("o_custkey").as("custkey"),
+            probe("o_orderkey").as("ok1"),
+            col("ok2"),
+            abs(col("day") - col("day2")).cast(IntegerType).as("gap_days"))
+          .orderBy(col("custkey"), col("ok1"), col("ok2"))
+      },
+      Some("""
+        SELECT o1.o_custkey AS custkey,
+               o1.o_orderkey AS ok1,
+               o2.o_orderkey AS ok2,
+               CAST(abs(date_diff('day', CAST(o1.o_orderdate AS DATE),
+                                  CAST(o2.o_orderdate AS DATE))) AS INT) AS gap_days
+        FROM orders o1
+        JOIN orders o2
+          ON o1.o_custkey = o2.o_custkey
+         AND o1.o_orderkey < o2.o_orderkey
+         AND abs(date_diff('day', CAST(o1.o_orderdate AS DATE),
+                           CAST(o2.o_orderdate AS DATE))) <= 30
+        ORDER BY custkey, ok1, ok2""")
+    ),
+
+    // SCD Type-2 merge: reconcile the current supplier dimension with
+    // an incoming restated snapshot (here: accounts in every 5th nation
+    // restated +100). Changed keys close their current version at the
+    // restatement date and open a new current one; unchanged keys keep
+    // their open-ended version. The merge is a keyed full-outer join of
+    // current vs incoming (the generic shape — handles inserts/deletes
+    // too) followed by a per-key row expansion; one shuffle on the
+    // dimension key, no windows. This is the maintenance verb behind
+    // the reference's cost/list-price history tables
+    // (/root/reference/notebooks/etl_transform.ipynb cell 14).
+    Q(
+      "q105_scd2_merge",
+      (s, d) => {
+        val cur = Tables.supplier(s, d).select(col("s_suppkey"), col("s_acctbal"))
+        val inc = Tables.supplier(s, d).select(
+          col("s_suppkey").as("i_suppkey"),
+          when(col("s_nationkey") % 5 === 0, col("s_acctbal") + 100.0)
+            .otherwise(col("s_acctbal")).as("new_bal"))
+        val changed = col("new_bal") =!= col("s_acctbal")
+        cur
+          .join(inc, col("s_suppkey") === col("i_suppkey"), "full_outer")
+          .select(
+            col("s_suppkey"),
+            explode(when(changed, array(
+              struct(
+                col("s_acctbal").as("bal"), lit("2020-01-01").as("valid_from"),
+                lit("2026-01-01").as("valid_to"), lit(false).as("is_current")),
+              struct(
+                col("new_bal").as("bal"), lit("2026-01-01").as("valid_from"),
+                lit("9999-12-31").as("valid_to"), lit(true).as("is_current"))
+            )).otherwise(array(
+              struct(
+                col("s_acctbal").as("bal"), lit("2020-01-01").as("valid_from"),
+                lit("9999-12-31").as("valid_to"), lit(true).as("is_current"))
+            ))).as("v"))
+          .select(
+            col("s_suppkey"), col("v.bal").as("s_acctbal"),
+            col("v.valid_from").as("valid_from"), col("v.valid_to").as("valid_to"),
+            col("v.is_current").as("is_current"))
+          .orderBy(col("s_suppkey"), col("valid_from"))
+      },
+      Some("""
+        WITH cur AS (SELECT s_suppkey, s_acctbal FROM supplier),
+        inc AS (SELECT s_suppkey,
+                       CASE WHEN s_nationkey % 5 = 0 THEN s_acctbal + 100.0
+                            ELSE s_acctbal END AS new_bal
+                FROM supplier),
+        j AS (SELECT cur.s_suppkey, cur.s_acctbal, inc.new_bal,
+                     inc.new_bal <> cur.s_acctbal AS changed
+              FROM cur JOIN inc USING (s_suppkey))
+        SELECT s_suppkey, s_acctbal, '2020-01-01' AS valid_from,
+               CASE WHEN changed THEN '2026-01-01' ELSE '9999-12-31' END AS valid_to,
+               NOT changed AS is_current
+        FROM j
+        UNION ALL
+        SELECT s_suppkey, new_bal AS s_acctbal, '2026-01-01' AS valid_from,
+               '9999-12-31' AS valid_to, TRUE AS is_current
+        FROM j WHERE changed
+        ORDER BY s_suppkey, valid_from""")
+    ),
+
+    // One-pass column profiling (data-quality scan): null count, exact
+    // distinct count, and min/max for five heterogeneous lineitem
+    // columns, in a SINGLE scan — one global aggregate whose result row
+    // is inlined into one profile row per column. Numeric bounds are
+    // canonicalized through DECIMAL(18,2) so both engines render the
+    // same string. The multi-column exact COUNT(DISTINCT) costs an
+    // Expand (x6 row amplification map-side, partial states only over
+    // the shuffle); at 100 TB swap `approx_count_distinct` per column
+    // — same plan minus the Expand — when +-2% error is acceptable.
+    Q(
+      "q106_column_profile",
+      (s, d) => {
+        // min/max are taken NUMERICALLY and canonicalized to a string
+        // afterwards (min over the rendered string would be lexicographic)
+        def decS(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)").cast("string")
+        Tables.lineitem(s, d)
+          .agg(
+            count(lit(1)).as("n_rows"),
+            count(col("l_quantity")).as("nn_q"),
+            countDistinct(col("l_quantity")).as("nd_q"),
+            decS(min(col("l_quantity"))).as("min_q"), decS(max(col("l_quantity"))).as("max_q"),
+            count(col("l_extendedprice")).as("nn_p"),
+            countDistinct(col("l_extendedprice")).as("nd_p"),
+            decS(min(col("l_extendedprice"))).as("min_p"), decS(max(col("l_extendedprice"))).as("max_p"),
+            count(col("l_discount")).as("nn_d"),
+            countDistinct(col("l_discount")).as("nd_d"),
+            decS(min(col("l_discount"))).as("min_d"), decS(max(col("l_discount"))).as("max_d"),
+            count(col("l_returnflag")).as("nn_f"),
+            countDistinct(col("l_returnflag")).as("nd_f"),
+            min(col("l_returnflag")).as("min_f"), max(col("l_returnflag")).as("max_f"),
+            count(col("l_shipdate")).as("nn_s"),
+            countDistinct(col("l_shipdate")).as("nd_s"),
+            date_format(min(col("l_shipdate")), "yyyy-MM-dd").as("min_s"),
+            date_format(max(col("l_shipdate")), "yyyy-MM-dd").as("max_s"))
+          .select(inline(array(
+            struct(lit("l_discount").as("col_name"), (col("n_rows") - col("nn_d")).as("n_null"),
+              col("nd_d").as("n_distinct"), col("min_d").as("min_v"), col("max_d").as("max_v")),
+            struct(lit("l_extendedprice").as("col_name"), (col("n_rows") - col("nn_p")).as("n_null"),
+              col("nd_p").as("n_distinct"), col("min_p").as("min_v"), col("max_p").as("max_v")),
+            struct(lit("l_quantity").as("col_name"), (col("n_rows") - col("nn_q")).as("n_null"),
+              col("nd_q").as("n_distinct"), col("min_q").as("min_v"), col("max_q").as("max_v")),
+            struct(lit("l_returnflag").as("col_name"), (col("n_rows") - col("nn_f")).as("n_null"),
+              col("nd_f").as("n_distinct"), col("min_f").as("min_v"), col("max_f").as("max_v")),
+            struct(lit("l_shipdate").as("col_name"), (col("n_rows") - col("nn_s")).as("n_null"),
+              col("nd_s").as("n_distinct"), col("min_s").as("min_v"), col("max_s").as("max_v")))))
+          .orderBy(col("col_name"))
+      },
+      Some("""
+        SELECT 'l_discount' AS col_name,
+               CAST(COUNT(*) - COUNT(l_discount) AS BIGINT) AS n_null,
+               CAST(COUNT(DISTINCT l_discount) AS BIGINT) AS n_distinct,
+               CAST(MIN(CAST(l_discount AS DECIMAL(18,2))) AS VARCHAR) AS min_v,
+               CAST(MAX(CAST(l_discount AS DECIMAL(18,2))) AS VARCHAR) AS max_v
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_extendedprice',
+               CAST(COUNT(*) - COUNT(l_extendedprice) AS BIGINT),
+               CAST(COUNT(DISTINCT l_extendedprice) AS BIGINT),
+               CAST(MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR),
+               CAST(MAX(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR)
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_quantity',
+               CAST(COUNT(*) - COUNT(l_quantity) AS BIGINT),
+               CAST(COUNT(DISTINCT l_quantity) AS BIGINT),
+               CAST(MIN(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR),
+               CAST(MAX(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR)
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_returnflag',
+               CAST(COUNT(*) - COUNT(l_returnflag) AS BIGINT),
+               CAST(COUNT(DISTINCT l_returnflag) AS BIGINT),
+               MIN(l_returnflag), MAX(l_returnflag)
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_shipdate',
+               CAST(COUNT(*) - COUNT(l_shipdate) AS BIGINT),
+               CAST(COUNT(DISTINCT l_shipdate) AS BIGINT),
+               strftime(MIN(CAST(l_shipdate AS TIMESTAMP)), '%Y-%m-%d'),
+               strftime(MAX(CAST(l_shipdate AS TIMESTAMP)), '%Y-%m-%d')
+        FROM lineitem
+        ORDER BY col_name""")
+    ),
+
+    // Hopping (sliding) windows in batch: 10-minute windows advancing
+    // every 5 minutes via the built-in `window(ts, width, slide)`
+    // generator — each event lands in exactly width/slide = 2 windows,
+    // Spark expands them map-side (no self-join), then one hash agg on
+    // (window, type). The streaming twin is q59's tumbling window; the
+    // oracle reconstructs the same window set arithmetically (start =
+    // floor(epoch/slide)*slide - k*slide for k in 0..1, epoch-aligned
+    // exactly like Spark's window()).
+    Q(
+      "q107_hopping_windows",
+      (s, d) =>
+        Tables.events(s, d)
+          .groupBy(
+            window(col("ts"), "10 minutes", "5 minutes").as("w"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+          .select(
+            unix_seconds(col("w.start")).as("start_s"),
+            col("event_type"), col("n"), col("sum_value"))
+          .orderBy(col("start_s"), col("event_type")),
+      Some("""
+        WITH e AS (
+          SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS es,
+                 event_type, value
+          FROM events
+        ), w AS (
+          SELECT (es // 300) * 300 - 300 * k AS start_s, event_type, value
+          FROM e CROSS JOIN (VALUES (0), (1)) AS offs(k)
+        )
+        SELECT start_s, event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+        FROM w GROUP BY 1, 2 ORDER BY 1, 2""")
+    ),
+
+    // Exact per-group quantiles: interpolated percentiles of document
+    // length per language via the built-in exact `percentile` aggregate
+    // (rank r = p*(n-1), linear interpolation — the same definition as
+    // DuckDB's quantile_cont). One hash agg; the four probes share one
+    // sorted-counts pass inside the aggregate. Inputs are integers so
+    // the interpolated doubles are exact in both engines. At 100 TB
+    // swap `approx_percentile` (t-digest, mergeable) when exactness is
+    // not required — same call shape.
+    Q(
+      "q108_doclen_quantiles",
+      (s, d) =>
+        Tables.documents(s, d)
+          .groupBy(col("lang"))
+          .agg(expr("percentile(n_chars, array(0.25D, 0.5D, 0.75D, 0.9D))").as("qs"))
+          .select(col("lang"), posexplode(col("qs")))
+          .select(
+            col("lang"),
+            element_at(array(lit(0.25), lit(0.5), lit(0.75), lit(0.9)), col("pos") + 1).as("p"),
+            col("col").as("n_chars_q"))
+          .orderBy(col("lang"), col("p")),
+      Some("""
+        SELECT lang, CAST(0.25 AS DOUBLE) AS p,
+               quantile_cont(n_chars, 0.25) AS n_chars_q
+        FROM documents GROUP BY lang
+        UNION ALL
+        SELECT lang, CAST(0.5 AS DOUBLE), quantile_cont(n_chars, 0.5)
+        FROM documents GROUP BY lang
+        UNION ALL
+        SELECT lang, CAST(0.75 AS DOUBLE), quantile_cont(n_chars, 0.75)
+        FROM documents GROUP BY lang
+        UNION ALL
+        SELECT lang, CAST(0.9 AS DOUBLE), quantile_cont(n_chars, 0.9)
+        FROM documents GROUP BY lang
+        ORDER BY lang, p""")
+    ),
+
+    // Per-source document quota (C4/CCNet-style domain cap): keep the
+    // top 5 documents per source by length (doc_id tiebreak) through
+    // the native bounded-heap aggregate — each partition ships at most
+    // 5 candidates per source across the shuffle, so a hot domain with
+    // millions of documents costs the same network as a cold one
+    // (a row_number window would shuffle and sort the full corpus).
+    Q(
+      "q109_source_quota",
+      (s, d) => {
+        graft.functions.TopKAgg.register(s)
+        Tables.documents(s, d)
+          .select(col("source"), (-col("n_chars")).as("neg_len"), col("doc_id"))
+          .groupBy(col("source"))
+          .agg(expr("graft_top_k(struct(neg_len, doc_id), 5)").as("top"))
+          .select(col("source"), posexplode(col("top")))
+          .select(
+            col("source"),
+            (col("pos") + 1).cast(IntegerType).as("rk"),
+            col("col.doc_id").as("doc_id"),
+            (-col("col.neg_len")).cast(LongType).as("n_chars"))
+          .orderBy(col("source"), col("rk"))
+      },
+      Some("""
+        WITH r AS (
+          SELECT source, doc_id, n_chars,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY n_chars DESC, doc_id) AS rn
+          FROM documents
+        )
+        SELECT source, CAST(rn AS INT) AS rk, doc_id, n_chars
+        FROM r WHERE rn <= 5
+        ORDER BY source, rk""")
+    )
+  )
+}

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Property pins for the warehouse-maintenance operators (q104-q109):
+  * the banded range join must agree with the brute-force quadratic
+  * formulation, the SCD2 merge must produce a valid version history,
+  * hopping windows must cover each event exactly width/slide times, and
+  * the profile must stay a single fact scan.
+  */
+class WarehouseSpec extends SparkSpec {
+
+  private def q(name: String, dir: String = "sf0.001") =
+    SparkEntry.queries(name)(spark, sf(dir))
+
+  test("banded reorder-pair join equals the brute-force theta join (q104)") {
+    val banded = q("q104_reorder_pairs")
+    val o = Tables.orders(spark, sf("sf0.001")).select(
+      col("o_custkey"), col("o_orderkey"),
+      datediff(to_date(col("o_orderdate")), lit("1970-01-01")).as("day"))
+    val o2 = o.select(
+      col("o_custkey").as("c2"), col("o_orderkey").as("ok2"), col("day").as("day2"))
+    val brute = o.join(o2,
+        col("o_custkey") === col("c2") && col("o_orderkey") < col("ok2") &&
+          abs(col("day") - col("day2")) <= 30)
+      .select(
+        col("o_custkey").as("custkey"), col("o_orderkey").as("ok1"),
+        col("ok2"), abs(col("day") - col("day2")).cast("int").as("gap_days"))
+    assert(banded.count() == brute.count())
+    assert(banded.exceptAll(brute).isEmpty && brute.exceptAll(banded).isEmpty,
+      "banded and brute-force pair sets differ")
+  }
+
+  test("SCD2 merge yields a valid version history per key (q105)") {
+    val h = q("q105_scd2_merge").cache()
+    try {
+      val perKey = h.groupBy("s_suppkey").agg(
+        sum(when(col("is_current"), 1).otherwise(0)).as("n_current"),
+        count(lit(1)).as("n_versions"),
+        max(col("valid_to")).as("max_to"))
+      // exactly one open (current) version per key, and it ends at the sentinel
+      assert(perKey.filter(col("n_current") =!= 1 || col("max_to") =!= "9999-12-31").isEmpty)
+      // versions per key is 1 (unchanged) or 2 (restated); restated keys'
+      // old version closes exactly where the new one opens
+      assert(perKey.filter(!col("n_versions").isin(1, 2)).isEmpty)
+      val restated = h.filter(col("s_suppkey") % lit(1) >= 0) // full frame
+        .groupBy("s_suppkey")
+        .agg(
+          count(lit(1)).as("n"),
+          min(when(!col("is_current"), col("valid_to"))).as("close_at"),
+          min(when(col("is_current"), col("valid_from"))).as("open_at"))
+        .filter(col("n") === 2)
+      assert(restated.filter(col("close_at") =!= col("open_at")).isEmpty,
+        "closed and reopened versions must abut")
+      // every supplier key appears
+      assert(h.select("s_suppkey").distinct().count() ==
+        Tables.supplier(spark, sf("sf0.001")).count())
+    } finally { h.unpersist(); () }
+  }
+
+  test("hopping windows cover each event exactly twice (q107)") {
+    val total = q("q107_hopping_windows").agg(sum("n")).head.getLong(0)
+    val events = Tables.events(spark, sf("sf0.001")).count()
+    assert(total == 2 * events, s"width/slide=2 windows per event: $total vs 2*$events")
+  }
+
+  test("column profile is a single fact scan (q106)") {
+    val p = q("q106_column_profile").queryExecution.executedPlan.toString
+    val scans = p.linesIterator.count(l => l.contains("FileScan") && l.contains("lineitem"))
+    assert(scans == 1, s"profile must scan lineitem once, found $scans:\n$p")
+  }
+
+  test("source quota ships at most k rows per group per partition (q109)") {
+    // the native aggregate bounds every partial to k entries; the final
+    // result is exactly the row_number top-5 (pinned by the oracle) and
+    // per-source cardinality never exceeds 5
+    val over = q("q109_source_quota").groupBy("source").count().filter(col("count") > 5)
+    assert(over.isEmpty)
+  }
+
+  test("quantiles are monotone in p and bounded by group extremes (q108)") {
+    val qs = q("q108_doclen_quantiles")
+    val ext = Tables.documents(spark, sf("sf0.001"))
+      .groupBy(col("lang")).agg(
+        min(col("n_chars")).cast("double").as("lo"),
+        max(col("n_chars")).cast("double").as("hi"))
+    val joined = qs.join(ext, "lang")
+    assert(joined.filter(col("n_chars_q") < col("lo") || col("n_chars_q") > col("hi")).isEmpty)
+    val nonMono = qs
+      .withColumn("prev", lag("n_chars_q", 1).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("lang").orderBy("p")))
+      .filter(col("prev") > col("n_chars_q"))
+    assert(nonMono.isEmpty, "quantiles must be non-decreasing in p")
+  }
+}
