@@ -316,6 +316,184 @@ object Warehouse {
         SELECT source, CAST(rn AS INT) AS rk, doc_id, n_chars
         FROM r WHERE rn <= 5
         ORDER BY source, rk""")
+    ),
+
+    // CDC changelog apply (upsert/delete merge): collapse a keyed,
+    // sequenced changelog to its latest entry per key (row_number
+    // top-1 — planned as a bounded aggregate by TopKRewrite, so only
+    // one candidate per key per partition crosses the shuffle), then
+    // full-outer merge onto the snapshot: latest op D deletes the key,
+    // U replaces the payload, absent keys pass through. One shuffle for
+    // the collapse, one keyed join for the apply — the batch form of
+    // the streaming upsert sink. The changelog here is synthesized from
+    // lineitem (seq = linenumber, every 7th entry a delete).
+    Q(
+      "q110_cdc_apply",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val snap = Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
+        val log = Tables.lineitem(s, d).select(
+          col("l_orderkey").as("k"),
+          col("l_linenumber").as("seq"),
+          when(col("l_linenumber") % 7 === 0, lit("D")).otherwise(lit("U")).as("op"),
+          col("l_extendedprice").as("new_val"))
+        // (k, seq) is NOT unique in the synthetic changelog (lineitem
+        // carries duplicate (orderkey, linenumber) pairs), so the sort
+        // must be total: payload desc breaks seq ties deterministically
+        val latest = log
+          .withColumn("rn",
+            row_number().over(
+              Window.partitionBy(col("k")).orderBy(col("seq").desc, col("new_val").desc)))
+          .filter(col("rn") === 1)
+          .drop("rn", "seq")
+        snap
+          .join(latest, col("o_orderkey") === col("k"), "full_outer")
+          .filter(col("op").isNull || col("op") =!= "D")
+          .select(
+            coalesce(col("o_orderkey"), col("k")).as("o_orderkey"),
+            coalesce(col("new_val"), col("o_totalprice")).as("price"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""
+        WITH log AS (
+          SELECT l_orderkey AS k, l_linenumber AS seq,
+                 CASE WHEN l_linenumber % 7 = 0 THEN 'D' ELSE 'U' END AS op,
+                 l_extendedprice AS new_val
+          FROM lineitem
+        ), latest AS (
+          SELECT k, op, new_val FROM (
+            SELECT *, row_number() OVER (PARTITION BY k ORDER BY seq DESC, new_val DESC) AS rn
+            FROM log) WHERE rn = 1
+        )
+        SELECT COALESCE(s.o_orderkey, l.k) AS o_orderkey,
+               COALESCE(l.new_val, s.o_totalprice) AS price
+        FROM orders s FULL OUTER JOIN latest l ON s.o_orderkey = l.k
+        WHERE l.op IS NULL OR l.op <> 'D'
+        ORDER BY o_orderkey""")
+    ),
+
+    // Daily-revenue outlier flags: one keyed agg builds the per-day
+    // revenue series (decimal-exact), a single-row scalar aggregate
+    // computes the population moments, and a broadcast cross join tags
+    // each day with its z-score — no global window, so the series never
+    // collapses to one partition. All post-agg arithmetic is IEEE
+    // double on bitwise-identical inputs (z rounded to 6dp, the q55
+    // recipe), so the oracle hash-matches.
+    Q(
+      "q111_revenue_outliers",
+      (s, d) => {
+        val daily = Tables.lineitem(s, d)
+          .groupBy(date_format(col("l_shipdate"), "yyyy-MM-dd").as("day"))
+          .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+        val stats = daily.agg(
+          count(lit(1)).as("n"),
+          dsum(col("rev")).as("s1"),
+          dsum(col("rev") * col("rev")).as("s2"))
+        val mean = col("s1") / col("n")
+        val std = sqrt(greatest(col("s2") / col("n") - mean * mean, lit(0.0)))
+        daily
+          .crossJoin(broadcast(stats))
+          .withColumn("z", round((col("rev") - mean) / when(std =!= 0.0, std), 6))
+          .filter(abs(col("z")) > 2.0)
+          .select(col("day"), col("rev"), col("z"))
+          .orderBy(col("day"))
+      },
+      Some("""
+        WITH daily AS (
+          SELECT strftime(CAST(l_shipdate AS TIMESTAMP), '%Y-%m-%d') AS day,
+                 CAST(SUM(CAST(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount)
+                               AS DECIMAL(38,6))) AS DOUBLE) AS rev
+          FROM lineitem GROUP BY 1
+        ), stats AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CAST(rev AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+                 CAST(SUM(CAST(rev * rev AS DECIMAL(38,6))) AS DOUBLE) AS s2
+          FROM daily
+        )
+        SELECT day, rev,
+               round((rev - s1 / n)
+                     / NULLIF(sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0.0)), 0.0),
+                     6) AS z
+        FROM daily CROSS JOIN stats
+        WHERE abs((rev - s1 / n)
+                  / NULLIF(sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0.0)), 0.0)) > 2.0
+        ORDER BY day""")
+    ),
+
+    // Equi-width histogram of order value: pass 1 is a single-row
+    // min/max aggregate (broadcast), pass 2 bins every row with pure
+    // double arithmetic — the canonical two-pass profile at any scale
+    // (no sort, no window; the bin map is one shuffle on ≤20 keys).
+    // The max value is clamped into the last bin.
+    Q(
+      "q112_price_histogram",
+      (s, d) => {
+        val o = Tables.orders(s, d).select(col("o_totalprice").as("x"))
+        val stats = o.agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+        val width = (col("hi") - col("lo")) / lit(20.0)
+        o.crossJoin(broadcast(stats))
+          .withColumn("bin",
+            least(floor((col("x") - col("lo")) / width), lit(19.0)).cast(IntegerType))
+          .groupBy(col("bin"))
+          .agg(count(lit(1)).as("n"))
+          .crossJoin(broadcast(stats))
+          .select(
+            col("bin"),
+            round(col("lo") + col("bin") * width, 6).as("bin_lo"),
+            round(col("lo") + (col("bin") + 1) * width, 6).as("bin_hi"),
+            col("n"))
+          .orderBy(col("bin"))
+      },
+      Some("""
+        WITH stats AS (
+          SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders
+        ), binned AS (
+          SELECT CAST(least(floor((o_totalprice - lo) / ((hi - lo) / 20.0)), 19.0) AS INT) AS bin
+          FROM orders CROSS JOIN stats
+        )
+        SELECT bin,
+               round(lo + bin * ((hi - lo) / 20.0), 6) AS bin_lo,
+               round(lo + (bin + 1) * ((hi - lo) / 20.0), 6) AS bin_hi,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM binned CROSS JOIN stats
+        GROUP BY bin, lo, hi ORDER BY bin""")
+    ),
+
+    // Per-group mode with a deterministic tiebreak: most frequent order
+    // priority per market segment. Two-level aggregate — counts on
+    // (segment, priority), then top-1 by (count desc, priority asc) via
+    // row_number (rewritten to the bounded aggregate by TopKRewrite).
+    // The segment dimension rides in on a keyed equi join.
+    Q(
+      "q113_priority_mode",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val counts = Tables.orders(s, d)
+          .join(Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment")),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_mktsegment"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"))
+        counts
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("c_mktsegment"))
+              .orderBy(col("n").desc, col("o_orderpriority"))))
+          .filter(col("rn") === 1)
+          .select(col("c_mktsegment"), col("o_orderpriority"), col("n"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some("""
+        WITH counts AS (
+          SELECT c_mktsegment, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          GROUP BY 1, 2
+        ), r AS (
+          SELECT *, row_number() OVER (PARTITION BY c_mktsegment
+                                       ORDER BY n DESC, o_orderpriority) AS rn
+          FROM counts
+        )
+        SELECT c_mktsegment, o_orderpriority, n
+        FROM r WHERE rn = 1
+        ORDER BY c_mktsegment""")
     )
   )
 }

@@ -78,6 +78,57 @@ class WarehouseSpec extends SparkSpec {
     assert(over.isEmpty)
   }
 
+  test("CDC apply deletes, updates, and passes through correctly (q110)") {
+    val applied = q("q110_cdc_apply").cache()
+    try {
+      val orders = Tables.orders(spark, sf("sf0.001"))
+      val li = Tables.lineitem(spark, sf("sf0.001"))
+      // keys whose LATEST changelog entry is a delete (max linenumber % 7 == 0)
+      val deleted = li.groupBy(col("l_orderkey"))
+        .agg(max(col("l_linenumber")).as("mx"))
+        .filter(col("mx") % 7 === 0)
+      assert(applied.count() == orders.count() - deleted.count())
+      // no deleted key survives, each surviving key exactly once
+      assert(applied.join(deleted, col("o_orderkey") === col("l_orderkey"), "left_semi").isEmpty)
+      assert(applied.groupBy("o_orderkey").count().filter(col("count") > 1).isEmpty)
+    } finally { applied.unpersist(); () }
+  }
+
+  test("histogram bins partition the rows and tile the range (q112)") {
+    val h = q("q112_price_histogram").cache()
+    try {
+      assert(h.agg(sum("n")).head.getLong(0) ==
+        Tables.orders(spark, sf("sf0.001")).count())
+      assert(h.select("bin").distinct().count() == h.count())
+      // consecutive bins abut: bin_hi(b) == bin_lo(b+1)
+      val w = org.apache.spark.sql.expressions.Window.orderBy("bin")
+      val gaps = h.withColumn("next_lo", lead("bin_lo", 1).over(w))
+        .filter(col("next_lo").isNotNull && col("next_lo") =!= col("bin_hi"))
+      assert(gaps.isEmpty, "bins must tile the value range")
+    } finally { h.unpersist(); () }
+  }
+
+  test("dynamic partition overwrite rewrites only touched partitions") {
+    // the warehouse-sink scale rule: a monthly re-run must replace ONLY
+    // the partitions it produced, not truncate the whole fact table
+    val dir = java.nio.file.Files.createTempDirectory("graft_dpo").toString
+    val o = Tables.orders(spark, sf("sf0.001"))
+      .withColumn("yr", year(col("o_orderdate")))
+    o.write.partitionBy("yr").mode("overwrite").parquet(dir)
+    val before = spark.read.parquet(dir).count()
+    val beforeY94 = spark.read.parquet(dir).filter(col("yr") === 1994).count()
+    // restated 1995 slice: half the rows — with dynamic overwrite, 1994
+    // (and every other untouched year) must survive
+    o.filter(col("yr") === 1995 && col("o_orderkey") % 2 === 0)
+      .write.partitionBy("yr").mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .parquet(dir)
+    val after = spark.read.parquet(dir)
+    assert(after.filter(col("yr") === 1994).count() == beforeY94,
+      "untouched partition was clobbered")
+    assert(after.count() < before && after.filter(col("yr") === 1995).count() > 0)
+  }
+
   test("quantiles are monotone in p and bounded by group extremes (q108)") {
     val qs = q("q108_doclen_quantiles")
     val ext = Tables.documents(spark, sf("sf0.001"))
