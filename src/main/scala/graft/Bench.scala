@@ -63,6 +63,22 @@ object Bench {
     }
   }
 
+  /** The driver captures only the TAIL of stdout, which truncates the
+    * front of the (long) cumulative JSON line once ~90 queries are in
+    * it. The file copy is the complete, always-parseable record; stdout
+    * stays for the driver's legacy capture path.
+    */
+  private val OutFile = java.nio.file.Paths.get(
+    sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_out.json"))
+
+  private def emit(line: String): Unit = {
+    println(line)
+    System.out.flush()
+    try
+      java.nio.file.Files.write(OutFile, (line + "\n").getBytes("UTF-8"))
+    catch { case e: Exception => System.err.println(s"[bench] out file: $e") }
+  }
+
   private def jsonLine(
       sfDir: String,
       done: Seq[(String, Double)],
@@ -150,14 +166,12 @@ object Bench {
         // caches are per-query scoped (self-join sharing); never let them
         // accumulate across the suite
         spark.catalog.clearCache()
-        println(jsonLine(sfDir, done, dnf, skipped))
-        System.out.flush()
+        emit(jsonLine(sfDir, done, dnf, skipped))
       }
     }
     if (skipped.nonEmpty) {
       System.err.println(s"[bench] budget exhausted; skipped: ${skipped.mkString(", ")}")
-      println(jsonLine(sfDir, done, dnf, skipped))
-      System.out.flush()
+      emit(jsonLine(sfDir, done, dnf, skipped))
     }
     spark.stop()
   }

@@ -511,18 +511,32 @@ object Dedup {
     // Fuzzy (edit-distance) near-dup over the NAME DOMAIN: distinct-first
     // shrinks the quadratic surface from rows to vocabulary (the scale
     // move — a 100 TB catalog still has a bounded name vocab), then a
-    // first-char block + length band caps each block before the
+    // (first_char, length-band) block caps each block before the
     // levenshtein check. Lev <= 3 keeps typo-range matches.
+    //
+    // Blocking is the q104 banded-range-join trick applied to string
+    // length: band = len div 3; |len_a - len_b| <= 2 means a qualifying
+    // pair differs by at most one band, so exploding the probe side
+    // into bands {b-1, b, b+1} and equi-joining on (first_char, band)
+    // is COMPLETE for the declared predicate — and each pair meets
+    // exactly once because the build side keeps its single band. A
+    // first-char-only key would leave O(V²/26) same-letter comparisons
+    // per block; the length band multiplies the block count by the
+    // length spread. Recall completeness and the per-block pair bound
+    // are pinned in CorpusOpsSpec.
     Q(
       "q103_fuzzy_neardup",
       (s, d) => {
         val names = Tables.part(s, d)
           .select(col("p_name")).distinct()
           .withColumn("blk", substring(col("p_name"), 1, 1))
+          .withColumn("band", floor(length(col("p_name")) / 3).cast("int"))
           .cache() // both sides of the self-join (no exchange reuse)
-        val a = names.select(col("blk"), col("p_name").as("name_a"))
-        val b = names.select(col("blk"), col("p_name").as("name_b"))
-        a.join(b, Seq("blk"))
+        val a = names.select(
+          col("blk"), col("p_name").as("name_a"),
+          explode(array(col("band") - 1, col("band"), col("band") + 1)).as("band"))
+        val b = names.select(col("blk"), col("p_name").as("name_b"), col("band"))
+        a.join(b, Seq("blk", "band"))
           .filter(
             col("name_a") < col("name_b") &&
               abs(length(col("name_a")) - length(col("name_b"))) <= 2 &&

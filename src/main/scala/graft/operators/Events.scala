@@ -142,6 +142,58 @@ object Events {
         ORDER BY p.user_id, p.event_id""")
     ),
 
+    // AsOf.auto's dispatch boundary under the hash oracle: the SAME
+    // as-of contract evaluated through BOTH dispatch arms by moving
+    // `autoBroadcastJoinThreshold` to either side of the right side's
+    // size (-1 forces the co-partitioned streaming-merge exec; 1 TB
+    // forces the broadcast range join). `auto` reads the threshold
+    // EAGERLY at frame-construction time, and the broadcast arm pins
+    // its choice with an explicit broadcast() hint, so restoring the
+    // conf immediately after construction cannot flip either plan.
+    // Each arm must independently reproduce the oracle rows — the
+    // union is tagged so a divergence in either arm breaks the hash.
+    Q(
+      "q115_asof_auto_dispatch",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), col("ts"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_event_id"))
+        def arm(threshold: String, tag: String) = {
+          val key = "spark.sql.autoBroadcastJoinThreshold"
+          val saved = s.conf.get(key)
+          try {
+            s.conf.set(key, threshold)
+            AsOf.auto(purchases, clicks, "ts", "click_ts",
+                Seq("user_id"), Seq("click_event_id", "click_ts"))
+              .withColumn("arm", lit(tag))
+          } finally s.conf.set(key, saved)
+        }
+        arm("-1", "merge").unionByName(arm(s"${1L << 40}", "broadcast"))
+          .select(
+            col("arm"), col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("ts_us"),
+            col("click_event_id"),
+            unix_micros(col("click_ts")).as("click_ts_us"))
+          .orderBy(col("arm"), col("user_id"), col("event_id"))
+      },
+      Some("""
+        WITH aj AS (
+          SELECT p.user_id, p.event_id,
+                 epoch_us(CAST(p.ts AS TIMESTAMP)) AS ts_us,
+                 c.event_id AS click_event_id,
+                 epoch_us(CAST(c.ts AS TIMESTAMP)) AS click_ts_us
+          FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+          ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+            ON p.user_id = c.user_id AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+        )
+        SELECT 'merge' AS arm, * FROM aj
+        UNION ALL
+        SELECT 'broadcast' AS arm, * FROM aj
+        ORDER BY arm, user_id, event_id""")
+    ),
+
     // JSON attribute extraction from the props payload. from_json with
     // an explicit schema parses each payload once into a typed struct
     // (a per-field get_json_object re-parses the string for every field

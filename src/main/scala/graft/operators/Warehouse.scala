@@ -14,6 +14,54 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
 object Warehouse {
   import Det._
 
+  /** SCD Type-2 reconcile of a current dimension against an incoming
+    * restated snapshot — the generic keyed full-outer merge, all four
+    * branches handled:
+    *
+    *  - changed key:   close the current version at `restate`, open a
+    *                   new current one;
+    *  - unchanged key: keep the single open-ended current version;
+    *  - insert (key only in `inc`): open a new current version at
+    *                   `restate` — no closed predecessor;
+    *  - delete (key only in `cur`): close the current version at
+    *                   `restate` — no successor.
+    *
+    * One shuffle on the dimension key, no windows. Inputs by column
+    * name: `cur(key, bal)`, `inc(key, new_bal)`; output
+    * `(key, bal, valid_from, valid_to, is_current)`. The insert/delete
+    * branches are pinned in WarehouseSpec (q105's supplier feed cannot
+    * reach them — cur and inc derive from the same table there).
+    */
+  def scd2Merge(
+      cur: org.apache.spark.sql.DataFrame,
+      inc: org.apache.spark.sql.DataFrame,
+      openedAt: String,
+      restate: String,
+      endOfTime: String): org.apache.spark.sql.DataFrame = {
+    val c = cur.select(col("key").as("c_key"), col("bal"))
+    val i = inc.select(col("key").as("i_key"), col("new_bal"))
+    val insert = col("c_key").isNull
+    val delete = col("i_key").isNull
+    val changed = col("new_bal") =!= col("bal")
+    def v(b: org.apache.spark.sql.Column, from: String, to: String, cu: Boolean) =
+      struct(b.as("bal"), lit(from).as("valid_from"),
+        lit(to).as("valid_to"), lit(cu).as("is_current"))
+    c.join(i, col("c_key") === col("i_key"), "full_outer")
+      .select(
+        coalesce(col("c_key"), col("i_key")).as("key"),
+        explode(
+          when(insert, array(v(col("new_bal"), restate, endOfTime, cu = true)))
+            .when(delete, array(v(col("bal"), openedAt, restate, cu = false)))
+            .when(changed, array(
+              v(col("bal"), openedAt, restate, cu = false),
+              v(col("new_bal"), restate, endOfTime, cu = true)))
+            .otherwise(array(v(col("bal"), openedAt, endOfTime, cu = true)))).as("v"))
+      .select(
+        col("key"), col("v.bal").as("bal"),
+        col("v.valid_from").as("valid_from"), col("v.valid_to").as("valid_to"),
+        col("v.is_current").as("is_current"))
+  }
+
   val all: Seq[Q] = Seq(
     // Banded range self-join: pairs of orders by the same customer
     // placed within 30 days of each other (reorder-interval analysis).
@@ -72,41 +120,26 @@ object Warehouse {
     // an incoming restated snapshot (here: accounts in every 5th nation
     // restated +100). Changed keys close their current version at the
     // restatement date and open a new current one; unchanged keys keep
-    // their open-ended version. The merge is a keyed full-outer join of
-    // current vs incoming (the generic shape — handles inserts/deletes
-    // too) followed by a per-key row expansion; one shuffle on the
-    // dimension key, no windows. This is the maintenance verb behind
-    // the reference's cost/list-price history tables
+    // their open-ended version; the insert/delete branches of the
+    // full-outer merge live in [[scd2Merge]] (unreachable from this
+    // feed — cur and inc derive from the same table — and pinned in
+    // WarehouseSpec instead). One shuffle on the dimension key, no
+    // windows. This is the maintenance verb behind the reference's
+    // cost/list-price history tables
     // (/root/reference/notebooks/etl_transform.ipynb cell 14).
     Q(
       "q105_scd2_merge",
       (s, d) => {
-        val cur = Tables.supplier(s, d).select(col("s_suppkey"), col("s_acctbal"))
+        val cur = Tables.supplier(s, d)
+          .select(col("s_suppkey").as("key"), col("s_acctbal").as("bal"))
         val inc = Tables.supplier(s, d).select(
-          col("s_suppkey").as("i_suppkey"),
+          col("s_suppkey").as("key"),
           when(col("s_nationkey") % 5 === 0, col("s_acctbal") + 100.0)
             .otherwise(col("s_acctbal")).as("new_bal"))
-        val changed = col("new_bal") =!= col("s_acctbal")
-        cur
-          .join(inc, col("s_suppkey") === col("i_suppkey"), "full_outer")
+        scd2Merge(cur, inc, "2020-01-01", "2026-01-01", "9999-12-31")
           .select(
-            col("s_suppkey"),
-            explode(when(changed, array(
-              struct(
-                col("s_acctbal").as("bal"), lit("2020-01-01").as("valid_from"),
-                lit("2026-01-01").as("valid_to"), lit(false).as("is_current")),
-              struct(
-                col("new_bal").as("bal"), lit("2026-01-01").as("valid_from"),
-                lit("9999-12-31").as("valid_to"), lit(true).as("is_current"))
-            )).otherwise(array(
-              struct(
-                col("s_acctbal").as("bal"), lit("2020-01-01").as("valid_from"),
-                lit("9999-12-31").as("valid_to"), lit(true).as("is_current"))
-            ))).as("v"))
-          .select(
-            col("s_suppkey"), col("v.bal").as("s_acctbal"),
-            col("v.valid_from").as("valid_from"), col("v.valid_to").as("valid_to"),
-            col("v.is_current").as("is_current"))
+            col("key").as("s_suppkey"), col("bal").as("s_acctbal"),
+            col("valid_from"), col("valid_to"), col("is_current"))
           .orderBy(col("s_suppkey"), col("valid_from"))
       },
       Some("""
@@ -211,6 +244,55 @@ object Warehouse {
                strftime(MAX(CAST(l_shipdate AS TIMESTAMP)), '%Y-%m-%d')
         FROM lineitem
         ORDER BY col_name""")
+    ),
+
+    // The 100 TB form of q106: `approx_count_distinct` (HLL++, rsd 2%,
+    // a fixed-size mergeable sketch per column) replaces the exact
+    // multi-distinct. Same single scan and profile shape, but NO
+    // Expand — the exact form amplifies every fact row ×6 map-side to
+    // give each distinct its own grouping, while the sketches all fold
+    // in one pass over unamplified rows. Null counts and min/max stay
+    // exact. HLL estimates are engine-specific, so the gate is a
+    // tolerance + plan-shape spec (ApproxSpec + PlanSpec: estimates
+    // within rsd margin of q106's exact counts, no Expand in the plan)
+    // rather than a DuckDB hash oracle.
+    Q(
+      "q114_approx_profile",
+      (s, d) => {
+        def decS(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)").cast("string")
+        Tables.lineitem(s, d)
+          .agg(
+            count(lit(1)).as("n_rows"),
+            count(col("l_quantity")).as("nn_q"),
+            approx_count_distinct(col("l_quantity"), 0.02).as("nd_q"),
+            decS(min(col("l_quantity"))).as("min_q"), decS(max(col("l_quantity"))).as("max_q"),
+            count(col("l_extendedprice")).as("nn_p"),
+            approx_count_distinct(col("l_extendedprice"), 0.02).as("nd_p"),
+            decS(min(col("l_extendedprice"))).as("min_p"), decS(max(col("l_extendedprice"))).as("max_p"),
+            count(col("l_discount")).as("nn_d"),
+            approx_count_distinct(col("l_discount"), 0.02).as("nd_d"),
+            decS(min(col("l_discount"))).as("min_d"), decS(max(col("l_discount"))).as("max_d"),
+            count(col("l_returnflag")).as("nn_f"),
+            approx_count_distinct(col("l_returnflag"), 0.02).as("nd_f"),
+            min(col("l_returnflag")).as("min_f"), max(col("l_returnflag")).as("max_f"),
+            count(col("l_shipdate")).as("nn_s"),
+            approx_count_distinct(col("l_shipdate"), 0.02).as("nd_s"),
+            date_format(min(col("l_shipdate")), "yyyy-MM-dd").as("min_s"),
+            date_format(max(col("l_shipdate")), "yyyy-MM-dd").as("max_s"))
+          .select(inline(array(
+            struct(lit("l_discount").as("col_name"), (col("n_rows") - col("nn_d")).as("n_null"),
+              col("nd_d").as("n_distinct"), col("min_d").as("min_v"), col("max_d").as("max_v")),
+            struct(lit("l_extendedprice").as("col_name"), (col("n_rows") - col("nn_p")).as("n_null"),
+              col("nd_p").as("n_distinct"), col("min_p").as("min_v"), col("max_p").as("max_v")),
+            struct(lit("l_quantity").as("col_name"), (col("n_rows") - col("nn_q")).as("n_null"),
+              col("nd_q").as("n_distinct"), col("min_q").as("min_v"), col("max_q").as("max_v")),
+            struct(lit("l_returnflag").as("col_name"), (col("n_rows") - col("nn_f")).as("n_null"),
+              col("nd_f").as("n_distinct"), col("min_f").as("min_v"), col("max_f").as("max_v")),
+            struct(lit("l_shipdate").as("col_name"), (col("n_rows") - col("nn_s")).as("n_null"),
+              col("nd_s").as("n_distinct"), col("min_s").as("min_v"), col("max_s").as("max_v")))))
+          .orderBy(col("col_name"))
+      },
+      None
     ),
 
     // Hopping (sliding) windows in batch: 10-minute windows advancing
@@ -337,9 +419,11 @@ object Warehouse {
           col("l_linenumber").as("seq"),
           when(col("l_linenumber") % 7 === 0, lit("D")).otherwise(lit("U")).as("op"),
           col("l_extendedprice").as("new_val"))
-        // (k, seq) is NOT unique in the synthetic changelog (lineitem
-        // carries duplicate (orderkey, linenumber) pairs), so the sort
-        // must be total: payload desc breaks seq ties deterministically
+        // (l_orderkey, l_linenumber) is lineitem's primary key, so seq
+        // alone already totally orders this changelog; the new_val
+        // tiebreak is defensive (real CDC feeds can carry duplicate
+        // sequence numbers) and keeps the sort total under any feed —
+        // the oracle sorts identically, so parity is unaffected
         val latest = log
           .withColumn("rn",
             row_number().over(
@@ -391,11 +475,15 @@ object Warehouse {
           dsum(col("rev") * col("rev")).as("s2"))
         val mean = col("s1") / col("n")
         val std = sqrt(greatest(col("s2") / col("n") - mean * mean, lit(0.0)))
+        // filter on the RAW z and round only in the select, mirroring
+        // the oracle's WHERE/SELECT split — filtering on the rounded
+        // value would drop a raw |z| in (2.0, 2.0000005] that the
+        // oracle keeps
         daily
           .crossJoin(broadcast(stats))
-          .withColumn("z", round((col("rev") - mean) / when(std =!= 0.0, std), 6))
-          .filter(abs(col("z")) > 2.0)
-          .select(col("day"), col("rev"), col("z"))
+          .withColumn("z_raw", (col("rev") - mean) / when(std =!= 0.0, std))
+          .filter(abs(col("z_raw")) > 2.0)
+          .select(col("day"), col("rev"), round(col("z_raw"), 6).as("z"))
           .orderBy(col("day"))
       },
       Some("""

@@ -23,4 +23,22 @@ class ApproxSpec extends SparkSpec {
       assert(math.abs(ap - p).toDouble / p <= 0.06, s"$k parts: approx=$ap exact=$p")
     }
   }
+
+  test("approx column profile: exact fields equal q106, distincts within 3x rsd (q114)") {
+    val d = sf("sf0.01")
+    def byCol(name: String) =
+      SparkEntry.queries(name)(spark, d).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getString(3), r.getString(4)))
+        .toMap
+    val exact = byCol("q106_column_profile")
+    val approx = byCol("q114_approx_profile")
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (c, (nNull, nd, lo, hi)) =>
+      val (aNull, and, alo, ahi) = approx(c)
+      assert(aNull == nNull && alo == lo && ahi == hi,
+        s"$c: null/min/max must be exact in the approx profile")
+      assert(math.abs(and - nd).toDouble / nd.max(1L) <= 0.06,
+        s"$c: approx distinct $and vs exact $nd exceeds 3x rsd")
+    }
+  }
 }

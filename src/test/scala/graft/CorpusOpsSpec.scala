@@ -152,6 +152,48 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got == inBlock, "missed a pair the block should have produced")
   }
 
+  test("q103 length-band blocking bounds a hot first letter, recall survives (skew corpus)") {
+    // The skew scenario the band defends against: ONE hot first letter
+    // with a wide length spread. First-char-only blocking puts all of
+    // it in one block (quadratic); the (first_char, band) key splits it
+    // so each build row only meets its ±1-band neighborhood. TPC-H
+    // names are too length-uniform to exercise this (every name within
+    // 3 adjacent bands), so the corpus is crafted: 120 'a'-names with
+    // lengths 5..64, plus near-dup pairs at a band BOUNDARY (lengths
+    // 17/18 = bands 5/6) proving cross-band recall.
+    import spark.implicits._
+    val hot = (0 until 120).map(i => "a" + ("x" * (4 + i % 60)) + ('a' + i / 60).toChar)
+    val nearDup = Seq("a" + "y" * 16, "a" + "y" * 16 + "z") // lev 1, bands 5 and 6
+    val dir = java.nio.file.Files.createTempDirectory("graft_fuzzy").toString
+    (hot ++ nearDup).toDF("p_name")
+      .repartition(4).write.mode("overwrite").parquet(s"$dir/part.parquet")
+
+    // recall: the banded pipeline must still find every in-block pair,
+    // including the pair whose members sit in ADJACENT bands
+    val got = SparkEntry.queries("q103_fuzzy_neardup")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got.contains((nearDup.minBy(identity), nearDup.maxBy(identity))),
+      s"cross-band near-dup pair must be found, got $got")
+
+    // per-block bound: no build row's neighborhood covers the hot
+    // letter's whole population
+    val names = hot ++ nearDup
+    def band(s: String): Int = s.length / 3
+    val byBlock = names.groupBy(s => (s.head, band(s))).view.mapValues(_.size.toLong).toMap
+    val population = names.size.toLong
+    val maxNeighborhood = byBlock.keys.map { case (c, b) =>
+      (b - 1 to b + 1).map(k => byBlock.getOrElse((c, k), 0L)).sum
+    }.max
+    assert(maxNeighborhood * 4 < population,
+      s"hot-letter block must shrink: neighborhood $maxNeighborhood of $population")
+    // and the banded surface is a fraction of the single-block square
+    val bandedSurface = byBlock.map { case ((c, b), n) =>
+      n * (b - 1 to b + 1).map(k => byBlock.getOrElse((c, k), 0L)).sum
+    }.sum
+    assert(bandedSurface * 4 < population * population,
+      s"banded surface $bandedSurface must be far below first-char-only ${population * population}")
+  }
+
   test("q95 centroid row count is labels x dims and n matches label sizes") {
     val cent = SparkEntry.queries("q95_label_centroids")(spark, d).collect()
     val dims = Tables.embeddings(spark, d)

@@ -124,4 +124,59 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"),
       s"train side must stream, never sort-merge against eval:\n$p")
   }
+
+  test("approx column profile folds sketches without an Expand (q114)") {
+    // q106's exact multi-distinct costs a ×6 row amplification; the
+    // approx variant is the declared 100 TB path and must keep the
+    // single unamplified scan
+    val p = plan("q114_approx_profile")
+    assert(!p.contains("Expand"), s"approx profile must not Expand:\n$p")
+    val scans = p.linesIterator.count(l => l.contains("FileScan") && l.contains("lineitem"))
+    assert(scans == 1, s"approx profile must scan lineitem once, found $scans:\n$p")
+  }
+
+  test("fuzzy near-dup joins on (first_char, length_band), not first_char alone (q103)") {
+    // the length band must be part of the JOIN KEY — as a join-side
+    // predicate every same-letter pair would still meet at the join
+    // (O(V²/26) comparisons per letter before filtering). At sf0.001
+    // the tiny vocab broadcasts; what must hold at any size is that
+    // the equi-join keys are (blk, band), so rows only meet within
+    // their ±1 length band.
+    val p = plan("q103_fuzzy_neardup")
+    val joinLine = p.linesIterator.find(_.contains("Join"))
+    assert(joinLine.exists(l => l.contains("blk") && l.contains("band")),
+      s"join keys must be (blk, band):\n$p")
+  }
+
+  /** The global-window waivers (q07/q31/q94 and the CompanyXEtl
+    * surrogate-id sites they pin): a single-partition Window is only
+    * acceptable over a provably tiny frame, so the window's subtree
+    * must pass through a row-shrinking operator (aggregate or limit)
+    * BEFORE reaching any file scan. A future edit that slides a
+    * fact-sized frame under one of these windows fails here.
+    */
+  private def assertGlobalWindowPostShrink(name: String): Unit = {
+    val p = plan(name)
+    val lines = p.linesIterator.toVector
+    val winIdx = lines.indexWhere(_.contains("Window"))
+    assert(winIdx >= 0, s"$name: expected a Window node:\n$p")
+    val below = lines.drop(winIdx + 1)
+    val shrinkIdx = below.indexWhere(l =>
+      l.contains("Aggregate") || l.contains("Limit") || l.contains("TakeOrderedAndProject"))
+    val scanIdx = below.indexWhere(_.contains("FileScan"))
+    assert(shrinkIdx >= 0 && (scanIdx < 0 || shrinkIdx < scanIdx),
+      s"$name: single-partition window consumes an unaggregated scan:\n$p")
+  }
+
+  test("interval-dim surrogate window sits above aggregation (q07)") {
+    assertGlobalWindowPostShrink("q07_interval_dim")
+  }
+
+  test("calendar-dim surrogate window sits above aggregation (q31)") {
+    assertGlobalWindowPostShrink("q31_calendar_dim")
+  }
+
+  test("vocab-rank window sits above the top-k limit (q94)") {
+    assertGlobalWindowPostShrink("q94_vocab_build")
+  }
 }

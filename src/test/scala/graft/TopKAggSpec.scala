@@ -73,4 +73,33 @@ class TopKAggSpec extends SparkSpec {
     assert(plan.linesIterator.count(_.contains("ObjectHashAggregate")) >= 2,
       s"expected partial+final ObjectHashAggregate:\n$plan")
   }
+
+  test("partial buffer holds at most k entries under update, merge, and serialization") {
+    // drives the aggregate directly — THE scale claim: what crosses the
+    // shuffle is the serialized partial, so its entry count must stay
+    // bounded by k no matter how many rows a partition feeds it
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal}
+    import org.apache.spark.sql.types.LongType
+    val agg = graft.functions.TopKAgg(
+      BoundReference(0, LongType, nullable = false), Literal(3))
+    val buf = agg.createAggregationBuffer()
+    (0 until 10000).foreach { i =>
+      agg.update(buf, InternalRow((i * 2654435761L) % 9973))
+      assert(buf.size <= 3, s"buffer grew past k after ${i + 1} updates")
+    }
+    val buf2 = agg.createAggregationBuffer()
+    (0 until 10000).foreach(i => agg.update(buf2, InternalRow(i.toLong % 7919)))
+    val merged = agg.merge(buf, buf2)
+    assert(merged.size <= 3, "merge of two full partials must stay bounded")
+    val bytes = agg.serialize(merged)
+    assert(agg.deserialize(bytes).size <= 3, "shuffled partial must carry <= k entries")
+    // and the survivors are the true global minima of everything fed in
+    val expect = ((0 until 10000).map(i => (i * 2654435761L) % 9973) ++
+      (0 until 10000).map(i => i.toLong % 7919)).sorted.take(3)
+    val got = agg.eval(merged)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.GenericArrayData]
+      .toLongArray().toSeq
+    assert(got == expect, s"expected $expect, got $got")
+  }
 }

@@ -70,12 +70,36 @@ class WarehouseSpec extends SparkSpec {
     assert(scans == 1, s"profile must scan lineitem once, found $scans:\n$p")
   }
 
-  test("source quota ships at most k rows per group per partition (q109)") {
-    // the native aggregate bounds every partial to k entries; the final
-    // result is exactly the row_number top-5 (pinned by the oracle) and
-    // per-source cardinality never exceeds 5
-    val over = q("q109_source_quota").groupBy("source").count().filter(col("count") > 5)
+  test("source quota plans as bounded partial aggregate, caps at 5 per source (q109)") {
+    // the per-partition partial-state bound itself (<= k entries in the
+    // buffer that crosses the shuffle) is asserted directly on TopKAgg
+    // in TopKAggSpec; here pin that q109 actually PLANS through that
+    // aggregate — partial+final ObjectHashAggregate, no window sort —
+    // and that the final output honors the quota
+    val frame = q("q109_source_quota")
+    val p = frame.queryExecution.executedPlan.toString
+    assert(p.linesIterator.count(_.contains("ObjectHashAggregate")) >= 2,
+      s"quota must run as partial+final ObjectHashAggregate:\n$p")
+    assert(!p.contains("WindowExec"), s"quota must not fall back to a window sort:\n$p")
+    val over = frame.groupBy("source").count().filter(col("count") > 5)
     assert(over.isEmpty)
+  }
+
+  test("SCD2 merge handles insert and delete branches (scd2Merge helper)") {
+    import spark.implicits._
+    val cur = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("key", "bal")
+    val inc = Seq((1L, 10.0), (2L, 25.0), (4L, 40.0)).toDF("key", "new_bal")
+    val out = operators.Warehouse
+      .scd2Merge(cur, inc, "2020-01-01", "2026-01-01", "9999-12-31")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2),
+        r.getString(3), r.getBoolean(4))).toSet
+    assert(out == Set(
+      (1L, 10.0, "2020-01-01", "9999-12-31", true),  // unchanged
+      (2L, 20.0, "2020-01-01", "2026-01-01", false), // restated: closed
+      (2L, 25.0, "2026-01-01", "9999-12-31", true),  // restated: reopened
+      (3L, 30.0, "2020-01-01", "2026-01-01", false), // deleted: closed, no successor
+      (4L, 40.0, "2026-01-01", "9999-12-31", true)   // inserted: opens at restate
+    ), s"merge branches wrong: $out")
   }
 
   test("CDC apply deletes, updates, and passes through correctly (q110)") {
