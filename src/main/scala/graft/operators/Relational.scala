@@ -258,6 +258,65 @@ object Relational {
         ORDER BY o_custkey, o_orderkey""")
     ),
 
+    // GLOBAL running total — the two-phase distributed cumsum. A
+    // global `SUM() OVER (ORDER BY ...)` is the one window Spark can
+    // only plan as a single-partition sort (the whole fact on one
+    // task); the scale formulation splits it:
+    //
+    //   phase 1: range-repartition on the (unique) sort key, prefix-sum
+    //            WITHIN each partition (Window.partitionBy(pid) — rows
+    //            stay distributed);
+    //   phase 2: per-partition totals (one row per partition) get their
+    //            own exclusive cumsum — a bounded-domain global window
+    //            over ≤ shuffle.partitions rows — and broadcast back as
+    //            offsets; running_total = within + offset.
+    //
+    // Cost: the range exchange plus one hash exchange on pid for the
+    // within-window — two distributed shuffles in place of a
+    // single-task global sort. The frame is cached because offsets and
+    // the per-row pass both consume it (partition ids must come from
+    // ONE evaluation of the range shuffle). Decimal-exact sums make
+    // the result independent of where the range boundaries land.
+    Q(
+      "q116_global_running_total",
+      (s, d) => {
+        val nParts = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+        val o = Tables.orders(s, d).select(
+          col("o_orderkey"),
+          to_date(col("o_orderdate")).as("order_date"),
+          col("o_totalprice").cast(Det.Money).as("price"))
+        val ranged = o
+          .repartitionByRange(nParts, col("order_date"), col("o_orderkey"))
+          .withColumn("__pid", spark_partition_id())
+          .cache()
+        val within = Window
+          .partitionBy(col("__pid"))
+          .orderBy(col("order_date"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        // bounded-domain waiver: one row per shuffle partition
+        val offW = Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)
+        val offsets = ranged
+          .groupBy(col("__pid"))
+          .agg(sum(col("price")).as("part_sum"))
+          .withColumn("offset", coalesce(sum(col("part_sum")).over(offW), lit(0).cast(Det.Money)))
+          .select(col("__pid"), col("offset"))
+        ranged
+          .withColumn("within", sum(col("price")).over(within))
+          .join(broadcast(offsets), Seq("__pid"))
+          .select(
+            col("o_orderkey"), col("order_date"),
+            (col("within") + col("offset")).cast("double").as("running_total"))
+          .orderBy(col("order_date"), col("o_orderkey"))
+      },
+      Some("""
+        SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
+                    OVER (ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+        FROM orders
+        ORDER BY order_date, o_orderkey""")
+    ),
+
     // lead/lag: days between consecutive orders of a customer
     Q(
       "q12_order_gaps",

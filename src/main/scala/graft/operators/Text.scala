@@ -415,6 +415,69 @@ object Text {
         ORDER BY t.doc_id""")
     ),
 
+    // Temperature-based source mixing (the data-mix move behind
+    // multi-corpus training sets): per-source keep rates are COMPUTED
+    // FROM the corpus — weight w_s ∝ n_s^0.5 (temperature α = 0.5
+    // flattens the source distribution), scaled to a 200-doc budget and
+    // capped at keep-everything. Unlike q88's hardcoded config dim, the
+    // rate table here is derived by a tiny per-source aggregate and
+    // broadcast back; the keep decision stays the salted-md5-bucket
+    // projection, so the sample is deterministic across workers,
+    // engines, and reruns.
+    //
+    // Determinism of the computed rates: sqrt(n) is correctly-rounded
+    // IEEE in both engines (identical bits); the cross-source
+    // normalizer is summed as 6-dp DECIMAL (order-independent — a
+    // double Σ would vary with aggregation order and could flip a
+    // floor() boundary); the remaining double multiply/divide chain is
+    // written with identical association in both engines, and the
+    // bucket compare is integer-vs-integer.
+    Q(
+      "q117_mixture_sample",
+      (s, d) => {
+        val docsSrc = Tables.documents(s, d).select(col("doc_id"), col("source"))
+        val stats = docsSrc.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"))
+          .withColumn("sw", sqrt(col("n_docs")).cast(graft.Det.Money))
+        val total = stats.agg(sum(col("sw")).as("s_all"))
+        val rates = stats.crossJoin(broadcast(total))
+          .withColumn(
+            "rate_bp",
+            floor(lit(10000.0) * least(
+              lit(1.0),
+              lit(200.0) * (col("sw").cast("double") / col("s_all").cast("double"))
+                / col("n_docs").cast("double"))).cast(IntegerType))
+          .select(col("source"), col("rate_bp"))
+        docsSrc
+          .withColumn(
+            "bucket",
+            TextFns.h60(concat(lit("mix:"), col("doc_id").cast("string"))) % 10000)
+          .join(broadcast(rates), "source")
+          .filter(col("bucket") < col("rate_bp"))
+          .select(col("doc_id"), col("source"), col("bucket"), col("rate_bp"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH stats AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(sqrt(COUNT(*)) AS DECIMAL(38,6)) AS sw
+          FROM documents GROUP BY source),
+        tot AS (SELECT SUM(sw) AS s_all FROM stats),
+        rates AS (
+          SELECT source,
+                 CAST(floor(10000.0 * least(1.0,
+                      200.0 * (CAST(sw AS DOUBLE) / CAST(s_all AS DOUBLE))
+                        / CAST(n_docs AS DOUBLE))) AS INT) AS rate_bp
+          FROM stats CROSS JOIN tot),
+        t AS (SELECT doc_id, source,
+                     (${T.h60("'mix:' || CAST(doc_id AS VARCHAR)")} % 10000) AS bucket
+              FROM documents)
+        SELECT t.doc_id, t.source, t.bucket, r.rate_bp
+        FROM t JOIN rates r ON t.source = r.source
+        WHERE t.bucket < r.rate_bp
+        ORDER BY t.doc_id""")
+    ),
+
     // Intra-document repetition filter (the Gopher-rules quality gate):
     // fraction of 2-gram occurrences that are repeats, plus the share of
     // the single most frequent 2-gram. Two keyed aggs — (doc, gram) then

@@ -168,6 +168,24 @@ class PlanSpec extends SparkSpec {
       s"$name: single-partition window consumes an unaggregated scan:\n$p")
   }
 
+  test("global running total never collapses the fact to one partition (q116)") {
+    val p = plan("q116_global_running_total")
+    val lines = p.linesIterator.toVector
+    // every SinglePartition exchange must consume post-aggregation data
+    // (the per-partition offsets), never the fact or its cache
+    lines.zipWithIndex.filter(_._1.contains("SinglePartition")).foreach { case (_, i) =>
+      val below = lines.drop(i + 1)
+      val shrink = below.indexWhere(l => l.contains("Aggregate") || l.contains("Limit"))
+      val scan = below.indexWhere(l =>
+        l.contains("FileScan") || l.contains("InMemoryTableScan") || l.contains("InMemoryRelation"))
+      assert(shrink >= 0 && (scan < 0 || shrink < scan),
+        s"SinglePartition exchange consumes unaggregated data:\n$p")
+    }
+    // the per-row prefix sum stays distributed: windowed by partition id
+    assert(p.contains("hashpartitioning(__pid"),
+      s"expected the within-partition window to hash on __pid:\n$p")
+  }
+
   test("interval-dim surrogate window sits above aggregation (q07)") {
     assertGlobalWindowPostShrink("q07_interval_dim")
   }
