@@ -556,6 +556,42 @@ object Dedup {
         WHERE abs(length(a.p_name) - length(b.p_name)) <= 2
           AND levenshtein(a.p_name, b.p_name) <= 3
         ORDER BY name_a, name_b""")
+    ),
+
+    // Incremental (ingestion-time) exact dedup: a new batch arrives and
+    // must be deduplicated BOTH against the existing corpus fingerprint
+    // index and within itself — the verb a continuously-fed corpus runs
+    // on every delivery, where q45 is the one-shot whole-corpus form.
+    // The index probe is a left-anti equi-join on the fingerprint (the
+    // scale-safe NOT IN: co-partitioned shuffle, no collected list);
+    // within-batch survivors are min-doc_id per fingerprint, one keyed
+    // agg. At warehouse scale the index side would be bucketed by fp so
+    // the probe shuffles only the (much smaller) incoming batch. The
+    // batch here is synthesized by doc_id split (>= 400 incoming).
+    Q(
+      "q119_incremental_dedup",
+      (s, d) => {
+        val fp = Tables.documents(s, d)
+          .select(col("doc_id"), md5(col("text")).as("fp"))
+        val index = fp.filter(col("doc_id") < 400).select(col("fp"))
+        val incoming = fp.filter(col("doc_id") >= 400)
+        incoming
+          .join(index, Seq("fp"), "left_anti")
+          .groupBy(col("fp"))
+          .agg(
+            min(col("doc_id")).as("doc_id"),
+            count(lit(1)).cast(IntegerType).as("batch_copies"))
+          .select(col("doc_id"), col("fp"), col("batch_copies"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH fp AS (SELECT doc_id, md5(text) AS fp FROM documents),
+        novel AS (
+          SELECT i.* FROM (SELECT * FROM fp WHERE doc_id >= 400) i
+          ANTI JOIN (SELECT fp FROM fp WHERE doc_id < 400) x ON i.fp = x.fp)
+        SELECT MIN(doc_id) AS doc_id, fp, CAST(COUNT(*) AS INT) AS batch_copies
+        FROM novel GROUP BY fp
+        ORDER BY doc_id""")
     )
   )
 }

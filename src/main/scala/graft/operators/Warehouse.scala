@@ -366,6 +366,32 @@ object Warehouse {
         ORDER BY lang, p""")
     ),
 
+    // The 100 TB form of q108: `approx_percentile` (Greenwald-Khanna
+    // style mergeable sketch, rank error <= 1/accuracy) replaces the
+    // exact percentile — the same one-hash-agg call shape, but the
+    // per-group state is a bounded sketch instead of the full sorted
+    // value multiset, so a group with a billion rows costs the same
+    // memory as one with a thousand. Returns actual elements (no
+    // interpolation), so estimates are engine-specific: the gate is
+    // the rank-error property itself (ApproxSpec: the reported value's
+    // empirical rank sits within p ± 0.05 per group), not a hash
+    // oracle.
+    Q(
+      "q118_approx_quantiles",
+      (s, d) =>
+        Tables.documents(s, d)
+          .groupBy(col("lang"))
+          .agg(expr(
+            "approx_percentile(n_chars, array(0.25D, 0.5D, 0.75D, 0.9D), 1000)").as("qs"))
+          .select(col("lang"), posexplode(col("qs")))
+          .select(
+            col("lang"),
+            element_at(array(lit(0.25), lit(0.5), lit(0.75), lit(0.9)), col("pos") + 1).as("p"),
+            col("col").cast(LongType).as("n_chars_q"))
+          .orderBy(col("lang"), col("p")),
+      None
+    ),
+
     // Per-source document quota (C4/CCNet-style domain cap): keep the
     // top 5 documents per source by length (doc_id tiebreak) through
     // the native bounded-heap aggregate — each partition ships at most

@@ -41,4 +41,27 @@ class ApproxSpec extends SparkSpec {
         s"$c: approx distinct $and vs exact $nd exceeds 3x rsd")
     }
   }
+
+  test("approx quantiles honor the rank-error guarantee per group (q118)") {
+    // the sketch's contract is rank error (<= 1/accuracy = 0.001,
+    // asserted at a generous 0.05): the reported value's empirical rank
+    // within its group must bracket the requested percentile
+    val d = sf("sf0.01")
+    val byLang = Tables.documents(spark, d)
+      .select(col("lang"), col("n_chars").cast("long")).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val approx = SparkEntry.queries("q118_approx_quantiles")(spark, d)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    assert(approx.length == byLang.size * 4)
+    approx.foreach { case (lang, p, v) =>
+      val xs = byLang(lang)
+      val n = xs.length.toDouble
+      val rankLo = xs.count(_ < v) / n
+      val rankHi = xs.count(_ <= v) / n
+      assert(rankLo <= p + 0.05 && rankHi >= p - 0.05,
+        s"$lang p=$p: value $v has rank [$rankLo,$rankHi], outside tolerance")
+      assert(xs.contains(v), s"$lang p=$p: approx_percentile must return an actual element")
+    }
+  }
 }
