@@ -94,6 +94,58 @@ object AsOf {
     out
   }
 
+  /** Forward as-of: attaches the EARLIEST right row with
+    * rightTime >= leftTime (inclusive, pandas
+    * `merge_asof(direction='forward')`). Pure composition: negating
+    * both time axes turns "earliest at-or-after" into "latest
+    * at-or-before", so the [[backward]] machinery (and its scale
+    * shape — one keyed shuffle, no cross product) is reused verbatim;
+    * payload columns, including the original right time, pass through
+    * untouched.
+    */
+  def forward(
+      left: DataFrame,
+      right: DataFrame,
+      leftTime: String,
+      rightTime: String,
+      by: Seq[String],
+      rightPayload: Seq[String]
+  ): DataFrame = {
+    val l = left.withColumn("__negt_l", -unix_micros(col(leftTime)))
+    val r = right.withColumn("__negt_r", -unix_micros(col(rightTime)))
+    backward(l, r, "__negt_l", "__negt_r", by, rightPayload).drop("__negt_l")
+  }
+
+  /** Nearest as-of: the temporally closer of the [[backward]] and
+    * [[forward]] matches, ties resolved toward backward (the earlier
+    * right row). Composed from both directions joined back on
+    * `leftKey` — a column set that uniquely identifies left rows
+    * (required: the two passes are merged row-wise). `rightPayload`
+    * must include `rightTime` so distances are comparable.
+    */
+  def nearest(
+      left: DataFrame,
+      right: DataFrame,
+      leftTime: String,
+      rightTime: String,
+      by: Seq[String],
+      leftKey: Seq[String],
+      rightPayload: Seq[String]
+  ): DataFrame = {
+    require(rightPayload.contains(rightTime),
+      "nearest as-of needs rightTime in rightPayload to compare distances")
+    val b = backward(left, right, leftTime, rightTime, by, rightPayload)
+    val f = forward(left, right, leftTime, rightTime, by, rightPayload)
+      .select(leftKey.map(col) ++ rightPayload.map(p => col(p).as(s"__f_$p")): _*)
+    val distB = unix_micros(col(leftTime)) - unix_micros(col(rightTime))
+    val distF = unix_micros(col(s"__f_$rightTime")) - unix_micros(col(leftTime))
+    val chooseF = col(rightTime).isNull ||
+      (col(s"__f_$rightTime").isNotNull && distF < distB)
+    b.join(f, leftKey)
+      .select(left.columns.map(col) ++
+        rightPayload.map(p => when(chooseF, col(s"__f_$p")).otherwise(col(p)).as(p)): _*)
+  }
+
   /** Broadcast range-join as-of for a small right side. Each right row
     * is valid on `[rightTime, lead(rightTime))`; the last interval is
     * open-ended. Left join — left rows preceding every right row keep

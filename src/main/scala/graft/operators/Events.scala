@@ -194,6 +194,95 @@ object Events {
         ORDER BY arm, user_id, event_id""")
     ),
 
+    // Forward as-of: each purchase ← the EARLIEST click at-or-after it
+    // (pandas merge_asof direction='forward'; the follow-up-attribution
+    // mirror of q38). Implemented by time-axis negation over the same
+    // sort-merge machinery; the oracle is DuckDB's ASOF with the
+    // inequality flipped.
+    Q(
+      "q120_asof_forward",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), col("ts"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_event_id"))
+        AsOf
+          .forward(purchases, clicks, "ts", "click_ts", Seq("user_id"), Seq("click_event_id", "click_ts"))
+          .select(
+            col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("ts_us"),
+            col("click_event_id"),
+            unix_micros(col("click_ts")).as("click_ts_us")
+          )
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some("""
+        SELECT p.user_id, p.event_id,
+               epoch_us(CAST(p.ts AS TIMESTAMP)) AS ts_us,
+               c.event_id AS click_event_id,
+               epoch_us(CAST(c.ts AS TIMESTAMP)) AS click_ts_us
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP)
+        ORDER BY p.user_id, p.event_id""")
+    ),
+
+    // Nearest as-of: the temporally closer of the q38 (backward) and
+    // q120 (forward) matches per purchase, ties toward backward. The
+    // oracle composes the same two ASOF joins and applies the same
+    // distance CASE — both engines pick identical rows because click
+    // timestamps are unique per user (pinned by the q38/q120 hashes).
+    Q(
+      "q121_asof_nearest",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), col("ts"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_event_id"))
+        AsOf
+          .nearest(purchases, clicks, "ts", "click_ts",
+            by = Seq("user_id"), leftKey = Seq("event_id"), Seq("click_event_id", "click_ts"))
+          .select(
+            col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("ts_us"),
+            col("click_event_id"),
+            unix_micros(col("click_ts")).as("click_ts_us")
+          )
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some("""
+        WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+        c AS (SELECT * FROM events WHERE event_type = 'click'),
+        b AS (
+          SELECT p.user_id, p.event_id,
+                 epoch_us(CAST(p.ts AS TIMESTAMP)) AS ts_us,
+                 c.event_id AS click_event_id,
+                 epoch_us(CAST(c.ts AS TIMESTAMP)) AS click_ts_us
+          FROM p ASOF LEFT JOIN c
+            ON p.user_id = c.user_id AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)),
+        f AS (
+          SELECT p.user_id, p.event_id,
+                 c.event_id AS click_event_id,
+                 epoch_us(CAST(c.ts AS TIMESTAMP)) AS click_ts_us
+          FROM p ASOF LEFT JOIN c
+            ON p.user_id = c.user_id AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP))
+        SELECT b.user_id, b.event_id, b.ts_us,
+               CASE WHEN b.click_ts_us IS NULL THEN f.click_event_id
+                    WHEN f.click_ts_us IS NOT NULL
+                         AND f.click_ts_us - b.ts_us < b.ts_us - b.click_ts_us
+                      THEN f.click_event_id
+                    ELSE b.click_event_id END AS click_event_id,
+               CASE WHEN b.click_ts_us IS NULL THEN f.click_ts_us
+                    WHEN f.click_ts_us IS NOT NULL
+                         AND f.click_ts_us - b.ts_us < b.ts_us - b.click_ts_us
+                      THEN f.click_ts_us
+                    ELSE b.click_ts_us END AS click_ts_us
+        FROM b JOIN f ON b.event_id = f.event_id
+        ORDER BY b.user_id, b.event_id""")
+    ),
+
     // JSON attribute extraction from the props payload. from_json with
     // an explicit schema parses each payload once into a typed struct
     // (a per-field get_json_object re-parses the string for every field

@@ -48,4 +48,36 @@ class AsOfSpec extends SparkSpec {
     val out = AsOf.backwardBroadcast(l, r, "t", "qt", Seq.empty, Seq("v")).select("v").head()
     assert(out.getInt(0) == 1)
   }
+
+  test("forward as-of: earliest quote at-or-after, equality matches, none-after is null") {
+    // t0 09:00 -> 09:30 quote (100); t1 10:00 -> equality boundary
+    // (101); t2 10:05 -> nothing after -> null; t3 10:00 -> nothing
+    // at-or-after for key 2 -> null
+    val out = AsOf.forward(trades, quotes, "t", "qt", Seq("key"), Seq("px"))
+      .select("trade", "px").collect().map(r => r.getString(0) -> r.get(1)).toMap
+    assert(out == Map("t0" -> 100.0, "t1" -> 101.0, "t2" -> null, "t3" -> null))
+  }
+
+  test("nearest as-of: closer side wins, ties go backward, one-sided falls through") {
+    // t0 09:00: backward none, forward 09:30 -> 100 (one-sided forward)
+    // t1 10:00: backward 10:00 (dist 0) vs forward 10:00 same row -> 101
+    // t2 10:05: backward 10:04 (60s), forward none -> 102
+    // t3 10:00: backward 09:59:59 (1s), forward none -> 200
+    val out = AsOf.nearest(trades, quotes, "t", "qt",
+        by = Seq("key"), leftKey = Seq("trade"), rightPayload = Seq("px", "qt"))
+      .select("trade", "px").collect().map(r => r.getString(0) -> r.get(1)).toMap
+    assert(out == Map("t0" -> 100.0, "t1" -> 101.0, "t2" -> 102.0, "t3" -> 200.0))
+  }
+
+  test("nearest as-of tie between distinct quotes resolves toward backward") {
+    val l = Seq((1L, ts("2024-01-01 12:00:00"), "x")).toDF("key", "t", "trade")
+    val r = Seq(
+      (1L, ts("2024-01-01 11:00:00"), 1.0), // 60 min before
+      (1L, ts("2024-01-01 13:00:00"), 2.0) // 60 min after
+    ).toDF("key", "qt", "px")
+    val out = AsOf.nearest(l, r, "t", "qt",
+        by = Seq("key"), leftKey = Seq("trade"), rightPayload = Seq("px", "qt"))
+      .select("px").head()
+    assert(out.getDouble(0) == 1.0, "equal distance must pick the backward match")
+  }
 }
