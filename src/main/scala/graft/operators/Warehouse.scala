@@ -62,6 +62,35 @@ object Warehouse {
         col("v.is_current").as("is_current"))
   }
 
+  /** Small-file compaction — the warehouse-maintenance verb a
+    * continuously-fed table needs: streaming/batch appends accumulate
+    * many small parquet files, and scan task overhead then grows with
+    * file COUNT, not data size. Rewrites `dir` into
+    * `ceil(actual_on_disk_bytes / targetBytes)` files (actual
+    * filesystem size, not optimizer estimates) via a temp directory
+    * and an atomic-as-the-FS-allows swap. Returns the new file count.
+    *
+    * Round-robin `repartition` (not `coalesce`): coalesce merges
+    * whole input partitions and inherits their skew; compaction's
+    * whole point is evenly-sized output files.
+    */
+  def compact(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      targetBytes: Long): Int = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(hconf)
+    val bytes = fs.getContentSummary(path).getLength
+    val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    val tmp = new org.apache.hadoop.fs.Path(dir + "_compact_tmp")
+    spark.read.parquet(dir).repartition(n)
+      .write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(path, true)
+    fs.rename(tmp, path)
+    n
+  }
+
   val all: Seq[Q] = Seq(
     // Banded range self-join: pairs of orders by the same customer
     // placed within 30 days of each other (reorder-interval analysis).

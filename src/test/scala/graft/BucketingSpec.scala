@@ -40,4 +40,38 @@ class BucketingSpec extends SparkSpec {
       assert(n == Tables.lineitem(spark, sf("sf0.001")).count())
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
+
+  test("bucketed fingerprint index probes without re-shuffling the index (q119 scale path)") {
+    // pins q119's comment: with the corpus fingerprint index stored
+    // bucketed by fp, an incoming batch's anti-join probe shuffles ONLY
+    // the batch (into the bucket layout) — the index, however large,
+    // is never exchanged
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_bkt")
+    Tables.documents(spark, sf("sf0.001"))
+      .filter(col("doc_id") < 400)
+      .select(md5(col("text")).as("fp"))
+      .write.mode("overwrite")
+      .bucketBy(8, "fp").sortBy("fp")
+      .saveAsTable("graft_bkt.fp_index")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val incoming = Tables.documents(spark, sf("sf0.001"))
+        .filter(col("doc_id") >= 400)
+        .select(col("doc_id"), md5(col("text")).as("fp"))
+      val novel = incoming.join(spark.table("graft_bkt.fp_index"), Seq("fp"), "left_anti")
+      val plan = novel.queryExecution.executedPlan.toString
+      val fpExchanges = plan.linesIterator
+        .count(l => l.contains("Exchange hashpartitioning") && l.contains("fp"))
+      assert(fpExchanges == 1,
+        s"only the incoming batch may shuffle; index side must stay in place:\n$plan")
+      assert(plan.contains("Bucketed: true"),
+        s"index scan must use the bucketed layout:\n$plan")
+      // and the probe agrees with the unbucketed formulation
+      val expected = incoming.join(
+        Tables.documents(spark, sf("sf0.001")).filter(col("doc_id") < 400)
+          .select(md5(col("text")).as("fp")),
+        Seq("fp"), "left_anti").count()
+      assert(novel.count() == expected)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
 }

@@ -153,6 +153,28 @@ class WarehouseSpec extends SparkSpec {
     assert(after.count() < before && after.filter(col("yr") === 1995).count() > 0)
   }
 
+  test("compaction rewrites a fragmented table into size-targeted files, content intact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/t"
+    val o = Tables.orders(spark, sf("sf0.001")).select("o_orderkey", "o_totalprice")
+    o.repartition(32).write.parquet(dir)
+    def files = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).toSeq
+    assert(files.size == 32, "fixture must start fragmented")
+    val total = files.map(_.length).sum
+    val expectRows = o.count()
+    // decimal sum: order-independent, so partitioning changes can't
+    // drift the content check
+    def contentSum(df: org.apache.spark.sql.DataFrame) =
+      df.agg(sum(col("o_totalprice").cast(Det.Money))).head.getDecimal(0)
+    val sumBefore = contentSum(spark.read.parquet(dir))
+    val n = operators.Warehouse.compact(spark, dir, targetBytes = total / 4)
+    assert(files.size == n && n >= 4 && n <= 6,
+      s"expected ~4-6 size-targeted files, got $n / on disk ${files.size}")
+    val after = spark.read.parquet(dir)
+    assert(after.count() == expectRows)
+    assert(contentSum(after) == sumBefore, "compaction must not change content")
+  }
+
   test("quantiles are monotone in p and bounded by group extremes (q108)") {
     val qs = q("q108_doclen_quantiles")
     val ext = Tables.documents(spark, sf("sf0.001"))
