@@ -109,6 +109,26 @@ object Streaming {
          AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
         GROUP BY 1, 2 ORDER BY 1"""),
       bench = false
+    ),
+
+    // streaming backward AS-OF via O(1) custom state — the incremental
+    // twin of the q38/q99 flagship operator, gated on the SAME ASOF
+    // oracle: every purchase attributed to the latest at-or-before
+    // click, exactly as the batch sort-merge and the AsOfJoinExec
+    // produce it
+    Q(
+      "q122_stream_asof",
+      (s, d) => EventStream.asOfAttribution(s, d).orderBy(col("user_id"), col("event_id")),
+      Some("""
+        SELECT p.user_id, p.event_id,
+               epoch_us(CAST(p.ts AS TIMESTAMP)) AS ts_us,
+               c.event_id AS click_event_id,
+               epoch_us(CAST(c.ts AS TIMESTAMP)) AS click_ts_us
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+        ORDER BY p.user_id, p.event_id"""),
+      bench = false
     )
   )
 }

@@ -29,13 +29,20 @@ object EventStream {
     .add("value", org.apache.spark.sql.types.DoubleType)
     .add("props", StringType)
 
-  private def readEvents(spark: SparkSession, dir: String): DataFrame = {
+  private def readEvents(
+      spark: SparkSession,
+      dir: String,
+      filesPerTrigger: Option[Int] = None,
+      glob: String = "events.parquet"): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
+    val reader = spark.readStream
       .schema(rawSchema)
       // file stream sources take a directory; select just the events
-      // table out of the scale-factor dir
-      .option("pathGlobFilter", "events.parquet")
+      // table out of the scale-factor dir (specs override the glob to
+      // stream their own multi-file layouts)
+      .option("pathGlobFilter", glob)
+    filesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader
       .parquet(dir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
@@ -165,6 +172,62 @@ object EventStream {
     runToTable(spark, joined, "append")
       .groupBy(col("purchase_id"), col("p_user").as("user_id"))
       .agg(count(lit(1)).as("n_clicks"))
+  }
+
+  /** Streaming backward AS-OF through custom state — the incremental
+    * twin of the flagship q38 operator: each purchase is attributed to
+    * the user's latest at-or-before click. Per user,
+    * `flatMapGroupsWithState` keeps one (latest click ts, id) pair;
+    * each micro-batch's events are swept in event-time order (clicks
+    * before purchases at equal timestamps, matching backward's `>=`),
+    * emitting one attributed row per purchase. State is O(1) per user —
+    * the streaming join (q79) buffers a time-range of rows per side,
+    * this buffers two longs.
+    *
+    * Cross-batch ordering: purchases see every click from earlier
+    * micro-batches; an unbounded deployment would add a watermark
+    * holdback to re-order late clicks before releasing purchases (the
+    * q79 eviction pattern). On this module's bounded AvailableNow
+    * contract the sweep is exact, and the q38 oracle gates it.
+    */
+  def asOfAttribution(
+      spark: SparkSession,
+      dir: String,
+      filesPerTrigger: Option[Int] = None,
+      glob: String = "events.parquet"): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val ev = readEvents(spark, dir, filesPerTrigger, glob)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(
+        col("user_id"),
+        col("event_id"),
+        (col("event_type") === "purchase").as("is_purchase"),
+        unix_micros(col("ts")).as("ts_us"))
+      .as[(Long, Long, Boolean, Long)]
+    val attributed = ev
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[(Long, Long, Boolean, Long)],
+         state: GroupState[(Long, Long)]) =>
+          var (bestTs, bestId) = state.getOption.getOrElse((Long.MinValue, -1L))
+          // iterator order within a batch is shuffle-arbitrary: sort by
+          // (time, clicks-first) so equal-ts clicks match their purchase
+          val events = it.toArray.sortBy(e => (e._4, e._3))
+          val out = events.flatMap {
+            case (_, id, false, t) => // click: advance the latest-seen state
+              if (t >= bestTs || bestTs == Long.MinValue) { bestTs = t; bestId = id }
+              None
+            case (_, id, true, t) => // purchase: emit with current best
+              Some((user, id, t,
+                if (bestTs == Long.MinValue) None else Some(bestId),
+                if (bestTs == Long.MinValue) None else Some(bestTs)))
+          }
+          state.update((bestTs, bestId))
+          out.iterator
+      }
+      .toDF("user_id", "event_id", "ts_us", "click_event_id", "click_ts_us")
+    runToTable(spark, attributed, "append")
   }
 
   /** Gap-based sessions (30 min) via the native session_window —

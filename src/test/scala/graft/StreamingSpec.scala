@@ -45,4 +45,43 @@ class StreamingSpec extends SparkSpec {
     assert(canon(streamed) == canon(batch))
     assert(streamed.count() > 0, "fixture must exercise the join")
   }
+
+  test("streaming as-of carries click state across micro-batch boundaries") {
+    import org.apache.spark.sql.functions._
+    // split the event feed into 3 time-range files processed as 3
+    // separate micro-batches (maxFilesPerTrigger=1, ascending mtimes):
+    // purchases in batch 2/3 whose latest prior click arrived in an
+    // EARLIER batch must still be attributed — the GroupState path a
+    // single-batch run never exercises
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(sf("sf0.001") + "/events.parquet")
+    val Array(lo, hi) = raw.agg(min(col("ts")), max(col("ts"))).head
+      .toSeq.map(_.asInstanceOf[Long]).toArray
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_stream_asof")
+    (0 until 3).foreach { i =>
+      val from = lo + (hi - lo + 1) / 3 * i
+      val to = if (i == 2) hi + 1 else lo + (hi - lo + 1) / 3 * (i + 1)
+      val sliceDir = streamDir.resolve(s"slice_build_$i")
+      raw.filter(col("ts") >= from && col("ts") < to)
+        .coalesce(1).write.parquet(sliceDir.toString)
+      val part = java.nio.file.Files.list(sliceDir).toArray
+        .map(_.asInstanceOf[java.nio.file.Path])
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      val target = streamDir.resolve(s"s$i.parquet")
+      java.nio.file.Files.move(part, target)
+      target.toFile.setLastModified(1000000L * (i + 1))
+    }
+    val streamed = EventStream.asOfAttribution(
+      spark, streamDir.toString, filesPerTrigger = Some(1), glob = "s*.parquet")
+    val batch = SparkEntry.queries("q38_asof_click_purchase")(spark, sf("sf0.001"))
+    assert(canon(streamed.select("user_id", "event_id", "ts_us", "click_event_id", "click_ts_us"))
+      == canon(batch))
+    // the cross-batch path must actually fire: some purchase in a later
+    // slice matches a click from an earlier one
+    val cut1 = lo + (hi - lo + 1) / 3
+    val crossBatch = batch.filter(
+      col("ts_us") >= cut1 / 1000 && col("click_ts_us").isNotNull &&
+        col("click_ts_us") < cut1 / 1000)
+    assert(crossBatch.count() > 0, "fixture must exercise cross-batch attribution")
+  }
 }
