@@ -91,6 +91,26 @@ object Warehouse {
     n
   }
 
+  /** Range-clustered write — sort-based file clustering for scan
+    * pruning: range-repartition on the cluster key so each output file
+    * owns a DISJOINT key range, and sort within partitions so parquet
+    * row-group min/max stats are tight. A point or range filter on the
+    * key then touches only the files whose range overlaps — at
+    * warehouse scale the difference between scanning one file and
+    * scanning all of them. (This is what table formats market as
+    * clustering/Z-order in the single-key case; Spark-native, no
+    * format dependency.) File-range disjointness is pinned in
+    * WarehouseSpec.
+    */
+  def clusterWrite(
+      df: org.apache.spark.sql.DataFrame,
+      dir: String,
+      clusterCol: String,
+      nFiles: Int): Unit =
+    df.repartitionByRange(nFiles, col(clusterCol))
+      .sortWithinPartitions(col(clusterCol))
+      .write.mode("overwrite").parquet(dir)
+
   val all: Seq[Q] = Seq(
     // Banded range self-join: pairs of orders by the same customer
     // placed within 30 days of each other (reorder-interval analysis).

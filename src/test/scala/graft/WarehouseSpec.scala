@@ -175,6 +175,29 @@ class WarehouseSpec extends SparkSpec {
     assert(contentSum(after) == sumBefore, "compaction must not change content")
   }
 
+  test("range-clustered write produces files with disjoint key ranges") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cluster").toString + "/t"
+    val o = Tables.orders(spark, sf("sf0.001"))
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+    operators.Warehouse.clusterWrite(o, dir, "o_orderdate", nFiles = 8)
+    // per-file key ranges must tile without overlap: a date filter can
+    // then skip every non-overlapping file outright
+    val ranges = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(
+        min(col("o_orderdate")).cast("string").as("lo"),
+        max(col("o_orderdate")).cast("string").as("hi"))
+      .collect().map(r => (r.getString(1), r.getString(2))).sortBy(_._1)
+    assert(ranges.length >= 6, s"expected ~8 clustered files, got ${ranges.length}")
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) =>
+        assert(hi1 <= lo2, s"file ranges overlap: $hi1 > $lo2")
+      case _ =>
+    }
+    // content survives
+    assert(spark.read.parquet(dir).count() == o.count())
+  }
+
   test("quantiles are monotone in p and bounded by group extremes (q108)") {
     val qs = q("q108_doclen_quantiles")
     val ext = Tables.documents(spark, sf("sf0.001"))
