@@ -603,6 +603,61 @@ object Analytics {
           )
           .orderBy(col("l_returnflag")),
       None
+    ),
+
+    // Per-group trend: closed-form OLS slope of order value over time
+    // (revenue-per-day drift per order priority) from ONE keyed
+    // aggregate of exact moments — n, Σx, Σy, Σxy, Σx² with x = epoch
+    // day (int, exact) and y summed as 6-dp decimal (Σy and Σxy exact,
+    // so the aggregation order cannot drift the result). The slope is
+    // then pure double arithmetic on bitwise-identical inputs with the
+    // association mirrored in the oracle — the determinism recipe that
+    // lets a regression land under a hash gate, where the engines'
+    // built-in regr_slope (double accumulation) could not. One
+    // shuffle, no window.
+    Q(
+      "q124_group_trend",
+      (s, d) => {
+        val x = datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+        val y = col("o_totalprice")
+        val m = Tables.orders(s, d)
+          .groupBy(col("o_orderpriority"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(x.cast("long")).as("sx"),
+            sum(y.cast(Det.Money)).as("sy"),
+            sum((x * y).cast(Det.Money)).as("sxy"),
+            sum((x * x).cast("long")).as("sxx"))
+        val nd = col("n").cast("double")
+        val sxd = col("sx").cast("double")
+        val syd = col("sy").cast("double")
+        val sxyd = col("sxy").cast("double")
+        val sxxd = col("sxx").cast("double")
+        m.select(
+            col("o_orderpriority"),
+            col("n"),
+            round((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd), 6).as("slope"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""
+        WITH m AS (
+          SELECT o_orderpriority,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(date_diff('day', DATE '1970-01-01',
+                                    CAST(o_orderdate AS DATE))) AS BIGINT) AS sx,
+                 SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS sy,
+                 SUM(CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                          * o_totalprice AS DECIMAL(38,6))) AS sxy,
+                 CAST(SUM(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                          * date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)))
+                      AS BIGINT) AS sxx
+          FROM orders GROUP BY o_orderpriority)
+        SELECT o_orderpriority, n,
+               round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope
+        FROM m ORDER BY o_orderpriority""")
     )
   )
 }

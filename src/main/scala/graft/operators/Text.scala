@@ -478,6 +478,57 @@ object Text {
         ORDER BY t.doc_id""")
     ),
 
+    // PII redaction — the rewrite counterpart of q90's pattern SCAN:
+    // emails and phone-shaped numbers are replaced with typed
+    // placeholders in one codegen'd projection (chained
+    // regexp_replace, no UDF). The synthetic corpus carries no PII, so
+    // the query deterministically PLANTS a contact line per document
+    // first (same construction in the oracle) — the redaction is
+    // therefore exercised on every row, and the hash gate pins that
+    // Spark's Java-regex and DuckDB's RE2 agree on this pattern
+    // subset (character classes, bounded repeats, \d — no lookaround,
+    // which RE2 lacks). Patterns anchor on structure (@, dash groups),
+    // so false-positive plain words pass through untouched.
+    Q(
+      "q123_pii_redact",
+      (s, d) => {
+        val planted = concat(
+          col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example.com or 555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit("."))
+        val emailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+        val phoneRe = "\\d{3}-\\d{3,4}(-\\d{4})?"
+        val redacted = regexp_replace(
+          regexp_replace(planted, emailRe, "[EMAIL]"), phoneRe, "[PHONE]")
+        Tables.documents(s, d)
+          .select(
+            col("doc_id"),
+            redacted.as("clean_text"),
+            (length(planted) - length(redacted)).as("chars_removed"))
+          .filter(col("clean_text").contains("[EMAIL]") && col("clean_text").contains("[PHONE]"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH planted AS (
+          SELECT doc_id,
+                 text || ' contact user' || CAST(doc_id AS VARCHAR)
+                      || '@mail.example.com or 555-'
+                      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '.' AS ptext
+          FROM documents),
+        red AS (
+          SELECT doc_id, ptext,
+                 regexp_replace(
+                   regexp_replace(ptext,
+                     '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '[EMAIL]', 'g'),
+                   '\d{3}-\d{3,4}(-\d{4})?', '[PHONE]', 'g') AS clean_text
+          FROM planted)
+        SELECT doc_id, clean_text,
+               CAST(length(ptext) - length(clean_text) AS INT) AS chars_removed
+        FROM red
+        WHERE clean_text LIKE '%[EMAIL]%' AND clean_text LIKE '%[PHONE]%'
+        ORDER BY doc_id""")
+    ),
+
     // Intra-document repetition filter (the Gopher-rules quality gate):
     // fraction of 2-gram occurrences that are repeats, plus the share of
     // the single most frequent 2-gram. Two keyed aggs — (doc, gram) then
