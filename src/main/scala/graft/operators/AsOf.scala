@@ -103,6 +103,18 @@ object AsOf {
     * payload columns, including the original right time, pass through
     * untouched.
     */
+  /** A column's time value on a totally-ordered numeric axis: epoch
+    * micros for timestamps, the value itself for numeric/date-ordinal
+    * time columns — so the direction composition works on any time
+    * representation the backward join accepts.
+    */
+  private def timeAxis(df: DataFrame, c: String): org.apache.spark.sql.Column =
+    df.schema(c).dataType match {
+      case _: org.apache.spark.sql.types.TimestampType => unix_micros(col(c))
+      case _: org.apache.spark.sql.types.DateType => datediff(col(c), lit("1970-01-01"))
+      case _ => col(c)
+    }
+
   def forward(
       left: DataFrame,
       right: DataFrame,
@@ -111,8 +123,8 @@ object AsOf {
       by: Seq[String],
       rightPayload: Seq[String]
   ): DataFrame = {
-    val l = left.withColumn("__negt_l", -unix_micros(col(leftTime)))
-    val r = right.withColumn("__negt_r", -unix_micros(col(rightTime)))
+    val l = left.withColumn("__negt_l", -timeAxis(left, leftTime))
+    val r = right.withColumn("__negt_r", -timeAxis(right, rightTime))
     backward(l, r, "__negt_l", "__negt_r", by, rightPayload).drop("__negt_l")
   }
 
@@ -137,8 +149,16 @@ object AsOf {
     val b = backward(left, right, leftTime, rightTime, by, rightPayload)
     val f = forward(left, right, leftTime, rightTime, by, rightPayload)
       .select(leftKey.map(col) ++ rightPayload.map(p => col(p).as(s"__f_$p")): _*)
-    val distB = unix_micros(col(leftTime)) - unix_micros(col(rightTime))
-    val distF = unix_micros(col(s"__f_$rightTime")) - unix_micros(col(leftTime))
+    def axis(dt: org.apache.spark.sql.types.DataType)(c: org.apache.spark.sql.Column) =
+      dt match {
+        case _: org.apache.spark.sql.types.TimestampType => unix_micros(c)
+        case _: org.apache.spark.sql.types.DateType => datediff(c, lit("1970-01-01"))
+        case _ => c
+      }
+    val rAxis = axis(right.schema(rightTime).dataType) _
+    val lAxis = axis(left.schema(leftTime).dataType)(col(leftTime))
+    val distB = lAxis - rAxis(col(rightTime))
+    val distF = rAxis(col(s"__f_$rightTime")) - lAxis
     val chooseF = col(rightTime).isNull ||
       (col(s"__f_$rightTime").isNotNull && distF < distB)
     b.join(f, leftKey)

@@ -15,6 +15,45 @@ object Relational {
 
   private val Cutoff = "2000-01-01" // inside the 1995..2001 o_orderdate range
 
+  /** Two-phase distributed GLOBAL cumsum over a decimal `valueCol` (see
+    * q116's design comment): range-repartition on `sortCols` (must be a
+    * TOTAL order — equal keys could otherwise split across a range
+    * boundary and make per-row prefixes ambiguous), prefix-sum within
+    * each partition, then cumsum the per-partition totals (one row per
+    * partition — the bounded-domain window waiver) and broadcast them
+    * back as offsets. Adds `running_total`; exact decimal arithmetic
+    * makes the result independent of where range boundaries land.
+    * Agreement with the single-window formulation on arbitrary data is
+    * pinned in PropertySpec.
+    */
+  def globalCumsum(
+      df: org.apache.spark.sql.DataFrame,
+      sortCols: Seq[String],
+      valueCol: String,
+      nParts: Int): org.apache.spark.sql.DataFrame = {
+    val ranged = df
+      .repartitionByRange(nParts, sortCols.map(col): _*)
+      .withColumn("__pid", spark_partition_id())
+      .cache()
+    val within = Window
+      .partitionBy(col("__pid"))
+      .orderBy(sortCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offW = Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ranged
+      .groupBy(col("__pid"))
+      .agg(sum(col(valueCol)).as("__part_sum"))
+      .withColumn(
+        "__offset",
+        coalesce(sum(col("__part_sum")).over(offW), lit(0).cast(Det.Money)))
+      .select(col("__pid"), col("__offset"))
+    ranged
+      .withColumn("__within", sum(col(valueCol)).over(within))
+      .join(broadcast(offsets), Seq("__pid"))
+      .withColumn("running_total", col("__within") + col("__offset"))
+      .drop("__pid", "__within", "__offset")
+  }
+
   val all: Seq[Q] = Seq(
     // A1/A7-style multi-function hash aggregate with exact distinct
     Q(
@@ -285,27 +324,10 @@ object Relational {
           col("o_orderkey"),
           to_date(col("o_orderdate")).as("order_date"),
           col("o_totalprice").cast(Det.Money).as("price"))
-        val ranged = o
-          .repartitionByRange(nParts, col("order_date"), col("o_orderkey"))
-          .withColumn("__pid", spark_partition_id())
-          .cache()
-        val within = Window
-          .partitionBy(col("__pid"))
-          .orderBy(col("order_date"), col("o_orderkey"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        // bounded-domain waiver: one row per shuffle partition
-        val offW = Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)
-        val offsets = ranged
-          .groupBy(col("__pid"))
-          .agg(sum(col("price")).as("part_sum"))
-          .withColumn("offset", coalesce(sum(col("part_sum")).over(offW), lit(0).cast(Det.Money)))
-          .select(col("__pid"), col("offset"))
-        ranged
-          .withColumn("within", sum(col("price")).over(within))
-          .join(broadcast(offsets), Seq("__pid"))
+        globalCumsum(o, Seq("order_date", "o_orderkey"), "price", nParts)
           .select(
             col("o_orderkey"), col("order_date"),
-            (col("within") + col("offset")).cast("double").as("running_total"))
+            col("running_total").cast("double").as("running_total"))
           .orderBy(col("order_date"), col("o_orderkey"))
       },
       Some("""

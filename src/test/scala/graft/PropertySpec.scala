@@ -87,4 +87,50 @@ class PropertySpec extends SparkSpec {
       assert(sm == bc, s"formulations diverge:\n sm=$sm\n bc=$bc")
     }
   }
+
+  test("forward as-of is the ceiling right time; nearest picks the closer, ties backward") {
+    forAllSamples(timesGen) { case (lefts, rights) =>
+      val l = lefts.map(t => (1L, t)).toDF("k", "t")
+      val r = rights.map(t => (1L, t, t * 10)).toDF("k", "rt", "payload")
+      val fwd = AsOf.forward(l, r, "t", "rt", Seq("k"), Seq("payload"))
+        .collect().map(row => row.getLong(1) -> Option(row.get(2)).map(_.asInstanceOf[Long]))
+      assert(fwd.length == lefts.length)
+      fwd.foreach { case (t, got) =>
+        val expect = rights.filter(_ >= t).sorted.headOption.map(_ * 10)
+        assert(got == expect, s"forward t=$t got=$got expect=$expect")
+      }
+      val near = AsOf.nearest(l, r, "t", "rt",
+          by = Seq("k"), leftKey = Seq("t"), rightPayload = Seq("payload", "rt"))
+        .collect().map(row => row.getLong(1) -> Option(row.get(2)).map(_.asInstanceOf[Long]))
+      assert(near.length == lefts.length)
+      near.foreach { case (t, got) =>
+        val back = rights.filter(_ <= t).sorted.lastOption
+        val ahead = rights.filter(_ >= t).sorted.headOption
+        val expect = (back, ahead) match {
+          case (Some(b), Some(a)) => Some(if (a - t < t - b) a else b) // tie -> backward
+          case (b, a) => b.orElse(a)
+        }
+        assert(got == expect.map(_ * 10), s"nearest t=$t got=$got expect=$expect")
+      }
+    }
+  }
+
+  test("two-phase global cumsum equals the single-window prefix sum on random data") {
+    import org.apache.spark.sql.functions._
+    val rowsGen = Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 100000L), Gen.choose(-1000.0, 1000.0)))
+      .map(_.distinctBy(_._1)) // unique sort key: the helper's total-order contract
+    forAllSamples(Gen.zip(rowsGen, Gen.choose(2, 9)), n = 12) { case (rows, nParts) =>
+      val df = rows.toDF("k", "v")
+        .repartition(5) // arbitrary input layout
+        .withColumn("vm", col("v").cast(Det.Money))
+      val out = operators.Relational.globalCumsum(df, Seq("k"), "vm", nParts)
+        .select(col("k"), col("running_total"))
+        .collect().map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+      var acc = java.math.BigDecimal.ZERO
+      rows.sortBy(_._1).foreach { case (k, v) =>
+        acc = acc.add(java.math.BigDecimal.valueOf(v).setScale(6, java.math.RoundingMode.HALF_UP))
+        assert(out(k).compareTo(acc) == 0, s"k=$k got=${out(k)} expect=$acc (n=$nParts)")
+      }
+    }
+  }
 }
