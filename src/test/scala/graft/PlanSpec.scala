@@ -186,6 +186,29 @@ class PlanSpec extends SparkSpec {
       s"expected the within-partition window to hash on __pid:\n$p")
   }
 
+  test("mixture sampling broadcasts the derived rate dim, keeps the keep-decision windowless (q117)") {
+    val p = plan("q117_mixture_sample")
+    assert(p.contains("BroadcastHashJoin"), s"rate dim must broadcast:\n$p")
+    assert(!p.contains("WindowExec"), s"the keep decision is a projection, never a window:\n$p")
+    // the only single-partition exchange is the 1-row normalizer aggregate
+    val lines = p.linesIterator.toVector
+    lines.zipWithIndex.filter(_._1.contains("SinglePartition")).foreach { case (_, i) =>
+      val below = lines.drop(i + 1)
+      val shrink = below.indexWhere(_.contains("Aggregate"))
+      val scan = below.indexWhere(_.contains("FileScan"))
+      assert(shrink >= 0 && (scan < 0 || shrink < scan),
+        s"SinglePartition exchange consumes unaggregated data:\n$p")
+    }
+  }
+
+  test("group trend is one scan, one keyed aggregate, no window (q124)") {
+    val p = plan("q124_group_trend")
+    val scans = p.linesIterator.count(l => l.contains("FileScan") && l.contains("orders"))
+    assert(scans == 1, s"all five moments must come from ONE scan, found $scans:\n$p")
+    assert(!p.contains("WindowExec") && !p.contains("Expand"),
+      s"closed-form slope needs no window or expand:\n$p")
+  }
+
   test("interval-dim surrogate window sits above aggregation (q07)") {
     assertGlobalWindowPostShrink("q07_interval_dim")
   }
