@@ -42,7 +42,11 @@ object Warehouse {
     val i = inc.select(col("key").as("i_key"), col("new_bal"))
     val insert = col("c_key").isNull
     val delete = col("i_key").isNull
-    val changed = col("new_bal") =!= col("bal")
+    // null-safe: a NULL-vs-value restatement IS a change (plain =!=
+    // returns NULL there and would silently fall through to the
+    // unchanged branch — the same pandas-NaN trap as the history
+    // merge's composite key, see CompanyXEtl)
+    val changed = !(col("new_bal") <=> col("bal"))
     def v(b: org.apache.spark.sql.Column, from: String, to: String, cu: Boolean) =
       struct(b.as("bal"), lit(from).as("valid_from"),
         lit(to).as("valid_to"), lit(cu).as("is_current"))

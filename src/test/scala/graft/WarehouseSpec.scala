@@ -102,6 +102,21 @@ class WarehouseSpec extends SparkSpec {
     ), s"merge branches wrong: $out")
   }
 
+  test("SCD2 merge treats NULL-vs-value restatement as a change (null-safe compare)") {
+    import spark.implicits._
+    val cur = Seq((1L, Option(10.0)), (2L, Option.empty[Double])).toDF("key", "bal")
+    val inc = Seq((1L, Option.empty[Double]), (2L, Option(20.0))).toDF("key", "new_bal")
+    val out = operators.Warehouse
+      .scd2Merge(cur, inc, "2020-01-01", "2026-01-01", "9999-12-31")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), r.getBoolean(4))).toSet
+    // both keys must produce a closed old version and a reopened one —
+    // a plain =!= compare returns NULL here and would drop the change
+    assert(out == Set(
+      (1L, Some(10.0), false), (1L, None, true),
+      (2L, None, false), (2L, Some(20.0), true)
+    ), s"null restatements must be changes: $out")
+  }
+
   test("CDC apply deletes, updates, and passes through correctly (q110)") {
     val applied = q("q110_cdc_apply").cache()
     try {
