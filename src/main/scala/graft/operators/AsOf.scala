@@ -94,6 +94,19 @@ object AsOf {
     out
   }
 
+  /** A column's value on a totally-ordered numeric time axis: epoch
+    * micros for timestamps, epoch days for dates, the value itself for
+    * numeric time columns — so the direction compositions below work
+    * on any time representation the backward join accepts.
+    */
+  private def axisOf(dt: org.apache.spark.sql.types.DataType)(
+      c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    dt match {
+      case _: org.apache.spark.sql.types.TimestampType => unix_micros(c)
+      case _: org.apache.spark.sql.types.DateType => datediff(c, lit("1970-01-01"))
+      case _ => c
+    }
+
   /** Forward as-of: attaches the EARLIEST right row with
     * rightTime >= leftTime (inclusive, pandas
     * `merge_asof(direction='forward')`). Pure composition: negating
@@ -103,18 +116,6 @@ object AsOf {
     * payload columns, including the original right time, pass through
     * untouched.
     */
-  /** A column's time value on a totally-ordered numeric axis: epoch
-    * micros for timestamps, the value itself for numeric/date-ordinal
-    * time columns — so the direction composition works on any time
-    * representation the backward join accepts.
-    */
-  private def timeAxis(df: DataFrame, c: String): org.apache.spark.sql.Column =
-    df.schema(c).dataType match {
-      case _: org.apache.spark.sql.types.TimestampType => unix_micros(col(c))
-      case _: org.apache.spark.sql.types.DateType => datediff(col(c), lit("1970-01-01"))
-      case _ => col(c)
-    }
-
   def forward(
       left: DataFrame,
       right: DataFrame,
@@ -123,8 +124,8 @@ object AsOf {
       by: Seq[String],
       rightPayload: Seq[String]
   ): DataFrame = {
-    val l = left.withColumn("__negt_l", -timeAxis(left, leftTime))
-    val r = right.withColumn("__negt_r", -timeAxis(right, rightTime))
+    val l = left.withColumn("__negt_l", -axisOf(left.schema(leftTime).dataType)(col(leftTime)))
+    val r = right.withColumn("__negt_r", -axisOf(right.schema(rightTime).dataType)(col(rightTime)))
     backward(l, r, "__negt_l", "__negt_r", by, rightPayload).drop("__negt_l")
   }
 
@@ -149,14 +150,8 @@ object AsOf {
     val b = backward(left, right, leftTime, rightTime, by, rightPayload)
     val f = forward(left, right, leftTime, rightTime, by, rightPayload)
       .select(leftKey.map(col) ++ rightPayload.map(p => col(p).as(s"__f_$p")): _*)
-    def axis(dt: org.apache.spark.sql.types.DataType)(c: org.apache.spark.sql.Column) =
-      dt match {
-        case _: org.apache.spark.sql.types.TimestampType => unix_micros(c)
-        case _: org.apache.spark.sql.types.DateType => datediff(c, lit("1970-01-01"))
-        case _ => c
-      }
-    val rAxis = axis(right.schema(rightTime).dataType) _
-    val lAxis = axis(left.schema(leftTime).dataType)(col(leftTime))
+    val rAxis = axisOf(right.schema(rightTime).dataType) _
+    val lAxis = axisOf(left.schema(leftTime).dataType)(col(leftTime))
     val distB = lAxis - rAxis(col(rightTime))
     val distF = rAxis(col(s"__f_$rightTime")) - lAxis
     val chooseF = col(rightTime).isNull ||
