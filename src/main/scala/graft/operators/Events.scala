@@ -283,6 +283,43 @@ object Events {
         ORDER BY b.user_id, b.event_id""")
     ),
 
+    // Conversion-latency distribution — operator composition: the q38
+    // backward as-of attributes each purchase to its latest prior
+    // click, then the gap lands in 10-minute buckets (integer division
+    // on epoch micros — latency is non-negative by construction, so
+    // div == floor in both engines) and one keyed count gives the
+    // funnel-latency histogram. No window, no second scan of the
+    // attribution.
+    Q(
+      "q126_conversion_latency",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), col("ts"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_event_id"))
+        AsOf
+          .backward(purchases, clicks, "ts", "click_ts", Seq("user_id"), Seq("click_ts"))
+          .filter(col("click_ts").isNotNull)
+          .withColumn("latency_us", unix_micros(col("ts")) - unix_micros(col("click_ts")))
+          .withColumn("bucket_10min", expr("latency_us div 600000000").cast(IntegerType))
+          .groupBy(col("bucket_10min"))
+          .agg(count(lit(1)).as("n_purchases"))
+          .orderBy(col("bucket_10min"))
+      },
+      Some("""
+        WITH aj AS (
+          SELECT epoch_us(CAST(p.ts AS TIMESTAMP)) AS ts_us,
+                 epoch_us(CAST(c.ts AS TIMESTAMP)) AS click_ts_us
+          FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+          ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+            ON p.user_id = c.user_id AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP))
+        SELECT CAST((ts_us - click_ts_us) // 600000000 AS INT) AS bucket_10min,
+               CAST(COUNT(*) AS BIGINT) AS n_purchases
+        FROM aj WHERE click_ts_us IS NOT NULL
+        GROUP BY 1 ORDER BY 1""")
+    ),
+
     // JSON attribute extraction from the props payload. from_json with
     // an explicit schema parses each payload once into a typed struct
     // (a per-field get_json_object re-parses the string for every field

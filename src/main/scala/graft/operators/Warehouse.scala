@@ -348,6 +348,87 @@ object Warehouse {
       None
     ),
 
+    // Declarative data-quality EXPECTATIONS (the dbt-test / great-
+    // expectations verb): a fixed check suite — null-rate, value
+    // ranges, domain cardinality, date bounds — evaluated from ONE
+    // scan's aggregate row and emitted as a (check, passed, observed)
+    // report. The checks a warehouse runs after every load; observed
+    // values are canonicalized through the q106 decimal-string recipe
+    // so the report hashes identically in both engines. Single fact
+    // scan (same shape as q106, pinned in WarehouseSpec).
+    Q(
+      "q125_expectations",
+      (s, d) => {
+        def decS(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)").cast("string")
+        // range checks compare NUMERIC aggregates (decimal-string
+        // comparison would be lexicographic: '9.00' > '50.00'); the
+        // canonical strings are only the report's observed rendering
+        Tables.lineitem(s, d)
+          .agg(
+            count(lit(1)).as("n_rows"),
+            count(col("l_quantity")).as("nn_q"),
+            min(col("l_quantity")).as("minq_n"),
+            max(col("l_quantity")).as("maxq_n"),
+            min(col("l_discount")).as("mind_n"),
+            max(col("l_discount")).as("maxd_n"),
+            countDistinct(col("l_returnflag")).as("nd_f"),
+            date_format(min(col("l_shipdate")), "yyyy-MM-dd").as("min_s"),
+            date_format(max(col("l_shipdate")), "yyyy-MM-dd").as("max_s"))
+          .select(inline(array(
+            struct(
+              lit("l_discount_in_[0,0.1]").as("check_name"),
+              (col("mind_n") >= 0.0 && col("maxd_n") <= 0.1).as("passed"),
+              concat(decS(col("mind_n")), lit(".."), decS(col("maxd_n"))).as("observed")),
+            struct(
+              lit("l_quantity_not_null").as("check_name"),
+              (col("n_rows") === col("nn_q")).as("passed"),
+              concat(lit("nulls="), (col("n_rows") - col("nn_q")).cast("string")).as("observed")),
+            struct(
+              lit("l_quantity_in_[1,50]").as("check_name"),
+              (col("minq_n") >= 1.0 && col("maxq_n") <= 50.0).as("passed"),
+              concat(decS(col("minq_n")), lit(".."), decS(col("maxq_n"))).as("observed")),
+            struct(
+              lit("l_returnflag_domain<=3").as("check_name"),
+              (col("nd_f") <= 3).as("passed"),
+              concat(lit("distinct="), col("nd_f").cast("string")).as("observed")),
+            struct(
+              lit("l_shipdate_in_[1992,2003]").as("check_name"),
+              (col("min_s") >= "1992-01-01" && col("max_s") <= "2003-12-31").as("passed"),
+              concat(col("min_s"), lit(".."), col("max_s")).as("observed")))))
+          .orderBy(col("check_name"))
+      },
+      Some("""
+        WITH m AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                 CAST(COUNT(l_quantity) AS BIGINT) AS nn_q,
+                 MIN(l_quantity) AS minq_n, MAX(l_quantity) AS maxq_n,
+                 MIN(l_discount) AS mind_n, MAX(l_discount) AS maxd_n,
+                 CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) AS nd_f,
+                 strftime(MIN(CAST(l_shipdate AS TIMESTAMP)), '%Y-%m-%d') AS min_s,
+                 strftime(MAX(CAST(l_shipdate AS TIMESTAMP)), '%Y-%m-%d') AS max_s
+          FROM lineitem)
+        SELECT 'l_discount_in_[0,0.1]' AS check_name,
+               (mind_n >= 0.0 AND maxd_n <= 0.1) AS passed,
+               CAST(CAST(mind_n AS DECIMAL(18,2)) AS VARCHAR) || '..'
+                 || CAST(CAST(maxd_n AS DECIMAL(18,2)) AS VARCHAR) AS observed FROM m
+        UNION ALL
+        SELECT 'l_quantity_not_null', n_rows = nn_q,
+               'nulls=' || CAST(n_rows - nn_q AS VARCHAR) FROM m
+        UNION ALL
+        SELECT 'l_quantity_in_[1,50]',
+               (minq_n >= 1.0 AND maxq_n <= 50.0),
+               CAST(CAST(minq_n AS DECIMAL(18,2)) AS VARCHAR) || '..'
+                 || CAST(CAST(maxq_n AS DECIMAL(18,2)) AS VARCHAR) FROM m
+        UNION ALL
+        SELECT 'l_returnflag_domain<=3', nd_f <= 3,
+               'distinct=' || CAST(nd_f AS VARCHAR) FROM m
+        UNION ALL
+        SELECT 'l_shipdate_in_[1992,2003]',
+               (min_s >= '1992-01-01' AND max_s <= '2003-12-31'),
+               min_s || '..' || max_s FROM m
+        ORDER BY check_name""")
+    ),
+
     // Hopping (sliding) windows in batch: 10-minute windows advancing
     // every 5 minutes via the built-in `window(ts, width, slide)`
     // generator — each event lands in exactly width/slide = 2 windows,

@@ -70,6 +70,15 @@ class WarehouseSpec extends SparkSpec {
     assert(scans == 1, s"profile must scan lineitem once, found $scans:\n$p")
   }
 
+  test("expectations suite is a single fact scan and all checks pass on clean data (q125)") {
+    val frame = q("q125_expectations")
+    val p = frame.queryExecution.executedPlan.toString
+    val scans = p.linesIterator.count(l => l.contains("FileScan") && l.contains("lineitem"))
+    assert(scans == 1, s"expectations must scan lineitem once, found $scans:\n$p")
+    val failed = frame.filter(!col("passed")).collect()
+    assert(failed.isEmpty, s"clean fixture must pass every check: ${failed.mkString(",")}")
+  }
+
   test("source quota plans as bounded partial aggregate, caps at 5 per source (q109)") {
     // the per-partition partial-state bound itself (<= k entries in the
     // buffer that crosses the shuffle) is asserted directly on TopKAgg
