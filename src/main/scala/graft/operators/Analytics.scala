@@ -456,12 +456,18 @@ object Analytics {
       (s, d) => {
         val part = Tables.part(s, d)
         val li = Tables.lineitem(s, d)
+        // the 2-dp rounding happens ON THE EXACT DECIMAL sum, not on
+        // the double: an exact sum ending .xx5 round-trips through a
+        // double whose shortest repr still reads ".xx5", which Spark's
+        // round() (shortest-repr HALF_UP) sends up while DuckDB's
+        // ROUND(double) (binary multiply) sends down — decimal ROUND
+        // is half-away-from-zero on the exact value in BOTH engines
         li.join(part, li("l_partkey") === part("p_partkey"))
           .groupBy(col("p_partkey"), col("p_retailprice"))
-          .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) - col("l_quantity") * col("p_retailprice") * lit(0.6)).as("profit"))
+          .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")) - col("l_quantity") * col("p_retailprice") * lit(0.6)).cast(Det.Money)).as("profit"))
           .select(
             col("p_partkey"),
-            round(col("profit"), 2).as("profit"),
+            round(col("profit"), 2).cast("double").as("profit"),
             when(col("profit") > 0, "pos").otherwise("neg").as("flag"),
             when(col("p_retailprice") < 500, "low")
               .when(col("p_retailprice") < 1500, "mid")
@@ -471,10 +477,10 @@ object Analytics {
       },
       Some("""
         SELECT p.p_partkey,
-               ROUND(CAST(SUM(CAST(l.l_extendedprice * (CAST(1.0 AS DOUBLE) - l.l_discount)
-                                   - l.l_quantity * p.p_retailprice * 0.6 AS DECIMAL(38,6))) AS DOUBLE), 2) AS profit,
-               CASE WHEN CAST(SUM(CAST(l.l_extendedprice * (CAST(1.0 AS DOUBLE) - l.l_discount)
-                                       - l.l_quantity * p.p_retailprice * 0.6 AS DECIMAL(38,6))) AS DOUBLE) > 0
+               CAST(ROUND(SUM(CAST(l.l_extendedprice * (CAST(1.0 AS DOUBLE) - l.l_discount)
+                                   - l.l_quantity * p.p_retailprice * 0.6 AS DECIMAL(38,6))), 2) AS DOUBLE) AS profit,
+               CASE WHEN SUM(CAST(l.l_extendedprice * (CAST(1.0 AS DOUBLE) - l.l_discount)
+                                  - l.l_quantity * p.p_retailprice * 0.6 AS DECIMAL(38,6))) > 0
                     THEN 'pos' ELSE 'neg' END AS flag,
                CASE WHEN p.p_retailprice < 500 THEN 'low'
                     WHEN p.p_retailprice < 1500 THEN 'mid'

@@ -305,30 +305,38 @@ object MLOps {
   val all: Seq[Q] = Seq(
     Q(
       "q54_product_features",
+      // every feature is either a decimal-exact sum cast to double or a
+      // ratio of two such doubles — bitwise identical in both engines —
+      // so the features ship UNROUNDED: round() on a double is itself a
+      // parity hazard (a quotient whose shortest repr ends in a tie at
+      // the target scale rounds up under Spark's shortest-repr HALF_UP
+      // and down under DuckDB's binary multiply — 3 rows hit this at
+      // sf0.1), and rounding identical bits can only lose parity, never
+      // gain it
       (s, d) =>
         features(s, d)
           .select(
             col("part_id"),
-            round(col("profit"), 4).as("profit"),
-            round(col("profit_margin"), 6).as("profit_margin"),
-            round(col("average_unit_price"), 6).as("average_unit_price"),
-            round(col("avg_quantity_sold"), 6).as("avg_quantity_sold"),
+            col("profit"),
+            col("profit_margin"),
+            col("average_unit_price"),
+            col("avg_quantity_sold"),
             col("nunique_customer"),
-            round(col("customer_loyalty"), 6).as("customer_loyalty"),
-            round(col("revenue_growth"), 6).as("revenue_growth"),
+            col("customer_loyalty"),
+            col("revenue_growth"),
             col("selling_duration")
           )
           .orderBy(col("part_id")),
       Some(s"""
         WITH $featuresSql
         SELECT part_id,
-               ROUND(profit, 4) AS profit,
-               ROUND(profit_margin, 6) AS profit_margin,
-               ROUND(average_unit_price, 6) AS average_unit_price,
-               ROUND(avg_quantity_sold, 6) AS avg_quantity_sold,
+               profit,
+               profit_margin,
+               average_unit_price,
+               avg_quantity_sold,
                nunique_customer,
-               ROUND(customer_loyalty, 6) AS customer_loyalty,
-               ROUND(revenue_growth, 6) AS revenue_growth,
+               customer_loyalty,
+               revenue_growth,
                selling_duration
         FROM feat ORDER BY part_id""")
     ),
@@ -530,7 +538,10 @@ object MLOps {
           .groupBy(col("label"), col("dim"))
           .agg(
             count(lit(1)).as("n"),
-            round(dsum(col("v")) / count(lit(1)).cast("double"), 6).as("centroid"))
+            // unrounded: decimal-exact sum / exact count is bitwise
+            // identical in both engines; round() on the quotient is the
+            // shortest-repr tie hazard (1 row hit it at sf0.1)
+            (dsum(col("v")) / count(lit(1)).cast("double")).as("centroid"))
           .orderBy(col("label"), col("dim")),
       Some("""
         WITH e AS (SELECT label,
@@ -539,8 +550,8 @@ object MLOps {
                    FROM embeddings)
         SELECT label, dim,
                CAST(COUNT(*) AS BIGINT) AS n,
-               ROUND(CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE)
-                     / CAST(COUNT(*) AS DOUBLE), 6) AS centroid
+               CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) AS centroid
         FROM e GROUP BY label, dim
         ORDER BY label, dim""")
     )
