@@ -613,36 +613,43 @@ object Analytics {
 
     // Per-group trend: closed-form OLS slope of order value over time
     // (revenue-per-day drift per order priority) from ONE keyed
-    // aggregate of exact moments — n, Σx, Σy, Σxy, Σx² with x = epoch
-    // day (int, exact) and y summed as 6-dp decimal (Σy and Σxy exact,
-    // so the aggregation order cannot drift the result). The slope is
-    // then pure double arithmetic on bitwise-identical inputs with the
-    // association mirrored in the oracle — the determinism recipe that
-    // lets a regression land under a hash gate, where the engines'
-    // built-in regr_slope (double accumulation) could not. One
-    // shuffle, no window.
+    // aggregate of exact INTEGER moments — x = epoch day, y = price in
+    // cents (the q68 recipe), so n, Σx, Σy, Σxy, Σx² are all longs:
+    // aggregation order cannot drift them, and long→double casts are
+    // correctly rounded identically in both engines (a DECIMAL(38,6)
+    // Σxy at ~1e13 is NOT safe here — Spark casts it to double via
+    // BigDecimal, DuckDB divides the int128 in binary, and they split
+    // by an ulp). The slope is then pure double arithmetic on
+    // bitwise-identical inputs, association mirrored in the oracle,
+    // zero-variance groups guarded to NULL. Long moments bound the
+    // safe input size (Σxy < 2^63 ≈ 10^5 rows/group × day~10^4 ×
+    // cents~10^8 margin); past that, widen to DECIMAL and re-apply the
+    // q54 rounding recipe. One shuffle, no window; the engines'
+    // built-in regr_slope (double accumulation) could never land under
+    // a hash gate.
     Q(
       "q124_group_trend",
       (s, d) => {
-        val x = datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
-        val y = col("o_totalprice")
+        val x = datediff(to_date(col("o_orderdate")), lit("1970-01-01")).cast("long")
+        val cents = round(col("o_totalprice") * 100).cast("long")
         val m = Tables.orders(s, d)
           .groupBy(col("o_orderpriority"))
           .agg(
             count(lit(1)).as("n"),
-            sum(x.cast("long")).as("sx"),
-            sum(y.cast(Det.Money)).as("sy"),
-            sum((x * y).cast(Det.Money)).as("sxy"),
-            sum((x * x).cast("long")).as("sxx"))
+            sum(x).as("sx"),
+            sum(cents).as("sy"),
+            sum(x * cents).as("sxy"),
+            sum(x * x).as("sxx"))
         val nd = col("n").cast("double")
         val sxd = col("sx").cast("double")
         val syd = col("sy").cast("double")
         val sxyd = col("sxy").cast("double")
         val sxxd = col("sxx").cast("double")
+        val denom = nd * sxxd - sxd * sxd
         m.select(
             col("o_orderpriority"),
             col("n"),
-            round((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd), 6).as("slope"))
+            ((nd * sxyd - sxd * syd) / when(denom =!= 0.0, denom) / lit(100.0)).as("slope"))
           .orderBy(col("o_orderpriority"))
       },
       Some("""
@@ -651,18 +658,19 @@ object Analytics {
                  CAST(COUNT(*) AS BIGINT) AS n,
                  CAST(SUM(date_diff('day', DATE '1970-01-01',
                                     CAST(o_orderdate AS DATE))) AS BIGINT) AS sx,
-                 SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS sy,
-                 SUM(CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
-                          * o_totalprice AS DECIMAL(38,6))) AS sxy,
+                 CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sy,
+                 CAST(SUM(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                          * CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sxy,
                  CAST(SUM(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
                           * date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)))
                       AS BIGINT) AS sxx
           FROM orders GROUP BY o_orderpriority)
         SELECT o_orderpriority, n,
-               round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope
+               (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / NULLIF(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0)
+               / 100.0 AS slope
         FROM m ORDER BY o_orderpriority""")
     )
   )

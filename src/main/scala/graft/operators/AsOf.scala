@@ -41,8 +41,10 @@ object AsOf {
       by: Seq[String],
       rightPayload: Seq[String]
   ): DataFrame = {
-    val threshold = left.sparkSession.conf
-      .get("spark.sql.autoBroadcastJoinThreshold", "10485760").toLong
+    // the TYPED conf getter, not a raw-string .toLong: the conf's
+    // string form carries byte-unit suffixes ("10485760b", "10m") that
+    // a bare Long parse rejects
+    val threshold = left.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
     val rightBytes = right.queryExecution.optimizedPlan.stats.sizeInBytes
     if (threshold >= 0 && rightBytes <= threshold)
       backwardBroadcast(left, right, leftTime, rightTime, by, rightPayload)
@@ -95,15 +97,19 @@ object AsOf {
   }
 
   /** A column's value on a totally-ordered numeric time axis: epoch
-    * micros for timestamps, epoch days for dates, the value itself for
-    * numeric time columns — so the direction compositions below work
-    * on any time representation the backward join accepts.
+    * MICROS for both timestamps and dates (dates scale by 86 400e6 so
+    * a mixed timestamp-vs-date pair still compares on one unit — the
+    * mix backward() handles via union coercion), the value itself for
+    * numeric time columns. Mixing a numeric time with a temporal one
+    * is a caller error the types cannot express; temporal-temporal
+    * and numeric-numeric are both safe.
     */
   private def axisOf(dt: org.apache.spark.sql.types.DataType)(
       c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     dt match {
       case _: org.apache.spark.sql.types.TimestampType => unix_micros(c)
-      case _: org.apache.spark.sql.types.DateType => datediff(c, lit("1970-01-01"))
+      case _: org.apache.spark.sql.types.DateType =>
+        datediff(c, lit("1970-01-01")).cast("long") * 86400000000L
       case _ => c
     }
 

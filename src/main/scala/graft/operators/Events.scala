@@ -162,13 +162,20 @@ object Events {
           .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_event_id"))
         def arm(threshold: String, tag: String) = {
           val key = "spark.sql.autoBroadcastJoinThreshold"
-          val saved = s.conf.get(key)
+          // restore via getOption/unset: get() on an unset key renders
+          // the DEFAULT with its byte-unit suffix ("10485760b"), and
+          // setting that back would leave the session with an
+          // explicitly-set value a later caller may not expect
+          val saved = s.conf.getOption(key)
           try {
             s.conf.set(key, threshold)
             AsOf.auto(purchases, clicks, "ts", "click_ts",
                 Seq("user_id"), Seq("click_event_id", "click_ts"))
               .withColumn("arm", lit(tag))
-          } finally s.conf.set(key, saved)
+          } finally saved match {
+            case Some(v) => s.conf.set(key, v)
+            case None => s.conf.unset(key)
+          }
         }
         arm("-1", "merge").unionByName(arm(s"${1L << 40}", "broadcast"))
           .select(

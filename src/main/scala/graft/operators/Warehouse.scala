@@ -87,11 +87,19 @@ object Warehouse {
     val fs = path.getFileSystem(hconf)
     val bytes = fs.getContentSummary(path).getLength
     val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-    val tmp = new org.apache.hadoop.fs.Path(dir + "_compact_tmp")
+    // tmp derives from the NORMALIZED path, never raw string concat — a
+    // trailing slash in `dir` would otherwise nest the tmp dir INSIDE
+    // the table, and the delete below would destroy both copies
+    val tmp = new org.apache.hadoop.fs.Path(
+      path.getParent, path.getName + "_compact_tmp")
     spark.read.parquet(dir).repartition(n)
       .write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(path, true)
-    fs.rename(tmp, path)
+    // fail loudly: an ignored false here means data loss (delete) or a
+    // doubled table (rename into a still-existing dir)
+    if (!fs.delete(path, true))
+      throw new java.io.IOException(s"compact: could not remove $path")
+    if (!fs.rename(tmp, path))
+      throw new java.io.IOException(s"compact: could not move $tmp -> $path")
     n
   }
 

@@ -216,7 +216,7 @@ object EventStream {
           val events = it.toArray.sortBy(e => (e._4, e._3))
           val out = events.flatMap {
             case (_, id, false, t) => // click: advance the latest-seen state
-              if (t >= bestTs || bestTs == Long.MinValue) { bestTs = t; bestId = id }
+              if (t >= bestTs) { bestTs = t; bestId = id }
               None
             case (_, id, true, t) => // purchase: emit with current best
               Some((user, id, t,

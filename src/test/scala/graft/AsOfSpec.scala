@@ -69,6 +69,22 @@ class AsOfSpec extends SparkSpec {
     assert(out == Map("t0" -> 100.0, "t1" -> 101.0, "t2" -> 102.0, "t3" -> 200.0))
   }
 
+  test("q115 leaves the broadcast-threshold conf as it found it; auto still dispatches after") {
+    // the dispatch query flips the threshold to force each arm and must
+    // restore the session exactly: get() on an UNSET key renders the
+    // default with a byte-unit suffix ("10485760b"), and writing that
+    // back would both pin the conf and (before auto used the typed
+    // getter) crash any later auto() caller on the Long parse
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val before = spark.conf.getOption(key)
+    SparkEntry.queries("q115_asof_auto_dispatch")(spark, sf("sf0.001")).collect()
+    assert(spark.conf.getOption(key) == before,
+      s"q115 must not leave the threshold conf changed: ${spark.conf.getOption(key)}")
+    val out = AsOf.auto(trades, quotes, "t", "qt", Seq("key"), Seq("px"))
+      .select("trade", "px").collect().map(r => r.getString(0) -> r.get(1)).toMap
+    assert(out == expected, "auto after q115 must still dispatch and parse the conf")
+  }
+
   test("nearest as-of tie between distinct quotes resolves toward backward") {
     val l = Seq((1L, ts("2024-01-01 12:00:00"), "x")).toDF("key", "t", "trade")
     val r = Seq(

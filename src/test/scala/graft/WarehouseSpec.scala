@@ -197,6 +197,12 @@ class WarehouseSpec extends SparkSpec {
     val after = spark.read.parquet(dir)
     assert(after.count() == expectRows)
     assert(contentSum(after) == sumBefore, "compaction must not change content")
+    // a trailing-slash path must not nest the tmp dir inside the table
+    // (raw string concat would, and the swap then destroys the data)
+    operators.Warehouse.compact(spark, dir + "/", targetBytes = total)
+    val again = spark.read.parquet(dir)
+    assert(again.count() == expectRows && contentSum(again) == sumBefore,
+      "trailing-slash compaction must preserve the table")
   }
 
   test("range-clustered write produces files with disjoint key ranges") {
