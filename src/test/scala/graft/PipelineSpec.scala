@@ -69,4 +69,31 @@ class PipelineSpec extends SparkSpec {
     assert(hits.forall(r => r.getLong(0).toString.contains("1")
       || Option(r.getAs[String]("product_name")).exists(_.contains("1"))))
   }
+
+  test("schema evolution: an appended column reads back across old and new files") {
+    // the monthly-append reality: a later delivery adds a column; the
+    // warehouse must read old+new files as one table (old rows null for
+    // the new column) WITHOUT rewriting history. Parquet does this via
+    // mergeSchema at read — pinned here so the behavior (and the cost:
+    // footer merge at listing, so keep it off hot paths and evolve via
+    // explicit schema where possible) is a tested contract, not an
+    // assumption.
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_evolve").toString + "/t"
+    Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v")
+      .write.parquet(dir)
+    Seq((3L, 30.0, "eu"), (4L, 40.0, "us")).toDF("id", "v", "region")
+      .write.mode("append").parquet(dir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet == Set("id", "v", "region"))
+    assert(merged.count() == 4)
+    assert(merged.filter(col("region").isNull).count() == 2,
+      "pre-evolution rows must read back with a null for the new column")
+    assert(merged.filter(col("region") === "eu").count() == 1)
+    // and an explicit schema (the scan-path policy) also reads both
+    val explicitSchema = merged.schema
+    val explicit = spark.read.schema(explicitSchema).parquet(dir)
+    assert(explicit.count() == 4 && explicit.filter(col("region").isNotNull).count() == 2)
+  }
 }
