@@ -1,0 +1,64 @@
+package graft.pipelines
+
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.util.QueryExecutionListener
+
+/** Per-query observability for the warehouse run ledger (the
+  * operational extension of S7's one-row pipeline log,
+  * `EtlJob.appendLog`): a `QueryExecutionListener` that records every
+  * completed action's name, output-row metric, wall time, and status.
+  *
+  * Scale posture: the listener runs on the DRIVER on query-completion
+  * callbacks only — it never touches executor hot paths, adds no plan
+  * nodes, and buffers into a lock-free queue so a slow ledger sink
+  * cannot back-pressure query execution. Flushing to parquet is an
+  * explicit, append-only batch write (`flush`), matching the ledger's
+  * append-only contract.
+  *
+  * Registered via `spark.listenerManager.register(listener)` — the
+  * same mechanism `spark.sql.queryExecutionListeners` would use on a
+  * production cluster's config.
+  */
+final class QueryLedgerListener extends QueryExecutionListener {
+
+  /** (action, outputRows — -1 when the sink exposes no row metric,
+    * wall nanos, status).
+    */
+  private val events = new ConcurrentLinkedQueue[(String, Long, Long, String)]
+
+  override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit = {
+    val rows = qe.executedPlan.metrics.get("numOutputRows")
+      .map(_.value).getOrElse(-1L)
+    events.add((funcName, rows, durationNs, "ok"))
+  }
+
+  override def onFailure(funcName: String, qe: QueryExecution, e: Exception): Unit =
+    events.add((funcName, -1L, -1L, s"failed: ${e.getClass.getSimpleName}"))
+
+  /** Snapshot of everything recorded so far, oldest first. */
+  def snapshot(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    events.asScala.toSeq
+      .toDF("action", "output_rows", "wall_ns", "status")
+  }
+
+  /** Append the buffered events to the warehouse ledger dir and clear
+    * the buffer. Returns the number of events flushed.
+    */
+  def flush(spark: SparkSession, warehouseDir: String): Int = {
+    val batch = Iterator.continually(events.poll()).takeWhile(_ != null).toSeq
+    if (batch.nonEmpty) {
+      import spark.implicits._
+      batch.toDF("action", "output_rows", "wall_ns", "status")
+        .withColumn("logged_at", org.apache.spark.sql.functions.current_timestamp())
+        .write.mode(org.apache.spark.sql.SaveMode.Append)
+        .parquet(s"$warehouseDir/QueryLog")
+    }
+    batch.size
+  }
+}

@@ -70,6 +70,36 @@ class PipelineSpec extends SparkSpec {
       || Option(r.getAs[String]("product_name")).exists(_.contains("1"))))
   }
 
+  test("query ledger listener records completed actions and appends to the warehouse log") {
+    import org.apache.spark.sql.functions._
+    val listener = new graft.pipelines.QueryLedgerListener
+    spark.listenerManager.register(listener)
+    try {
+      val n = Tables.nation(spark, sf("sf0.001")).count()
+      // listener callbacks are posted asynchronously; wait for arrival
+      var tries = 0
+      while (listener.snapshot(spark).isEmpty && tries < 50) { Thread.sleep(100); tries += 1 }
+      val snap = listener.snapshot(spark).collect()
+      assert(snap.nonEmpty, "count() action must be recorded")
+      assert(snap.exists(r => r.getString(3) == "ok" && r.getLong(2) > 0),
+        s"recorded event needs ok status and positive wall time: ${snap.mkString(",")}")
+      val dir = java.nio.file.Files.createTempDirectory("graft_qlog").toString
+      val flushed = listener.flush(spark, dir)
+      assert(flushed >= 1)
+      val log = spark.read.parquet(s"$dir/QueryLog")
+      assert(log.count() == flushed)
+      assert(log.columns.toSet ==
+        Set("action", "output_rows", "wall_ns", "status", "logged_at"))
+      // append-only: a second flush after another action adds rows
+      Tables.region(spark, sf("sf0.001")).count()
+      tries = 0
+      while (listener.snapshot(spark).isEmpty && tries < 50) { Thread.sleep(100); tries += 1 }
+      val flushed2 = listener.flush(spark, dir)
+      assert(spark.read.parquet(s"$dir/QueryLog").count() == flushed + flushed2)
+      assert(n == 25)
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("schema evolution: an appended column reads back across old and new files") {
     // the monthly-append reality: a later delivery adds a column; the
     // warehouse must read old+new files as one table (old rows null for
