@@ -101,13 +101,30 @@ object EtlJob {
     * The fact is partitioned by order_year for partition pruning.
     */
   def run(spark: SparkSession, srcDir: String, warehouseDir: String): Unit = {
-    val tables = build(spark, srcDir)
-    tables.foreach { case (name, df) =>
-      val w = df.write.mode(SaveMode.Overwrite)
-      if (name == "FactSales") w.partitionBy("order_year").parquet(s"$warehouseDir/$name")
-      else w.parquet(s"$warehouseDir/$name")
+    // per-query observability for the run: every table write lands in
+    // the QueryLog next to the one-row PipelineLog
+    val ledger = new QueryLedgerListener
+    spark.listenerManager.register(ledger)
+    try {
+      val tables = build(spark, srcDir)
+      tables.foreach { case (name, df) =>
+        val w = df.write.mode(SaveMode.Overwrite)
+        if (name == "FactSales") w.partitionBy("order_year").parquet(s"$warehouseDir/$name")
+        else w.parquet(s"$warehouseDir/$name")
+      }
+      appendLog(spark, warehouseDir, "EtlJob")
+    } finally {
+      // callbacks post asynchronously: wait (bounded) for the event
+      // count to stabilize so the final flush captures the run's writes
+      var last = -1
+      var tries = 0
+      while (ledger.size != last && tries < 50) {
+        last = ledger.size; Thread.sleep(100); tries += 1
+      }
+      spark.listenerManager.unregister(ledger)
+      ledger.flush(spark, warehouseDir)
+      ()
     }
-    appendLog(spark, warehouseDir, "EtlJob")
   }
 
   /** S7: append-only one-row ledger write. */

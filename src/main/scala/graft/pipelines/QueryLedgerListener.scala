@@ -40,6 +40,11 @@ final class QueryLedgerListener extends QueryExecutionListener {
   override def onFailure(funcName: String, qe: QueryExecution, e: Exception): Unit =
     events.add((funcName, -1L, -1L, s"failed: ${e.getClass.getSimpleName}"))
 
+  /** Number of buffered events (callbacks post asynchronously — poll
+    * until this stabilizes before a final flush).
+    */
+  def size: Int = events.size
+
   /** Snapshot of everything recorded so far, oldest first. */
   def snapshot(spark: SparkSession): DataFrame = {
     import spark.implicits._

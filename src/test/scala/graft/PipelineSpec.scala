@@ -70,6 +70,14 @@ class PipelineSpec extends SparkSpec {
       || Option(r.getAs[String]("product_name")).exists(_.contains("1"))))
   }
 
+  test("EtlJob run leaves a per-query QueryLog next to the PipelineLog") {
+    // the wh fixture already ran EtlJob.run; its table writes must have
+    // landed in the QueryLog via the registered listener
+    val log = spark.read.parquet(s"$wh/QueryLog")
+    assert(log.count() > 0, "ETL run must record its write actions")
+    assert(log.filter(org.apache.spark.sql.functions.col("status") === "ok").count() > 0)
+  }
+
   test("query ledger listener records completed actions and appends to the warehouse log") {
     import org.apache.spark.sql.functions._
     val listener = new graft.pipelines.QueryLedgerListener
