@@ -645,11 +645,10 @@ object Analytics {
         val syd = col("sy").cast("double")
         val sxyd = col("sxy").cast("double")
         val sxxd = col("sxx").cast("double")
-        val denom = nd * sxxd - sxd * sxd
         m.select(
             col("o_orderpriority"),
             col("n"),
-            ((nd * sxyd - sxd * syd) / when(denom =!= 0.0, denom) / lit(100.0)).as("slope"))
+            (ratio(nd * sxyd - sxd * syd, nd * sxxd - sxd * sxd) / lit(100.0)).as("slope"))
           .orderBy(col("o_orderpriority"))
       },
       Some("""

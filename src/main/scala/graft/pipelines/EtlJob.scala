@@ -114,16 +114,16 @@ object EtlJob {
       }
       appendLog(spark, warehouseDir, "EtlJob")
     } finally {
-      // callbacks post asynchronously: wait (bounded) for the event
-      // count to stabilize so the final flush captures the run's writes
-      var last = -1
-      var tries = 0
-      while (ledger.size != last && tries < 50) {
-        last = ledger.size; Thread.sleep(100); tries += 1
-      }
+      ledger.awaitQuiescent()
       spark.listenerManager.unregister(ledger)
-      ledger.flush(spark, warehouseDir)
-      ()
+      // never mask the run's own failure: if the body threw because the
+      // warehouse is unwritable, this flush will throw for the same
+      // reason — log it and let the primary exception surface
+      try { ledger.flush(spark, warehouseDir); () }
+      catch {
+        case e: Exception =>
+          System.err.println(s"[etl] query-ledger flush failed: ${e.getMessage}")
+      }
     }
   }
 

@@ -40,10 +40,24 @@ final class QueryLedgerListener extends QueryExecutionListener {
   override def onFailure(funcName: String, qe: QueryExecution, e: Exception): Unit =
     events.add((funcName, -1L, -1L, s"failed: ${e.getClass.getSimpleName}"))
 
-  /** Number of buffered events (callbacks post asynchronously — poll
-    * until this stabilizes before a final flush).
-    */
+  /** Number of buffered events (callbacks post asynchronously). */
   def size: Int = events.size
+
+  /** Bounded wait for the async listener bus to drain: polls until the
+    * buffered event count stops changing or `maxWaitMs` elapses. Call
+    * before a final [[flush]] so in-flight callbacks are captured —
+    * and poll THIS, never a Spark action (an action would itself be
+    * reported to the listener and self-satisfy the wait).
+    */
+  def awaitQuiescent(maxWaitMs: Long = 5000L): Unit = {
+    var last = -1
+    var waited = 0L
+    while (size != last && waited < maxWaitMs) {
+      last = size
+      Thread.sleep(100)
+      waited += 100
+    }
+  }
 
   /** Snapshot of everything recorded so far, oldest first. */
   def snapshot(spark: SparkSession): DataFrame = {
@@ -52,17 +66,25 @@ final class QueryLedgerListener extends QueryExecutionListener {
       .toDF("action", "output_rows", "wall_ns", "status")
   }
 
-  /** Append the buffered events to the warehouse ledger dir and clear
-    * the buffer. Returns the number of events flushed.
+  /** Append the buffered events to the warehouse ledger dir and remove
+    * ONLY what was written. The queue is snapshotted non-destructively
+    * first: if the parquet append throws (full disk, transient FS
+    * error), every event is still buffered and the flush can be
+    * retried — draining first would lose the batch irrecoverably.
+    * Returns the number of events flushed.
     */
   def flush(spark: SparkSession, warehouseDir: String): Int = {
-    val batch = Iterator.continually(events.poll()).takeWhile(_ != null).toSeq
+    val batch = events.asScala.toSeq
     if (batch.nonEmpty) {
       import spark.implicits._
       batch.toDF("action", "output_rows", "wall_ns", "status")
         .withColumn("logged_at", org.apache.spark.sql.functions.current_timestamp())
         .write.mode(org.apache.spark.sql.SaveMode.Append)
         .parquet(s"$warehouseDir/QueryLog")
+      // written successfully: drop exactly the snapshotted prefix (the
+      // queue is append-only, so the head still holds these events)
+      var i = 0
+      while (i < batch.size) { events.poll(); i += 1 }
     }
     batch.size
   }

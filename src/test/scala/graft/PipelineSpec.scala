@@ -84,11 +84,12 @@ class PipelineSpec extends SparkSpec {
     spark.listenerManager.register(listener)
     try {
       val n = Tables.nation(spark, sf("sf0.001")).count()
-      // listener callbacks are posted asynchronously; wait for arrival
-      var tries = 0
-      while (listener.snapshot(spark).isEmpty && tries < 50) { Thread.sleep(100); tries += 1 }
+      // wait on the O(1) buffer size, NEVER via a Spark action — an
+      // action poll would itself be reported to the listener and
+      // self-satisfy the wait
+      listener.awaitQuiescent()
+      assert(listener.size >= 1, "count() action must be recorded")
       val snap = listener.snapshot(spark).collect()
-      assert(snap.nonEmpty, "count() action must be recorded")
       assert(snap.exists(r => r.getString(3) == "ok" && r.getLong(2) > 0),
         s"recorded event needs ok status and positive wall time: ${snap.mkString(",")}")
       val dir = java.nio.file.Files.createTempDirectory("graft_qlog").toString
@@ -98,11 +99,13 @@ class PipelineSpec extends SparkSpec {
       assert(log.count() == flushed)
       assert(log.columns.toSet ==
         Set("action", "output_rows", "wall_ns", "status", "logged_at"))
-      // append-only: a second flush after another action adds rows
+      // append-only: a second flush after another action adds rows —
+      // confirm the new action actually arrived before flushing again
       Tables.region(spark, sf("sf0.001")).count()
-      tries = 0
-      while (listener.snapshot(spark).isEmpty && tries < 50) { Thread.sleep(100); tries += 1 }
+      listener.awaitQuiescent()
+      assert(listener.size >= 1, "second action must be buffered before the second flush")
       val flushed2 = listener.flush(spark, dir)
+      assert(flushed2 >= 1)
       assert(spark.read.parquet(s"$dir/QueryLog").count() == flushed + flushed2)
       assert(n == 25)
     } finally spark.listenerManager.unregister(listener)
