@@ -21,7 +21,15 @@ import java.util.concurrent.{Callable, Executors, ThreadFactory, TimeUnit, Timeo
   *    letting 60+ queries' caches accumulate in one JVM builds memory
   *    pressure that compounds into multi-minute stalls;
   *  - best of two timed runs: one-off JIT/GC stalls otherwise get
-  *    charged to an arbitrary query and swamp the signal.
+  *    charged to an arbitrary query and swamp the signal;
+  *  - adaptive third run when the two timed runs DISAGREE by more than
+  *    `StallRatio`: the host has documented external multi-10s stalls
+  *    that hit random queries, and a 2-run best-of can still record a
+  *    stalled pair. A >1.5x spread between two runs of the same plan on
+  *    the same data is a stall signature, not a regression — the third
+  *    run breaks the tie. Every run is also emitted verbatim in the
+  *    JSON (`"runs"`), so a stalled sample stays distinguishable from a
+  *    real regression in the official record itself.
   */
 object Bench {
 
@@ -30,6 +38,11 @@ object Bench {
     */
   private val RunCapSec = 90L
   private val WarmCapSec = 45L
+
+  /** Two runs whose times differ by more than this ratio indicate a
+    * host stall during one of them → take an adaptive third run.
+    */
+  private val StallRatio = 1.5
 
   private val pool = Executors.newCachedThreadPool(new ThreadFactory {
     def newThread(r: Runnable) = {
@@ -81,14 +94,17 @@ object Bench {
 
   private def jsonLine(
       sfDir: String,
-      done: Seq[(String, Double)],
+      done: Seq[(String, Seq[Double])],
       dnf: Seq[String],
       skipped: Seq[String]): String = {
-    val qs = done.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
-    val total = done.map(_._2).sum
+    val qs = done.map { case (k, rs) => "\"" + k + "\":" + f"${rs.min}%.3f" }.mkString("{", ",", "}")
+    val runs = done.map { case (k, rs) =>
+      "\"" + k + "\":" + rs.map(r => f"$r%.3f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val total = done.map(_._2.min).sum
     val dnfs = dnf.map("\"" + _ + "\"").mkString("[", ",", "]")
     val skips = skipped.map("\"" + _ + "\"").mkString("[", ",", "]")
-    f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"dnf":$dnfs,"skipped":$skips,"sf":"$sfDir"}"""
+    f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"runs":$runs,"dnf":$dnfs,"skipped":$skips,"sf":"$sfDir"}"""
   }
 
   /** Every remaining unpartitioned window in the library sits on a
@@ -142,7 +158,7 @@ object Bench {
       }
     }
 
-    var done = Vector.empty[(String, Double)]
+    var done = Vector.empty[(String, Seq[Double])]
     var dnf = Vector.empty[String]
     var skipped = Vector.empty[String]
     SparkEntry.benchQueries.foreach { q =>
@@ -153,15 +169,19 @@ object Bench {
         // run, then tighten the per-run cap to whatever time is left
         val cap = math.min(RunCapSec, remainingSec - 2)
         val nRuns = if (remainingSec > 2 * RunCapSec) 2 else 1
-        val runs = (1 to nRuns).flatMap(_ => runCapped(spark, q, sfDir, cap))
+        var runs = (1 to nRuns).flatMap(_ => runCapped(spark, q, sfDir, cap)).toVector
+        // stall arbitration: two runs that disagree by >StallRatio mean
+        // one of them hit a host stall — a third run decides which
+        if (runs.size == 2 && runs.max > runs.min * StallRatio && remainingSec > RunCapSec)
+          runs ++= runCapped(spark, q, sfDir, cap)
         if (runs.nonEmpty) {
           val sec = runs.min
-          done :+= (q.name -> sec)
+          done :+= (q.name -> runs)
           System.err.println(
             f"[bench] ${q.name}%-28s $sec%8.2fs  (runs: ${runs.map(r => f"$r%.2f").mkString(", ")})")
         } else {
           dnf :+= q.name
-          done :+= (q.name -> cap.toDouble) // cap charged so totals stay comparable
+          done :+= (q.name -> Vector(cap.toDouble)) // cap charged so totals stay comparable
         }
         // caches are per-query scoped (self-join sharing); never let them
         // accumulate across the suite

@@ -83,10 +83,14 @@ object AsOf {
       else df.withColumn(c, lit(null).cast(left.schema(c).dataType))
     }.select(l.columns.map(col): _*)
 
-    // rights sort before lefts at equal __t so "<=" matches
+    // rights sort before lefts at equal __t so "<=" matches; __payload
+    // as the final key makes the winner among DUPLICATE-time right rows
+    // deterministic (last = max payload struct, field-wise) instead of
+    // shuffle-order-dependent — left rows all carry __side=1 so the
+    // null payload never interleaves with right rows at equal time
     val w = Window
       .partitionBy(by.map(col): _*)
-      .orderBy(col("__t").asc, col("__side").asc)
+      .orderBy(col("__t").asc, col("__side").asc, col("__payload").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = l.unionByName(rAligned)
       .withColumn("__match", last(col("__payload"), ignoreNulls = true).over(w))

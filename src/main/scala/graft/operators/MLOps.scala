@@ -24,9 +24,16 @@ import org.apache.spark.sql.types.IntegerType
   *    cluster ids are library-specific (k-means|| vs sklearn k-means++),
   *    so the driver records a rows-only check — partition quality is
   *    asserted in ScalaTest instead (SURVEY §5.5);
-  *  - q57: KMeans k=10 on the `embeddings` table (the LSTM-embedding
+  *  - q127: deterministic 12-d sequence embedding — the public-technique
+  *    stand-in for the reference's LSTM autoencoder
+  *    (`/root/reference/src/models/LSTM_Autoencoder.py:5-98`, trained at
+  *    `notebooks/LSTM_features_learning.ipynb` cells 17-18, 166×12
+  *    embeddings at cell 20): a FIXED ±1 random projection (md5-seeded,
+  *    Achlioptas-style) of each part's calendar-aligned quarterly
+  *    revenue sequence. Integer arithmetic end to end → full oracle;
+  *  - q57: KMeans k=10 over those q127 embeddings (the LSTM-embedding
   *    clustering path, notebooks/LSTM_features_learning.ipynb cell 22)
-  *    with per-cluster sizes + silhouette — rows-only;
+  *    with per-cluster sizes — rows-only, partition gated in KMeansSpec;
   *  - q58: PCA(4) variance summary — rows-only.
   */
 object MLOps {
@@ -276,6 +283,60 @@ object MLOps {
           sqrt(greatest(sum2 / n - (sum1 / n) * (sum1 / n), lit(0.0))), 4)
           .as("std_rev_cents"))
       .orderBy(col("cluster"), col("y"), col("q"))
+  }
+
+  /** Output dimensionality of [[sequenceEmbedding]] — the reference's
+    * LSTM autoencoder compresses each padded quarterly sequence to 12
+    * dims (LSTM_features_learning.ipynb cell 20: 166×12).
+    */
+  private[graft] val EmbedDim = 12
+
+  /** M5 closed end-to-end: a deterministic 12-d embedding of each
+    * part's quarterly revenue sequence, standing in for the reference's
+    * torch LSTM autoencoder with a public technique — a FIXED ±1 random
+    * projection (Achlioptas 2003 database-friendly projections; signs
+    * md5-derived per (calendar quarter, output dim), so the "matrix" is
+    * a pure function both engines can evaluate). Summing
+    * `rev_cents × sign(t, j)` over the quarters a part actually traded
+    * equals projecting the ZERO-PADDED calendar-aligned sequence
+    * (missing quarters contribute 0 to every component), so no explicit
+    * padding step is materialized. All-integer arithmetic: exact,
+    * order-free, oracle-comparable (the q68 recipe).
+    *
+    * Scale shape: two keyed aggregations — (part, quarter) partials
+    * with map-side combine, then 12 conditional integer sums per part.
+    * No explode (the 12 dims are 12 aggregate expressions in ONE pass),
+    * no shuffle wider than the fact's own keys.
+    */
+  private[graft] def sequenceEmbedding(s: SparkSession, d: String): DataFrame = {
+    val pq = Tables.lineitem(s, d)
+      .groupBy(
+        col("l_partkey").as("part_id"),
+        (year(col("l_shipdate")) * 4 + quarter(col("l_shipdate")))
+          .cast(IntegerType).as("t"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("rev_cents"))
+    val comps = (1 to EmbedDim).map { j =>
+      val sign = when(
+        graft.functions.TextFns.h60(
+          concat(col("t").cast("string"), lit(s",$j"))) % 2 === 0,
+        lit(1L)).otherwise(lit(-1L))
+      sum(col("rev_cents") * sign).as(s"e$j")
+    }
+    pq.groupBy(col("part_id")).agg(comps.head, comps.tail: _*)
+  }
+
+  private[graft] val sequenceEmbeddingSql: String = {
+    val comps = (1 to EmbedDim).map { j =>
+      val h = graft.functions.TextFns.Sql.h60(s"CAST(t AS VARCHAR) || ',$j'")
+      s"CAST(SUM(rev_cents * (CASE WHEN $h % 2 = 0 THEN 1 ELSE -1 END)) AS BIGINT) AS e$j"
+    }.mkString(",\n               ")
+    s"""pq AS (SELECT l_partkey AS part_id,
+                      CAST(year(l_shipdate) * 4 + quarter(l_shipdate) AS INT) AS t,
+                      CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+               FROM lineitem GROUP BY 1, 2),
+        emb AS (SELECT part_id,
+               $comps
+        FROM pq GROUP BY part_id)"""
   }
 
   /** KMeans on a z-scored frame; labels canonicalized by (cluster size

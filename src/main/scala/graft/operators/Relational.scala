@@ -31,10 +31,20 @@ object Relational {
       sortCols: Seq[String],
       valueCol: String,
       nParts: Int): org.apache.spark.sql.DataFrame = {
+    // Both consumers (offset table + final join) must observe ONE
+    // materialization of the partition ids. localCheckpoint, not
+    // cache(): cached plans live in the session CacheManager until an
+    // explicit unpersist, so a lazy library function would leak storage
+    // per call; checkpoint blocks belong to the RDD and the
+    // ContextCleaner frees them once the caller drops the frame.
+    // Tradeoff, stated honestly: localCheckpoint data is not
+    // recomputable after executor loss — on a long multi-tenant cluster
+    // run swap in reliable checkpoint(); on this single-JVM target and
+    // for a two-stage window the eager local copy is the right cost.
     val ranged = df
       .repartitionByRange(nParts, sortCols.map(col): _*)
       .withColumn("__pid", spark_partition_id())
-      .cache()
+      .localCheckpoint(true)
     val within = Window
       .partitionBy(col("__pid"))
       .orderBy(sortCols.map(col): _*)

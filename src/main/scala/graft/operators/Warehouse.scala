@@ -27,10 +27,15 @@ object Warehouse {
     *                   `restate` — no successor.
     *
     * One shuffle on the dimension key, no windows. Inputs by column
-    * name: `cur(key, bal)`, `inc(key, new_bal)`; output
-    * `(key, bal, valid_from, valid_to, is_current)`. The insert/delete
-    * branches are pinned in WarehouseSpec (q105's supplier feed cannot
-    * reach them — cur and inc derive from the same table there).
+    * name: `cur(key, bal[, valid_from])`, `inc(key, new_bal)`; output
+    * `(key, bal, valid_from, valid_to, is_current)`. When `cur` carries
+    * a per-row `valid_from` (a dimension whose current rows opened at
+    * different times — the normal case after more than one merge), each
+    * surviving or closed version keeps ITS OWN open date; `openedAt` is
+    * only the fallback for a single-epoch snapshot without the column.
+    * The insert/delete branches and the per-row round-trip are pinned
+    * in WarehouseSpec (q105's supplier feed cannot reach the
+    * insert/delete arms — cur and inc derive from the same table there).
     */
   def scd2Merge(
       cur: org.apache.spark.sql.DataFrame,
@@ -38,7 +43,9 @@ object Warehouse {
       openedAt: String,
       restate: String,
       endOfTime: String): org.apache.spark.sql.DataFrame = {
-    val c = cur.select(col("key").as("c_key"), col("bal"))
+    val curFrom =
+      if (cur.columns.contains("valid_from")) col("valid_from") else lit(openedAt)
+    val c = cur.select(col("key").as("c_key"), col("bal"), curFrom.as("c_from"))
     val i = inc.select(col("key").as("i_key"), col("new_bal"))
     val insert = col("c_key").isNull
     val delete = col("i_key").isNull
@@ -47,19 +54,23 @@ object Warehouse {
     // unchanged branch — the same pandas-NaN trap as the history
     // merge's composite key, see CompanyXEtl)
     val changed = !(col("new_bal") <=> col("bal"))
-    def v(b: org.apache.spark.sql.Column, from: String, to: String, cu: Boolean) =
-      struct(b.as("bal"), lit(from).as("valid_from"),
+    def v(
+        b: org.apache.spark.sql.Column,
+        from: org.apache.spark.sql.Column,
+        to: String,
+        cu: Boolean) =
+      struct(b.as("bal"), from.as("valid_from"),
         lit(to).as("valid_to"), lit(cu).as("is_current"))
     c.join(i, col("c_key") === col("i_key"), "full_outer")
       .select(
         coalesce(col("c_key"), col("i_key")).as("key"),
         explode(
-          when(insert, array(v(col("new_bal"), restate, endOfTime, cu = true)))
-            .when(delete, array(v(col("bal"), openedAt, restate, cu = false)))
+          when(insert, array(v(col("new_bal"), lit(restate), endOfTime, cu = true)))
+            .when(delete, array(v(col("bal"), col("c_from"), restate, cu = false)))
             .when(changed, array(
-              v(col("bal"), openedAt, restate, cu = false),
-              v(col("new_bal"), restate, endOfTime, cu = true)))
-            .otherwise(array(v(col("bal"), openedAt, endOfTime, cu = true)))).as("v"))
+              v(col("bal"), col("c_from"), restate, cu = false),
+              v(col("new_bal"), lit(restate), endOfTime, cu = true)))
+            .otherwise(array(v(col("bal"), col("c_from"), endOfTime, cu = true)))).as("v"))
       .select(
         col("key"), col("v.bal").as("bal"),
         col("v.valid_from").as("valid_from"), col("v.valid_to").as("valid_to"),
@@ -94,12 +105,25 @@ object Warehouse {
       path.getParent, path.getName + "_compact_tmp")
     spark.read.parquet(dir).repartition(n)
       .write.mode("overwrite").parquet(tmp.toString)
-    // fail loudly: an ignored false here means data loss (delete) or a
-    // doubled table (rename into a still-existing dir)
-    if (!fs.delete(path, true))
-      throw new java.io.IOException(s"compact: could not remove $path")
-    if (!fs.rename(tmp, path))
+    // swap order matters: rename the live table ASIDE first, then the
+    // rewritten copy in, then delete the old copy. Deleting first would
+    // open a window (delete .. rename) where a crash leaves NO table at
+    // `path` and the data stranded under the tmp name; with
+    // rename-aside, a crash at any point leaves the original intact and
+    // recoverable under the deterministic `_compact_old` name. Fail
+    // loudly: an ignored false here means a doubled or vanished table.
+    val old = new org.apache.hadoop.fs.Path(
+      path.getParent, path.getName + "_compact_old")
+    if (fs.exists(old) && !fs.delete(old, true)) // leftover from a prior crash
+      throw new java.io.IOException(s"compact: could not clear stale $old")
+    if (!fs.rename(path, old))
+      throw new java.io.IOException(s"compact: could not move $path aside")
+    if (!fs.rename(tmp, path)) {
+      fs.rename(old, path) // restore; best-effort, original data is still in `old`
       throw new java.io.IOException(s"compact: could not move $tmp -> $path")
+    }
+    if (!fs.delete(old, true))
+      throw new java.io.IOException(s"compact: could not remove $old")
     n
   }
 

@@ -212,11 +212,17 @@ object EventStream {
          state: GroupState[(Long, Long)]) =>
           var (bestTs, bestId) = state.getOption.getOrElse((Long.MinValue, -1L))
           // iterator order within a batch is shuffle-arbitrary: sort by
-          // (time, clicks-first) so equal-ts clicks match their purchase
-          val events = it.toArray.sortBy(e => (e._4, e._3))
+          // (time, clicks-first, event_id) so equal-ts clicks match
+          // their purchase AND duplicate-ts clicks have a deterministic
+          // winner (highest event_id — the same row the batch backward
+          // path's max-payload tiebreak picks)
+          val events = it.toArray.sortBy(e => (e._4, e._3, e._2))
           val out = events.flatMap {
             case (_, id, false, t) => // click: advance the latest-seen state
-              if (t >= bestTs) { bestTs = t; bestId = id }
+              // strict > with an id tiebreak on equal ts — `>=` alone
+              // would let shuffle order pick among duplicate-ts clicks
+              // arriving in different micro-batches
+              if (t > bestTs || (t == bestTs && id > bestId)) { bestTs = t; bestId = id }
               None
             case (_, id, true, t) => // purchase: emit with current best
               Some((user, id, t,

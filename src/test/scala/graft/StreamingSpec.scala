@@ -84,4 +84,50 @@ class StreamingSpec extends SparkSpec {
         col("click_ts_us") < cut1 / 1000)
     assert(crossBatch.count() > 0, "fixture must exercise cross-batch attribution")
   }
+
+  test("duplicate-ts clicks attribute to the max event_id in BOTH streaming and batch paths") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // Two clicks per user at the SAME timestamp: without an id
+    // tiebreak the winner is shuffle/arrival-order-dependent. Both
+    // paths must pick the max event_id. User 1's higher-id click lands
+    // in the EARLIER micro-batch (a later lower-id duplicate must not
+    // overwrite state); user 2's lands in the later one (equal-ts
+    // advance must still happen).
+    val T = 1700000000000000000L // event-time nanos, as stored on disk
+    val dir = java.nio.file.Files.createTempDirectory("graft_dup_ts")
+    val batches = Seq(
+      Seq((11L, 1L, "click", T, 0.0, ""), (5L, 2L, "click", T, 0.0, "")),
+      Seq(
+        (10L, 1L, "click", T, 0.0, ""), (6L, 2L, "click", T, 0.0, ""),
+        (20L, 1L, "purchase", T + 1000000000L, 1.0, ""),
+        (21L, 2L, "purchase", T + 1000000000L, 1.0, "")))
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      val build = dir.resolve(s"build_$i")
+      rows.toDF("event_id", "user_id", "event_type", "ts", "value", "props")
+        .coalesce(1).write.parquet(build.toString)
+      val part = java.nio.file.Files.list(build).toArray
+        .map(_.asInstanceOf[java.nio.file.Path])
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      val target = dir.resolve(s"s$i.parquet")
+      java.nio.file.Files.move(part, target)
+      target.toFile.setLastModified(1000000L * (i + 1))
+    }
+    val expected = Set((1L, 20L, 11L), (2L, 21L, 6L))
+    val streamed = EventStream.asOfAttribution(
+        spark, dir.toString, filesPerTrigger = Some(1), glob = "s*.parquet")
+      .select("user_id", "event_id", "click_event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == expected)
+    val ev = spark.read.parquet(dir.resolve("s0.parquet").toString, dir.resolve("s1.parquet").toString)
+    val batch = operators.AsOf.backward(
+        ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), col("ts")),
+        ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_event_id")),
+        "ts", "click_ts", Seq("user_id"), Seq("click_event_id", "click_ts"))
+      .select("user_id", "event_id", "click_event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(batch == expected)
+  }
 }

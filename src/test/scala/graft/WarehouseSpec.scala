@@ -111,6 +111,30 @@ class WarehouseSpec extends SparkSpec {
     ), s"merge branches wrong: $out")
   }
 
+  test("SCD2 merge round-trips per-row valid_from on the current side") {
+    import spark.implicits._
+    // a dimension after more than one merge: current rows opened at
+    // DIFFERENT dates — closing or keeping a version must preserve its
+    // own open date, not restamp everything with the fallback literal
+    val cur = Seq(
+      (1L, 10.0, "2019-06-15"), // will be unchanged
+      (2L, 20.0, "2021-03-01"), // will be restated
+      (3L, 30.0, "2022-09-09")  // will be deleted
+    ).toDF("key", "bal", "valid_from")
+    val inc = Seq((1L, 10.0), (2L, 25.0), (4L, 40.0)).toDF("key", "new_bal")
+    val out = operators.Warehouse
+      .scd2Merge(cur, inc, "2020-01-01", "2026-01-01", "9999-12-31")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2),
+        r.getString(3), r.getBoolean(4))).toSet
+    assert(out == Set(
+      (1L, 10.0, "2019-06-15", "9999-12-31", true),  // keeps ITS open date
+      (2L, 20.0, "2021-03-01", "2026-01-01", false), // closed at restate, own open date
+      (2L, 25.0, "2026-01-01", "9999-12-31", true),
+      (3L, 30.0, "2022-09-09", "2026-01-01", false), // deleted: own open date
+      (4L, 40.0, "2026-01-01", "9999-12-31", true)   // inserted: opens at restate
+    ), s"per-row valid_from lost: $out")
+  }
+
   test("SCD2 merge treats NULL-vs-value restatement as a change (null-safe compare)") {
     import spark.implicits._
     val cur = Seq((1L, Option(10.0)), (2L, Option.empty[Double])).toDF("key", "bal")
