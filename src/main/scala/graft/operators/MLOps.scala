@@ -429,22 +429,25 @@ object MLOps {
       bench = false
     ),
 
-    // KMeans k=10 on raw embeddings + silhouette (embedding-path M2/M4)
+    // The learned-embedding clustering path closed END TO END (M2/M5):
+    // k=10 KMeans over the q127 sequence embeddings — the notebook's
+    // LSTM-embeddings → KMeans step (LSTM_features_learning.ipynb cell
+    // 22), with q127's deterministic projection standing in for the
+    // torch encoder. Label ids are library-specific → rows-only for the
+    // driver; totality/k-coverage/determinism pinned in KMeansSpec.
     Q(
       "q57_kmeans_embeddings",
       (s, d) => {
-        val e = Tables.embeddings(s, d)
-          .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("arr"))
-        val dim = 64
-        val cols = (0 until dim).map(i => col("arr").getItem(i).as(s"x$i"))
-        val flat = e.select(col("vec_id") +: col("label") +: cols: _*)
-        val clustered = kmeansCanonical(flat, (0 until dim).map(i => s"x$i"), "vec_id", 10)
+        val emb = sequenceEmbedding(s, d)
+        val xCols = (1 to EmbedDim).map(j => s"x$j")
+        val flat = emb.select(
+          col("part_id") +: (1 to EmbedDim).map(j => col(s"e$j").cast("double").as(s"x$j")): _*)
+        val clustered = kmeansCanonical(flat, xCols, "part_id", 10)
         clustered
           .groupBy(col("cluster"))
           .agg(
-            count(lit(1)).as("n_vecs"),
-            countDistinct(col("label")).as("n_labels"),
-            min(col("vec_id")).as("min_vec_id")
+            count(lit(1)).as("n_parts"),
+            min(col("part_id")).as("min_part_id")
           )
           .orderBy(col("cluster"))
       },
@@ -525,6 +528,18 @@ object MLOps {
                      CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
               FROM lineitem GROUP BY 1, 2, 3)
         GROUP BY l_partkey ORDER BY l_partkey""")
+    ),
+
+    // M5 embedding step: the deterministic 12-d projection of each
+    // part's quarterly sequence (see [[sequenceEmbedding]]) as a
+    // first-class oracle-gated query — integer ±1 sums are exact in
+    // both engines, so unlike the torch LSTM this "encoder" hash-gates.
+    Q(
+      "q127_sequence_embedding",
+      (s, d) => sequenceEmbedding(s, d).orderBy(col("part_id")),
+      Some(s"""
+        WITH $sequenceEmbeddingSql
+        SELECT * FROM emb ORDER BY part_id""")
     ),
 
     // F9: whole-quarter difference arithmetic ((y1-y2)*4 + (q1-q2),

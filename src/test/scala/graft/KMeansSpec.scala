@@ -39,6 +39,23 @@ class KMeansSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("q57: sequence-embedding clustering is total, k-covering, deterministic") {
+    // the M5 path end to end — q127's deterministic projection feeding
+    // kmeansCanonical; labels are library-specific (rows-only for the
+    // driver) so the partition CONTRACT is the gate here
+    val parts = Tables.lineitem(spark, sf("sf0.001"))
+      .select(col("l_partkey")).distinct().count()
+    val rows = SparkEntry.queries("q57_kmeans_embeddings")(spark, sf("sf0.001"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(rows.map(_._1).toSeq == (0 until 10), "canonical ids must be 0..k-1")
+    assert(rows.map(_._2).sum == parts, "every part must be assigned exactly once")
+    assert(rows.map(_._2).toSeq == rows.map(_._2).sortBy(-_).toSeq,
+      "canonical ids must be ordered by descending cluster size")
+    val again = SparkEntry.queries("q57_kmeans_embeddings")(spark, sf("sf0.001"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(rows.sameElements(again), "clustering must be run-to-run deterministic")
+  }
+
   test("kmeans on the embeddings table is total, k-covering, deterministic") {
     // NB the synthetic labels are heavily overlapping blobs (intra-spread
     // ~1.0 vs centroid separation ~0.2), so label recovery is NOT a
