@@ -122,6 +122,12 @@ object Bench {
       org.apache.logging.log4j.Level.ERROR)
 
   def main(args: Array[String]): Unit = {
+    // trailing query names → bench only that subset (re-measurement runs);
+    // no args → the full headline suite, as the driver invokes it
+    val subset = args.toSet
+    val queries =
+      if (subset.isEmpty) SparkEntry.benchQueries
+      else SparkEntry.benchQueries.filter(q => subset(q.name))
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -151,7 +157,7 @@ object Bench {
     // costs tens of seconds across the suite and would otherwise be
     // charged to whichever query first uses a shape. Warmup may spend at
     // most a quarter of the budget — timed runs have priority.
-    SparkEntry.benchQueries.foreach { q =>
+    queries.foreach { q =>
       if (remainingSec > budgetSec * 3 / 4) {
         runCapped(spark, q, "/root/testdata/sf0.001", WarmCapSec)
         spark.catalog.clearCache()
@@ -161,7 +167,7 @@ object Bench {
     var done = Vector.empty[(String, Seq[Double])]
     var dnf = Vector.empty[String]
     var skipped = Vector.empty[String]
-    SparkEntry.benchQueries.foreach { q =>
+    queries.foreach { q =>
       if (remainingSec <= 5) {
         skipped :+= q.name
       } else {
