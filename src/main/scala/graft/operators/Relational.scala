@@ -148,23 +148,43 @@ object Relational {
         ORDER BY p_partkey""")
     ),
 
-    // J2: detail ⟕ header, then per-order aggregate
+    // J2: detail ⟕ header, then per-order aggregate. Aggregate BEFORE
+    // the join: o_custkey/o_orderdate are functionally dependent on the
+    // join key, so grouping lineitem down to one row per order first
+    // and joining headers after is equivalent — and the join then
+    // processes |orders| rows instead of |lineitem| (~4× fewer, and the
+    // gap widens with line-items-per-order at scale). The distinct is
+    // the exact two-level form (per-(order, part) partials, then
+    // per-order counts) — decimal partial sums are exactly associative,
+    // so hash parity with the one-level oracle is preserved. Both
+    // levels and the join reuse ONE hash partitioning on l_orderkey
+    // (pinned in PlanSpec): grouping by (l_orderkey, l_partkey) only
+    // needs same-key co-location, which partitioning by the order key
+    // already provides.
     Q(
       "q05_order_revenue",
       (s, d) => {
         val li = Tables.lineitem(s, d)
         val o = Tables.orders(s, d)
-        li.join(o, li("l_orderkey") === o("o_orderkey"), "left")
-          .groupBy(
+        val perPart = li
+          .repartition(col("l_orderkey"))
+          .groupBy(col("l_orderkey"), col("l_partkey"))
+          .agg(
+            sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(Det.Money))
+              .as("rev_part"),
+            count(lit(1)).as("n_rows"))
+        val perOrder = perPart
+          .groupBy(col("l_orderkey"))
+          .agg(
+            sum(col("rev_part")).cast("double").as("revenue"),
+            sum(col("n_rows")).as("n_items"),
+            count(lit(1)).as("n_parts"))
+        perOrder.join(o, perOrder("l_orderkey") === o("o_orderkey"), "left")
+          .select(
             col("l_orderkey"),
             col("o_custkey"),
-            to_date(col("o_orderdate")).as("order_date")
-          )
-          .agg(
-            dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
-            count(lit(1)).as("n_items"),
-            countDistinct(col("l_partkey")).as("n_parts")
-          )
+            to_date(col("o_orderdate")).as("order_date"),
+            col("revenue"), col("n_items"), col("n_parts"))
           .orderBy(col("l_orderkey"))
       },
       Some("""

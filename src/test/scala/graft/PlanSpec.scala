@@ -52,6 +52,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Expand"), s"q54 regressed to a multi-distinct Expand:\n$p")
   }
 
+  test("q05 aggregates the fact to per-order rows BEFORE the header join, on one shuffle") {
+    val p = plan("q05_order_revenue")
+    // exact two-level distinct: no Expand, and a single hash
+    // partitioning (on l_orderkey) feeds BOTH aggregation levels — the
+    // (l_orderkey, l_partkey) level only needs same-order co-location
+    assert(!p.contains("Expand"), s"q05 regressed to a multi-distinct Expand:\n$p")
+    val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx == 1,
+      s"both agg levels must reuse ONE fact shuffle on l_orderkey, found $hashEx:\n$p")
+    // the header join consumes |orders|-sized aggregated rows, so the
+    // fact is scanned exactly once and never flows through the join raw
+    val factScans = p.linesIterator.count(l => l.contains("FileScan") && l.contains("lineitem"))
+    assert(factScans == 1, s"fact must be scanned once, found $factScans:\n$p")
+  }
+
   test("as-of interval assignment broadcasts the dimension (q08)") {
     val p = plan("q08_asof_interval")
     assert(p.contains("Broadcast"), s"expected broadcast in as-of join:\n$p")
