@@ -13,6 +13,68 @@ import org.apache.spark.sql.types.IntegerType
 object Events {
   import Det._
 
+  /** The click→purchase attribution shape every as-of query here
+    * shares: purchases as the left/probe side, clicks as the
+    * right/reference side.
+    */
+  private def purchases(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.events(s, d).filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"))
+  private def clicks(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.events(s, d).filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_event_id"))
+  private def asOfOut(df: org.apache.spark.sql.DataFrame) =
+    df.select(
+        col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("click_event_id"),
+        unix_micros(col("click_ts")).as("click_ts_us"))
+      .orderBy(col("user_id"), col("event_id"))
+
+  /** Shared by q120 (composed formulation) and q128 (physical exec) —
+    * one oracle gating both dispatch arms, the q38/q99 pattern.
+    */
+  private val forwardOracleSql = """
+        SELECT p.user_id, p.event_id,
+               epoch_us(CAST(p.ts AS TIMESTAMP)) AS ts_us,
+               c.event_id AS click_event_id,
+               epoch_us(CAST(c.ts AS TIMESTAMP)) AS click_ts_us
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP)
+        ORDER BY p.user_id, p.event_id"""
+
+  /** Shared by q121 (composed) and q129 (physical exec). */
+  private val nearestOracleSql = """
+        WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+        c AS (SELECT * FROM events WHERE event_type = 'click'),
+        b AS (
+          SELECT p.user_id, p.event_id,
+                 epoch_us(CAST(p.ts AS TIMESTAMP)) AS ts_us,
+                 c.event_id AS click_event_id,
+                 epoch_us(CAST(c.ts AS TIMESTAMP)) AS click_ts_us
+          FROM p ASOF LEFT JOIN c
+            ON p.user_id = c.user_id AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)),
+        f AS (
+          SELECT p.user_id, p.event_id,
+                 c.event_id AS click_event_id,
+                 epoch_us(CAST(c.ts AS TIMESTAMP)) AS click_ts_us
+          FROM p ASOF LEFT JOIN c
+            ON p.user_id = c.user_id AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP))
+        SELECT b.user_id, b.event_id, b.ts_us,
+               CASE WHEN b.click_ts_us IS NULL THEN f.click_event_id
+                    WHEN f.click_ts_us IS NOT NULL
+                         AND f.click_ts_us - b.ts_us < b.ts_us - b.click_ts_us
+                      THEN f.click_event_id
+                    ELSE b.click_event_id END AS click_event_id,
+               CASE WHEN b.click_ts_us IS NULL THEN f.click_ts_us
+                    WHEN f.click_ts_us IS NOT NULL
+                         AND f.click_ts_us - b.ts_us < b.ts_us - b.click_ts_us
+                      THEN f.click_ts_us
+                    ELSE b.click_ts_us END AS click_ts_us
+        FROM b JOIN f ON b.event_id = f.event_id
+        ORDER BY b.user_id, b.event_id"""
+
   val all: Seq[Q] = Seq(
     // tumbling 1h window aggregate (batch parity of the streaming agg)
     Q(
@@ -208,31 +270,22 @@ object Events {
     // inequality flipped.
     Q(
       "q120_asof_forward",
-      (s, d) => {
-        val ev = Tables.events(s, d)
-        val purchases = ev.filter(col("event_type") === "purchase")
-          .select(col("user_id"), col("event_id"), col("ts"))
-        val clicks = ev.filter(col("event_type") === "click")
-          .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_event_id"))
-        AsOf
-          .forward(purchases, clicks, "ts", "click_ts", Seq("user_id"), Seq("click_event_id", "click_ts"))
-          .select(
-            col("user_id"), col("event_id"),
-            unix_micros(col("ts")).as("ts_us"),
-            col("click_event_id"),
-            unix_micros(col("click_ts")).as("click_ts_us")
-          )
-          .orderBy(col("user_id"), col("event_id"))
-      },
-      Some("""
-        SELECT p.user_id, p.event_id,
-               epoch_us(CAST(p.ts AS TIMESTAMP)) AS ts_us,
-               c.event_id AS click_event_id,
-               epoch_us(CAST(c.ts AS TIMESTAMP)) AS click_ts_us
-        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
-          ON p.user_id = c.user_id AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP)
-        ORDER BY p.user_id, p.event_id""")
+      (s, d) => asOfOut(AsOf.forward(
+        purchases(s, d), clicks(s, d), "ts", "click_ts",
+        Seq("user_id"), Seq("click_event_id", "click_ts"))),
+      Some(forwardOracleSql)
+    ),
+
+    // The SAME forward contract through the physical operator's
+    // direction arm (AsOfJoinExec direction='forward') — both dispatch
+    // arms gated on one oracle, the q38/q99 pattern.
+    Q(
+      "q128_asof_exec_forward",
+      (s, d) => asOfOut(graft.plans.AsOfJoin.frame(
+        purchases(s, d), clicks(s, d), "ts", "click_ts",
+        Seq("user_id"), Seq("click_event_id", "click_ts"),
+        graft.plans.AsOfJoin.Forward)),
+      Some(forwardOracleSql)
     ),
 
     // Nearest as-of: the temporally closer of the q38 (backward) and
@@ -242,52 +295,23 @@ object Events {
     // timestamps are unique per user (pinned by the q38/q120 hashes).
     Q(
       "q121_asof_nearest",
-      (s, d) => {
-        val ev = Tables.events(s, d)
-        val purchases = ev.filter(col("event_type") === "purchase")
-          .select(col("user_id"), col("event_id"), col("ts"))
-        val clicks = ev.filter(col("event_type") === "click")
-          .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_event_id"))
-        AsOf
-          .nearest(purchases, clicks, "ts", "click_ts",
-            by = Seq("user_id"), leftKey = Seq("event_id"), Seq("click_event_id", "click_ts"))
-          .select(
-            col("user_id"), col("event_id"),
-            unix_micros(col("ts")).as("ts_us"),
-            col("click_event_id"),
-            unix_micros(col("click_ts")).as("click_ts_us")
-          )
-          .orderBy(col("user_id"), col("event_id"))
-      },
-      Some("""
-        WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
-        c AS (SELECT * FROM events WHERE event_type = 'click'),
-        b AS (
-          SELECT p.user_id, p.event_id,
-                 epoch_us(CAST(p.ts AS TIMESTAMP)) AS ts_us,
-                 c.event_id AS click_event_id,
-                 epoch_us(CAST(c.ts AS TIMESTAMP)) AS click_ts_us
-          FROM p ASOF LEFT JOIN c
-            ON p.user_id = c.user_id AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)),
-        f AS (
-          SELECT p.user_id, p.event_id,
-                 c.event_id AS click_event_id,
-                 epoch_us(CAST(c.ts AS TIMESTAMP)) AS click_ts_us
-          FROM p ASOF LEFT JOIN c
-            ON p.user_id = c.user_id AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP))
-        SELECT b.user_id, b.event_id, b.ts_us,
-               CASE WHEN b.click_ts_us IS NULL THEN f.click_event_id
-                    WHEN f.click_ts_us IS NOT NULL
-                         AND f.click_ts_us - b.ts_us < b.ts_us - b.click_ts_us
-                      THEN f.click_event_id
-                    ELSE b.click_event_id END AS click_event_id,
-               CASE WHEN b.click_ts_us IS NULL THEN f.click_ts_us
-                    WHEN f.click_ts_us IS NOT NULL
-                         AND f.click_ts_us - b.ts_us < b.ts_us - b.click_ts_us
-                      THEN f.click_ts_us
-                    ELSE b.click_ts_us END AS click_ts_us
-        FROM b JOIN f ON b.event_id = f.event_id
-        ORDER BY b.user_id, b.event_id""")
+      (s, d) => asOfOut(AsOf.nearest(
+        purchases(s, d), clicks(s, d), "ts", "click_ts",
+        by = Seq("user_id"), leftKey = Seq("event_id"), Seq("click_event_id", "click_ts"))),
+      Some(nearestOracleSql)
+    ),
+
+    // Nearest through the physical operator: ONE merge pass holding a
+    // backward and a forward candidate simultaneously — no second scan,
+    // no self-join of two directional results — against the same
+    // composed-oracle as q121.
+    Q(
+      "q129_asof_exec_nearest",
+      (s, d) => asOfOut(graft.plans.AsOfJoin.frame(
+        purchases(s, d), clicks(s, d), "ts", "click_ts",
+        Seq("user_id"), Seq("click_event_id", "click_ts"),
+        graft.plans.AsOfJoin.Nearest)),
+      Some(nearestOracleSql)
     ),
 
     // Conversion-latency distribution — operator composition: the q38

@@ -116,6 +116,78 @@ class AsOfJoinExecSpec extends SparkSpec {
     }
   }
 
+  private def directionShape(via: String): Seq[(Long, Long, Option[Long])] = {
+    val ev = Tables.events(ext, sf("sf0.001"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_event_id"))
+    val joined = via match {
+      case "exec-forward" =>
+        graft.plans.AsOfJoin.frame(purchases, clicks, "ts", "click_ts",
+          Seq("user_id"), Seq("click_event_id", "click_ts"), graft.plans.AsOfJoin.Forward)
+      case "composed-forward" =>
+        AsOf.forward(purchases, clicks, "ts", "click_ts",
+          Seq("user_id"), Seq("click_event_id", "click_ts"))
+      case "exec-nearest" =>
+        graft.plans.AsOfJoin.frame(purchases, clicks, "ts", "click_ts",
+          Seq("user_id"), Seq("click_event_id", "click_ts"), graft.plans.AsOfJoin.Nearest)
+      case "composed-nearest" =>
+        AsOf.nearest(purchases, clicks, "ts", "click_ts",
+          by = Seq("user_id"), leftKey = Seq("event_id"), Seq("click_event_id", "click_ts"))
+    }
+    joined
+      .select(col("user_id"), col("event_id"), col("click_event_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      .toSeq.sorted
+  }
+
+  test("exec forward arm agrees with the composed formulation on q120's shape") {
+    assert(directionShape("exec-forward") == directionShape("composed-forward"))
+  }
+
+  test("exec nearest arm agrees with the composed formulation on q121's shape") {
+    assert(directionShape("exec-nearest") == directionShape("composed-nearest"))
+  }
+
+  test("forward/nearest arms agree with composed on generated series incl. duplicate timestamps") {
+    // rights deliberately NOT deduplicated: duplicate (k, t) groups pin
+    // the max-payload tiebreak the exec's payload-extended right sort
+    // and the composed __payload window key both implement
+    val gen = for {
+      lefts <- Gen.listOfN(120, Gen.zip(Gen.choose(0, 5), Gen.choose(0L, 40L)))
+      rights <- Gen.listOfN(80, Gen.zip(Gen.choose(0, 7), Gen.choose(0L, 40L)))
+    } yield (lefts, rights)
+    forAllSamples(gen, n = 6) { case (lefts, rights) =>
+      import ext.implicits._
+      val l = lefts.zipWithIndex
+        .map { case ((k, t), i) => (k, t, i.toLong) }
+        .toDF("k", "t", "lid").repartition(5)
+      val r = rights.zipWithIndex
+        .map { case ((k, t), i) => (k, t, i.toLong + 1000) }
+        .toDF("k", "rt", "rid").repartition(3)
+      def canon(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("lid"), col("rid"))
+        .collect()
+        .map(x => (x.getLong(0), if (x.isNullAt(1)) -1L else x.getLong(1)))
+        .toSeq.sorted
+      val fExec = canon(graft.plans.AsOfJoin.frame(
+        l, r, "t", "rt", Seq("k"), Seq("rt", "rid"), graft.plans.AsOfJoin.Forward))
+      val fComposed = canon(AsOf.forward(l, r, "t", "rt", Seq("k"), Seq("rt", "rid")))
+      assert(fExec == fComposed, "forward arm diverged")
+      val nExec = canon(graft.plans.AsOfJoin.frame(
+        l, r, "t", "rt", Seq("k"), Seq("rt", "rid"), graft.plans.AsOfJoin.Nearest))
+      val nComposed = canon(AsOf.nearest(
+        l, r, "t", "rt", by = Seq("k"), leftKey = Seq("lid"), Seq("rt", "rid")))
+      assert(nExec == nComposed, "nearest arm diverged")
+      val bExec = canon(graft.plans.AsOfJoin.frame(
+        l, r, "t", "rt", Seq("k"), Seq("rt", "rid")))
+      val bComposed = canon(AsOf.backward(l, r, "t", "rt", Seq("k"), Seq("rt", "rid")))
+      assert(bExec == bComposed, "backward arm diverged under duplicate timestamps")
+    }
+  }
+
   test("AsOf.auto dispatches by right-side size estimate") {
     val ev = Tables.events(ext, sf("sf0.001"))
     val l = ev.filter(col("event_type") === "purchase").select(col("user_id"), col("ts"))
