@@ -5,7 +5,9 @@ import java.util.concurrent.ConcurrentLinkedQueue
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.execution.{QueryExecution, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
 import org.apache.spark.sql.util.QueryExecutionListener
 
 /** Per-query observability for the warehouse run ledger (the
@@ -27,18 +29,44 @@ import org.apache.spark.sql.util.QueryExecutionListener
 final class QueryLedgerListener extends QueryExecutionListener {
 
   /** (action, outputRows — -1 when the sink exposes no row metric,
-    * wall nanos, status).
+    * wall nanos, status, shuffle bytes written, spill bytes).
     */
-  private val events = new ConcurrentLinkedQueue[(String, Long, Long, String)]
+  private val events = new ConcurrentLinkedQueue[(String, Long, Long, String, Long, Long)]
+
+  /** Every physical node of the FINAL plan, descending through the AQE
+    * wrappers (`AdaptiveSparkPlanExec` and the query stages are leaf
+    * nodes whose real subtree hangs off a field, not `children`).
+    * Reused exchanges are NOT descended — their metrics belong to the
+    * original exchange and would double-count.
+    */
+  private def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+    val inner = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case _: ReusedExchangeExec => Seq.empty
+      case other => other.children
+    }
+    p +: inner.flatMap(allNodes)
+  }
+
+  /** Sum of a named SQLMetric over the whole plan — the two the ledger
+    * keeps are what a 100 TB operator pages on: `shuffleBytesWritten`
+    * (every exchange's write volume) and `spillSize` (sort/agg memory
+    * pressure). Metric values are already final when the completion
+    * callback fires.
+    */
+  private def sumMetric(plan: SparkPlan, key: String): Long =
+    allNodes(plan).flatMap(_.metrics.get(key)).map(_.value).filter(_ > 0).sum
 
   override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit = {
-    val rows = qe.executedPlan.metrics.get("numOutputRows")
-      .map(_.value).getOrElse(-1L)
-    events.add((funcName, rows, durationNs, "ok"))
+    val plan = qe.executedPlan
+    val rows = plan.metrics.get("numOutputRows").map(_.value).getOrElse(-1L)
+    events.add((funcName, rows, durationNs, "ok",
+      sumMetric(plan, "shuffleBytesWritten"), sumMetric(plan, "spillSize")))
   }
 
   override def onFailure(funcName: String, qe: QueryExecution, e: Exception): Unit =
-    events.add((funcName, -1L, -1L, s"failed: ${e.getClass.getSimpleName}"))
+    events.add((funcName, -1L, -1L, s"failed: ${e.getClass.getSimpleName}", -1L, -1L))
 
   /** Number of buffered events (callbacks post asynchronously). */
   def size: Int = events.size
@@ -63,7 +91,7 @@ final class QueryLedgerListener extends QueryExecutionListener {
   def snapshot(spark: SparkSession): DataFrame = {
     import spark.implicits._
     events.asScala.toSeq
-      .toDF("action", "output_rows", "wall_ns", "status")
+      .toDF("action", "output_rows", "wall_ns", "status", "shuffle_bytes", "spill_bytes")
   }
 
   /** Append the buffered events to the warehouse ledger dir and remove
@@ -77,7 +105,7 @@ final class QueryLedgerListener extends QueryExecutionListener {
     val batch = events.asScala.toSeq
     if (batch.nonEmpty) {
       import spark.implicits._
-      batch.toDF("action", "output_rows", "wall_ns", "status")
+      batch.toDF("action", "output_rows", "wall_ns", "status", "shuffle_bytes", "spill_bytes")
         .withColumn("logged_at", org.apache.spark.sql.functions.current_timestamp())
         .write.mode(org.apache.spark.sql.SaveMode.Append)
         .parquet(s"$warehouseDir/QueryLog")

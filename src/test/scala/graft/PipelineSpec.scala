@@ -84,6 +84,11 @@ class PipelineSpec extends SparkSpec {
     spark.listenerManager.register(listener)
     try {
       val n = Tables.nation(spark, sf("sf0.001")).count()
+      // a shuffling action, so the ledger's shuffle_bytes column has
+      // something real to observe (count()'s final-agg exchange carries
+      // only a handful of partial-count bytes but is still nonzero)
+      Tables.lineitem(spark, sf("sf0.001"))
+        .groupBy(col("l_orderkey")).agg(sum(col("l_quantity"))).count()
       // wait on the O(1) buffer size, NEVER via a Spark action — an
       // action poll would itself be reported to the listener and
       // self-satisfy the wait
@@ -92,13 +97,19 @@ class PipelineSpec extends SparkSpec {
       val snap = listener.snapshot(spark).collect()
       assert(snap.exists(r => r.getString(3) == "ok" && r.getLong(2) > 0),
         s"recorded event needs ok status and positive wall time: ${snap.mkString(",")}")
+      // observability depth: at least one recorded action crossed an
+      // exchange, and its write volume landed in the ledger
+      assert(snap.exists(r => r.getString(3) == "ok" && r.getLong(4) > 0),
+        s"a shuffling action must record shuffle_bytes > 0: ${snap.mkString(",")}")
+      assert(snap.forall(r => r.getLong(5) >= 0), "spill bytes never negative on ok rows")
       val dir = java.nio.file.Files.createTempDirectory("graft_qlog").toString
       val flushed = listener.flush(spark, dir)
       assert(flushed >= 1)
       val log = spark.read.parquet(s"$dir/QueryLog")
       assert(log.count() == flushed)
       assert(log.columns.toSet ==
-        Set("action", "output_rows", "wall_ns", "status", "logged_at"))
+        Set("action", "output_rows", "wall_ns", "status",
+          "shuffle_bytes", "spill_bytes", "logged_at"))
       // append-only: a second flush after another action adds rows —
       // confirm the new action actually arrived before flushing again
       Tables.region(spark, sf("sf0.001")).count()
