@@ -774,6 +774,95 @@ object Warehouse {
         SELECT c_mktsegment, o_orderpriority, n
         FROM r WHERE rn = 1
         ORDER BY c_mktsegment""")
+    ),
+
+    // Join-key skew profile: the diagnostic a 100 TB operator runs
+    // BEFORE a big keyed join — one row of concentration stats for a
+    // candidate key (events.user_id): cardinalities, max/mean, top-1 /
+    // top-10 share, coefficient of variation, and the Gini coefficient
+    // of the per-key count distribution. The verdict decides between a
+    // plain shuffle join, salting (q69), or AQE skew splitting.
+    //
+    // Shape: one keyed count, then everything over the (much smaller)
+    // counts table. Gini needs a global rank; that is the two-phase
+    // globalCumsum (q116's machinery) over (n, user_id) — never a
+    // single-partition window. Within an equal-count tie group the sum
+    // Σ rank·n is invariant to rank order (equal n factors out), so
+    // the statistic is deterministic; the user_id tiebreak only makes
+    // the range partitioning total. Top-10 is a bounded TakeOrdered.
+    // All moments are exact longs (at ~1e9 keys × 1e12 rows the
+    // weighted sum would need the decimal path — swap Σ rank·n to
+    // Det.Money there); divisions are double-on-exact-longs, the q124
+    // engine-identical recipe.
+    Q(
+      "q131_key_skew_profile",
+      (s, d) => {
+        val counts = Tables.events(s, d)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n"))
+          .cache() // consumed by the rank pass AND the top-10 pass
+        val ranked = Relational
+          .globalCumsum(
+            counts.withColumn("one", lit(1).cast(Det.Money)),
+            Seq("n", "user_id"), "one", 8)
+          .withColumn("rk", col("running_total").cast("long"))
+        val top10 = counts
+          .orderBy(col("n").desc, col("user_id"))
+          .limit(10)
+          .agg(sum(col("n")).as("t10"))
+        val stats = ranked.agg(
+          count(lit(1)).as("k"),
+          sum(col("n")).as("total"),
+          max(col("n")).as("mx"),
+          sum(col("n") * col("n")).as("s2"),
+          sum(col("rk") * col("n")).as("w"))
+        val mean = col("total").cast("double") / col("k").cast("double")
+        stats
+          .crossJoin(broadcast(top10))
+          .select(
+            col("k").as("n_keys"),
+            col("total").as("n_rows"),
+            col("mx").as("max_count"),
+            round(mean, 6).as("mean_count"),
+            round(col("mx").cast("double") / col("total").cast("double"), 6)
+              .as("top1_share"),
+            round(col("t10").cast("double") / col("total").cast("double"), 6)
+              .as("top10_share"),
+            round(
+              sqrt(greatest(
+                col("s2").cast("double") / col("k").cast("double") - mean * mean,
+                lit(0.0))) / mean,
+              6).as("cv"),
+            round(
+              (lit(2L) * col("w") - (col("k") + lit(1L)) * col("total")).cast("double")
+                / (col("k") * col("total")).cast("double"),
+              6).as("gini"))
+      },
+      Some("""
+        WITH c AS (
+          SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY user_id
+        ), r AS (
+          SELECT n, CAST(row_number() OVER (ORDER BY n, user_id) AS BIGINT) AS rk FROM c
+        ), t AS (
+          SELECT CAST(SUM(n) AS BIGINT) AS t10
+          FROM (SELECT n FROM c ORDER BY n DESC, user_id LIMIT 10)
+        ), st AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(n) AS BIGINT) AS total,
+                 CAST(MAX(n) AS BIGINT) AS mx, CAST(SUM(n*n) AS BIGINT) AS s2,
+                 CAST(SUM(rk*n) AS BIGINT) AS w
+          FROM r
+        )
+        SELECT k AS n_keys, total AS n_rows, mx AS max_count,
+               round(CAST(total AS DOUBLE) / CAST(k AS DOUBLE), 6) AS mean_count,
+               round(CAST(mx AS DOUBLE) / CAST(total AS DOUBLE), 6) AS top1_share,
+               round(CAST(t10 AS DOUBLE) / CAST(total AS DOUBLE), 6) AS top10_share,
+               round(sqrt(greatest(CAST(s2 AS DOUBLE) / CAST(k AS DOUBLE)
+                                   - (CAST(total AS DOUBLE) / CAST(k AS DOUBLE))
+                                     * (CAST(total AS DOUBLE) / CAST(k AS DOUBLE)), 0.0))
+                     / (CAST(total AS DOUBLE) / CAST(k AS DOUBLE)), 6) AS cv,
+               round(CAST(2*w - (k+1)*total AS DOUBLE)
+                     / CAST(k*total AS DOUBLE), 6) AS gini
+        FROM st CROSS JOIN t""")
     )
   )
 }

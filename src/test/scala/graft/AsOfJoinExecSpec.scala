@@ -52,6 +52,26 @@ class AsOfJoinExecSpec extends SparkSpec {
       s"expected exactly one sort per side:\n$p")
   }
 
+  test("nearest exec plans ONE merge pass: no second scan, no directional self-join") {
+    // the composed AsOf.nearest runs backward + forward passes and
+    // joins them; the exec arm's reason to exist is doing it in the
+    // same single co-partitioned merge as backward — same plan shape
+    val ev = Tables.events(ext, sf("sf0.001"))
+    val l = ev.filter(col("event_type") === "purchase").select(col("user_id"), col("ts"))
+    val r = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("cts"), col("event_id").as("ceid"))
+    val df = graft.plans.AsOfJoin.frame(
+      l, r, "ts", "cts", Seq("user_id"), Seq("ceid"), graft.plans.AsOfJoin.Nearest)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.linesIterator.count(_.contains("AsOfJoin ")) == 1, s"one exec node:\n$p")
+    assert(p.linesIterator.count(l0 => l0.contains("Exchange") && !l0.contains("Reused")) == 2,
+      s"expected exactly one exchange per side:\n$p")
+    assert(p.linesIterator.count(_.contains("Sort ")) == 2,
+      s"expected exactly one sort per side:\n$p")
+    assert(!p.contains("Window") && !p.contains("SortMergeJoin") && !p.contains("Union"),
+      s"nearest-via-exec must not fall back to the composed machinery:\n$p")
+  }
+
   test("exec agrees with the composed sort-merge formulation on q38's shape (self-join)") {
     assert(q38Shape(ext, "exec") == q38Shape(ext, "composed"))
   }
