@@ -172,7 +172,7 @@ object Dedup {
     * (observed corpus: true near-dups sit at >= 0.9, accidental band
     * collisions at <= 0.02 — 0.5 separates them with a wide margin).
     */
-  private[operators] val DupJaccard = 0.5
+  private[graft] val DupJaccard = 0.5
 
   /** 60-bit SimHash near-dup pairs (hamming <= 3) over a (doc_id, text)
     * frame. See the q85 declaration for the completeness argument

@@ -863,6 +863,68 @@ object Warehouse {
                round(CAST(2*w - (k+1)*total AS DOUBLE)
                      / CAST(k*total AS DOUBLE), 6) AS gini
         FROM st CROSS JOIN t""")
+    ),
+
+    // Count-Min sketch heavy hitters: q131's sketch twin. The cell
+    // build is the 100 TB artifact — state bounded at depth×width
+    // (4×256) REGARDLESS of key cardinality, where any exact top-k
+    // needs per-key state first. The depth explode is map-only and
+    // partial aggregation collapses each task to ≤1024 cells before
+    // the shuffle, so exchange volume is O(partitions), not O(rows).
+    // Hashing is the md5-based minhash family (TextFns), so unlike
+    // every engine-native sketch the cells — and therefore the
+    // estimates — are deterministic and ORACLE-COMPARABLE: DuckDB
+    // recomputes the identical sketch. The exact top-10 side exists to
+    // gate the estimates against ground truth (est >= exact always;
+    // the min-over-depth bounds the collision overcount).
+    Q(
+      "q132_heavy_hitters_cms",
+      (s, d) => {
+        import graft.functions.TextFns
+        val Depth = 4
+        val Width = 256
+        val ev = Tables.events(s, d).select(col("user_id").cast("string").as("k"))
+        val cells = ev
+          .select(col("k"), explode(sequence(lit(0), lit(Depth - 1))).as("d"))
+          .groupBy(
+            col("d"),
+            (TextFns.minhashJ(TextFns.hmod(col("k")), col("d")) % Width).as("cell"))
+          .agg(count(lit(1)).as("c"))
+        val top = ev
+          .groupBy(col("k"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("k"))
+          .limit(10)
+        top
+          .select(col("k"), col("n"), explode(sequence(lit(0), lit(Depth - 1))).as("d"))
+          .withColumn("cell", TextFns.minhashJ(TextFns.hmod(col("k")), col("d")) % Width)
+          .join(broadcast(cells), Seq("d", "cell"))
+          .groupBy(col("k"), col("n"))
+          .agg(min(col("c")).as("cms_est"))
+          .select(
+            col("k").cast("long").as("user_id"),
+            col("n"),
+            col("cms_est"),
+            (col("cms_est") - col("n")).as("overcount"))
+          .orderBy(col("n").desc, col("user_id"))
+      },
+      Some {
+        import graft.functions.TextFns.{Sql => T}
+        val cellOf = (k: String) => s"(${T.minhashJ(T.hmod(k), "d.d")} % 256)"
+        s"""
+        WITH ev AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events),
+        d AS (SELECT unnest(generate_series(0, 3)) AS d),
+        cells AS (SELECT d.d AS d, ${cellOf("k")} AS cell, CAST(COUNT(*) AS BIGINT) AS c
+                  FROM ev CROSS JOIN d GROUP BY 1, 2),
+        top AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n FROM ev
+                GROUP BY k ORDER BY n DESC, k LIMIT 10),
+        est AS (SELECT t.k, t.n, MIN(c.c) AS cms_est
+                FROM top t CROSS JOIN d
+                JOIN cells c ON c.d = d.d AND c.cell = ${cellOf("t.k")}
+                GROUP BY t.k, t.n)
+        SELECT CAST(k AS BIGINT) AS user_id, n, cms_est, cms_est - n AS overcount
+        FROM est ORDER BY n DESC, user_id"""
+      }
     )
   )
 }

@@ -121,4 +121,27 @@ class TextDedupSpec extends SparkSpec {
     assert(!out.keys.exists { case (a, b) => a == 3L || b == 3L },
       "disjoint doc must not appear in any near-dup pair")
   }
+
+  test("incremental near-dup probe is consistent with the one-shot pair scan (q130 vs q47)") {
+    // sf0.01: the corpus actually contains cross-boundary near-dups
+    val inc = SparkEntry.queries("q130_incremental_neardup")(spark, sf("sf0.01"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(inc.nonEmpty, "sf0.01 must yield at least one incremental near-dup")
+    inc.foreach { case (newDoc, dupOf, _, j) =>
+      assert(newDoc >= 400 && dupOf < 400, s"batch/index split violated: $newDoc/$dupOf")
+      assert(j >= operators.Dedup.DupJaccard, s"below threshold: $j")
+    }
+    // every probe hit must appear in the full-corpus scan with the
+    // SAME verified intersection and jaccard (q47 orders doc_a < doc_b)
+    val full = SparkEntry.queries("q47_minhash_pairs")(spark, sf("sf0.01"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    inc.foreach { case (newDoc, dupOf, inter, j) =>
+      val pair = (math.min(newDoc, dupOf), math.max(newDoc, dupOf))
+      assert(full.get(pair).contains((inter, j)),
+        s"probe hit $pair (inter=$inter, j=$j) missing or different in the one-shot scan")
+    }
+  }
 }

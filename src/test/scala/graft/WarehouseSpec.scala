@@ -180,6 +180,41 @@ class WarehouseSpec extends SparkSpec {
     } finally { h.unpersist(); () }
   }
 
+  test("skew profile matches a local exact recomputation (q131)") {
+    val row = q("q131_key_skew_profile").head
+    // ground truth computed test-side from the same table
+    val counts = Tables.events(spark, sf("sf0.001"))
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .collect().map(_.getLong(1)).sorted
+    val k = counts.length.toLong
+    val total = counts.sum
+    val w = counts.zipWithIndex.map { case (c, i) => (i + 1) * c }.sum
+    val gini = (2.0 * w - (k + 1) * total) / (k.toDouble * total)
+    val top10 = counts.reverse.take(10).sum
+    assert(row.getAs[Long]("n_keys") == k)
+    assert(row.getAs[Long]("n_rows") == total)
+    assert(row.getAs[Long]("max_count") == counts.max)
+    assert(math.abs(row.getAs[Double]("gini") - gini) < 1e-6,
+      s"distributed gini ${row.getAs[Double]("gini")} vs exact $gini")
+    assert(math.abs(row.getAs[Double]("top10_share") - top10.toDouble / total) < 1e-6)
+    assert(row.getAs[Double]("gini") >= 0.0 && row.getAs[Double]("gini") < 1.0)
+    assert(row.getAs[Double]("cv") >= 0.0)
+  }
+
+  test("count-min estimates never undercount, and bound the true count (q132)") {
+    val rows = q("q132_heavy_hitters_cms").collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n")
+      val est = r.getAs[Long]("cms_est")
+      assert(est >= n, s"CMS must overcount, never under: est=$est exact=$n")
+      assert(r.getAs[Long]("overcount") == est - n)
+    }
+    // ranked by exact count desc — the heavy-hitter report contract
+    val ns = rows.map(_.getAs[Long]("n")).toSeq
+    assert(ns == ns.sorted.reverse)
+  }
+
   test("dynamic partition overwrite rewrites only touched partitions") {
     // the warehouse-sink scale rule: a monthly re-run must replace ONLY
     // the partitions it produced, not truncate the whole fact table
