@@ -81,7 +81,9 @@ object Bench {
     * it. The file copy is the complete, always-parseable record; stdout
     * stays for the driver's legacy capture path.
     */
-  private val OutFile = java.nio.file.Paths.get(
+  // Subset (re-measurement) runs write to a SEPARATE file so an ad-hoc
+  // two-query timing never clobbers the committed full-suite record.
+  @volatile private var OutFile = java.nio.file.Paths.get(
     sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_out.json"))
 
   private def emit(line: String): Unit = {
@@ -125,6 +127,8 @@ object Bench {
     // trailing query names → bench only that subset (re-measurement runs);
     // no args → the full headline suite, as the driver invokes it
     val subset = args.toSet
+    if (subset.nonEmpty && sys.env.get("SPARK_GRAFT_BENCH_OUT").isEmpty)
+      OutFile = java.nio.file.Paths.get("/root/repo/bench_out_subset.json")
     val queries =
       if (subset.isEmpty) SparkEntry.benchQueries
       else SparkEntry.benchQueries.filter(q => subset(q.name))
