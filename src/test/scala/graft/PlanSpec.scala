@@ -235,4 +235,19 @@ class PlanSpec extends SparkSpec {
   test("vocab-rank window sits above the top-k limit (q94)") {
     assertGlobalWindowPostShrink("q94_vocab_build")
   }
+
+  test("CMS cell build is bounded-state: no Expand, broadcast estimate join, 3 exchanges (q132)") {
+    // the sketch's whole point is state bounded at depth×width whatever
+    // the key cardinality: the depth explode must stay map-side (no
+    // Expand node, partial agg collapses each task to ≤1024 cells
+    // before the exchange), the 1024-row cell table must broadcast to
+    // the top-k probe, and nothing may collapse to one partition
+    val p = plan("q132_heavy_hitters_cms")
+    assert(!p.contains("Expand"), s"depth fan-out must be an explode projection:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"cell table must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no sort-merge for a 1024-row side:\n$p")
+    val exchanges = p.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("Reused") && !l.contains("Broadcast"))
+    assert(exchanges <= 3, s"expected <=3 data exchanges, found $exchanges:\n$p")
+  }
 }
