@@ -52,6 +52,15 @@ object TextFns {
   def minhashJ(h: Column, j: Column): Column =
     ((lit(2) * j + 1) * h + (lit(7919) * j + 1)) % P
 
+  /** Count-Min cell index for key `k` at depth `d`: the d-th minhash
+    * family member of the key's [[hmod]], reduced mod `width`. Shared
+    * by the batch (q132) and streaming (q133) sketch builds so both
+    * address the SAME cells — mergeability across engines and runs is
+    * the property that makes the sketch useful.
+    */
+  def cmsCell(k: Column, d: Column, width: Int): Column =
+    minhashJ(hmod(k), d) % width
+
   /** Oracle-SQL fragments mirroring the above, for embedding into
     * DuckDB statements.
     */
@@ -65,5 +74,7 @@ object TextFns {
         s"i -> array_to_string($tok[i:i+${n - 1}], ' '))"
     def minhashJ(h: String, j: String): String =
       s"(((2*$j+1) * $h + (7919*$j+1)) % 1000000007)"
+    def cmsCell(k: String, d: String, width: Int): String =
+      s"(${minhashJ(hmod(k), d)} % $width)"
   }
 }

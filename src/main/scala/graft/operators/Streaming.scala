@@ -129,6 +129,27 @@ object Streaming {
           ON p.user_id = c.user_id AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
         ORDER BY p.user_id, p.event_id"""),
       bench = false
+    ),
+
+    // streaming Count-Min sketch: q132's cell build as an incremental
+    // aggregation with state bounded at 4×256 rows forever — no
+    // watermark needed because the keyed state CANNOT grow; the final
+    // table equals the batch sketch cell-for-cell (same md5-family
+    // addressing), so the deterministic batch oracle gates it
+    Q(
+      "q133_stream_cms",
+      (s, d) => EventStream.cmsCells(s, d).orderBy(col("d"), col("cell")),
+      Some {
+        import graft.functions.TextFns.{Sql => T}
+        s"""
+        WITH ev AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events),
+        d AS (SELECT unnest(generate_series(0, 3)) AS d),
+        cells AS (SELECT CAST(d.d AS INT) AS d, ${T.cmsCell("k", "d.d", 256)} AS cell,
+                         CAST(COUNT(*) AS BIGINT) AS c
+                  FROM ev CROSS JOIN d GROUP BY 1, 2)
+        SELECT d, cell, c FROM cells ORDER BY d, cell"""
+      },
+      bench = false
     )
   )
 }

@@ -886,9 +886,7 @@ object Warehouse {
         val ev = Tables.events(s, d).select(col("user_id").cast("string").as("k"))
         val cells = ev
           .select(col("k"), explode(sequence(lit(0), lit(Depth - 1))).as("d"))
-          .groupBy(
-            col("d"),
-            (TextFns.minhashJ(TextFns.hmod(col("k")), col("d")) % Width).as("cell"))
+          .groupBy(col("d"), TextFns.cmsCell(col("k"), col("d"), Width).as("cell"))
           .agg(count(lit(1)).as("c"))
         val top = ev
           .groupBy(col("k"))
@@ -897,7 +895,7 @@ object Warehouse {
           .limit(10)
         top
           .select(col("k"), col("n"), explode(sequence(lit(0), lit(Depth - 1))).as("d"))
-          .withColumn("cell", TextFns.minhashJ(TextFns.hmod(col("k")), col("d")) % Width)
+          .withColumn("cell", TextFns.cmsCell(col("k"), col("d"), Width))
           .join(broadcast(cells), Seq("d", "cell"))
           .groupBy(col("k"), col("n"))
           .agg(min(col("c")).as("cms_est"))
@@ -910,7 +908,7 @@ object Warehouse {
       },
       Some {
         import graft.functions.TextFns.{Sql => T}
-        val cellOf = (k: String) => s"(${T.minhashJ(T.hmod(k), "d.d")} % 256)"
+        val cellOf = (k: String) => T.cmsCell(k, "d.d", 256)
         s"""
         WITH ev AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events),
         d AS (SELECT unnest(generate_series(0, 3)) AS d),

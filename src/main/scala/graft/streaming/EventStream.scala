@@ -252,4 +252,29 @@ object EventStream {
     runToTable(spark, agged, "complete")
       .select(col("user_id"), col("start_us"), col("end_us"), col("n_events"), col("sum_value"))
   }
+
+  /** Streaming Count-Min cell build — q132's sketch as an incremental
+    * aggregation, THE setting count-min exists for: running state is
+    * bounded at depth×width (4×256 rows) regardless of stream length
+    * or key cardinality, so no watermark is even needed — the state
+    * never grows. Cells come from [[graft.functions.TextFns.cmsCell]],
+    * the same addressing as the batch build, so the final table equals
+    * the batch sketch cell-for-cell (mergeability across engines and
+    * across batch/stream is the sketch's point) and the batch oracle
+    * gates it. `filesPerTrigger` lets specs force multi-micro-batch
+    * accumulation.
+    */
+  def cmsCells(
+      spark: SparkSession,
+      dir: String,
+      filesPerTrigger: Option[Int] = None,
+      glob: String = "events.parquet"): DataFrame = {
+    import graft.functions.TextFns
+    val cells = readEvents(spark, dir, filesPerTrigger, glob)
+      .select(col("user_id").cast("string").as("k"))
+      .select(col("k"), explode(sequence(lit(0), lit(3))).as("d"))
+      .groupBy(col("d"), TextFns.cmsCell(col("k"), col("d"), 256).as("cell"))
+      .agg(count(lit(1)).as("c"))
+    runToTable(spark, cells, "complete")
+  }
 }

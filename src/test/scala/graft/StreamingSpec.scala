@@ -130,4 +130,37 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(batch == expected)
   }
+
+  test("streaming CMS accumulates across micro-batches with state bounded at depth x width") {
+    import org.apache.spark.sql.functions._
+    // 3 time-slice files, one micro-batch each: the final cells must
+    // equal the single-pass batch sketch (state carried and merged
+    // across batches), and the state can never exceed 4x256 rows
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(sf("sf0.001") + "/events.parquet")
+    val Array(lo, hi) = raw.agg(min(col("ts")), max(col("ts"))).head
+      .toSeq.map(_.asInstanceOf[Long]).toArray
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_cms")
+    (0 until 3).foreach { i =>
+      val from = lo + (hi - lo + 1) / 3 * i
+      val to = if (i == 2) hi + 1 else lo + (hi - lo + 1) / 3 * (i + 1)
+      val build = dir.resolve(s"build_$i")
+      raw.filter(col("ts") >= from && col("ts") < to)
+        .coalesce(1).write.parquet(build.toString)
+      val part = java.nio.file.Files.list(build).toArray
+        .map(_.asInstanceOf[java.nio.file.Path])
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      val target = dir.resolve(s"s$i.parquet")
+      java.nio.file.Files.move(part, target)
+      target.toFile.setLastModified(1000000L * (i + 1))
+    }
+    val streamed = EventStream.cmsCells(
+      spark, dir.toString, filesPerTrigger = Some(1), glob = "s*.parquet")
+    val batch = SparkEntry.queries("q133_stream_cms")(spark, sf("sf0.001"))
+    assert(canon(streamed) == canon(batch.select("d", "cell", "c")),
+      "multi-batch sketch must equal the single-pass sketch")
+    assert(streamed.count() <= 4 * 256, "state exceeded the declared bound")
+    assert(streamed.agg(sum(col("c"))).head.getLong(0) == 4 * raw.count(),
+      "every (event, depth) increment must be counted exactly once")
+  }
 }
