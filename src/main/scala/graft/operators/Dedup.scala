@@ -671,6 +671,53 @@ object Dedup {
         SELECT new_doc, dup_of, inter, jaccard FROM pairs
         WHERE jaccard >= $DupJaccard
         ORDER BY new_doc, dup_of""")
+    ),
+
+    // Leakage-safe train/eval split: assignment is hashed on the
+    // DUPLICATE-CLUSTER representative (q84's connected components),
+    // not the doc id, so a pair of near-duplicates can never straddle
+    // train and eval — the classic contamination bug q78's per-doc
+    // hash split silently commits. Docs outside any cluster are their
+    // own singleton key; the guarantee (every q47 near-dup pair lands
+    // in ONE split) is pinned in CorpusOpsSpec. Scale shape: the
+    // cluster table is near-dup-sized (tiny vs the corpus), so the
+    // left join broadcasts; the split decision stays a projection.
+    Q(
+      "q134_leakage_safe_split",
+      (s, d) => {
+        val clusters = connectedComponents(
+          minhashPairs(s, d)
+            .filter(col("jaccard") >= DupJaccard)
+            .select(col("doc_a"), col("doc_b")))
+          .select(col("node").as("doc_id"), col("lbl").as("rep"))
+        Tables.documents(s, d)
+          .select(col("doc_id"))
+          .join(broadcast(clusters), Seq("doc_id"), "left")
+          .withColumn("cluster_key", coalesce(col("rep"), col("doc_id")))
+          .withColumn("bucket", TextFns.h60(col("cluster_key").cast("string")) % 100)
+          .withColumn("split", when(col("bucket") < 90, "train").otherwise("eval"))
+          .select(col("doc_id"), col("cluster_key"), col("bucket"), col("split"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH RECURSIVE $minhashPairsSql,
+        dup AS (SELECT doc_a, doc_b FROM pairs WHERE jaccard >= $DupJaccard),
+        edges AS (SELECT doc_a AS src, doc_b AS dst FROM dup
+                  UNION ALL SELECT doc_b, doc_a FROM dup),
+        reach(node, lbl) AS (
+          SELECT DISTINCT src, src FROM edges
+          UNION
+          SELECT e.dst, r.lbl FROM reach r
+          JOIN edges e ON e.src = r.node WHERE r.lbl < e.dst),
+        cc AS (SELECT node AS doc_id, min(lbl) AS cluster_rep FROM reach GROUP BY node),
+        assign AS (
+          SELECT d.doc_id, COALESCE(cc.cluster_rep, d.doc_id) AS cluster_key
+          FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id)
+        SELECT doc_id, cluster_key,
+               (${T.h60("CAST(cluster_key AS VARCHAR)")} % 100) AS bucket,
+               CASE WHEN (${T.h60("CAST(cluster_key AS VARCHAR)")} % 100) < 90
+                    THEN 'train' ELSE 'eval' END AS split
+        FROM assign ORDER BY doc_id""")
     )
   )
 }

@@ -204,4 +204,24 @@ class CorpusOpsSpec extends SparkSpec {
     assert(cent.length == sizes.size * dims)
     cent.foreach { r => assert(r.getLong(2) == sizes(r.get(0))) }
   }
+
+  test("q134 leakage guarantee: no near-dup pair straddles train and eval") {
+    // sf0.01: the corpus actually contains near-dup pairs (q47 >= 0.5)
+    val split = SparkEntry.queries("q134_leakage_safe_split")(spark, sf("sf0.01"))
+      .select("doc_id", "split")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val dupPairs = SparkEntry.queries("q47_minhash_pairs")(spark, sf("sf0.01"))
+      .filter(col("jaccard") >= operators.Dedup.DupJaccard)
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(dupPairs.nonEmpty, "fixture must contain near-dup pairs")
+    dupPairs.foreach { case (a, b) =>
+      assert(split(a) == split(b),
+        s"near-dups $a/$b split across ${split(a)}/${split(b)} — leakage")
+    }
+    // and the split is still a split: both sides populated, all docs assigned
+    val byTag = split.values.groupBy(identity).map { case (k, v) => k -> v.size }
+    assert(byTag.getOrElse("train", 0) > 0 && byTag.getOrElse("eval", 0) > 0, byTag.toString)
+    assert(split.size == 500)
+  }
 }
