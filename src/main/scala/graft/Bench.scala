@@ -129,6 +129,14 @@ object Bench {
     val subset = args.toSet
     if (subset.nonEmpty && sys.env.get("SPARK_GRAFT_BENCH_OUT").isEmpty)
       OutFile = java.nio.file.Paths.get("/root/repo/bench_out_subset.json")
+    // refuse silently-empty re-measurements: a typo'd or bench=false
+    // name would otherwise write a valid-looking zero-query record
+    val unknown = subset -- SparkEntry.benchQueries.map(_.name).toSet
+    if (unknown.nonEmpty) {
+      System.err.println(
+        s"[bench] not benchable (typo or bench=false): ${unknown.toSeq.sorted.mkString(", ")}")
+      sys.exit(2)
+    }
     val queries =
       if (subset.isEmpty) SparkEntry.benchQueries
       else SparkEntry.benchQueries.filter(q => subset(q.name))

@@ -46,9 +46,18 @@ object AsOf {
     // a bare Long parse rejects
     val threshold = left.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
     val rightBytes = right.queryExecution.optimizedPlan.stats.sizeInBytes
+    // the exec compares raw physical values, so it requires identical
+    // time/key types on both sides (frame() refuses otherwise); mixed
+    // axes (date vs timestamp) route to the composed formulation,
+    // which coerces via unionByName
+    def typesAlign: Boolean = {
+      def t(df: DataFrame, n: String) = df.schema(n).dataType
+      t(left, leftTime) == t(right, rightTime) &&
+        by.forall(k => t(left, k) == t(right, k))
+    }
     if (threshold >= 0 && rightBytes <= threshold)
       backwardBroadcast(left, right, leftTime, rightTime, by, rightPayload)
-    else if (left.sparkSession.sessionState.planner.strategies
+    else if (typesAlign && left.sparkSession.sessionState.planner.strategies
         .contains(graft.plans.AsOfJoinStrategy))
       graft.plans.AsOfJoin.frame(left, right, leftTime, rightTime, by, rightPayload)
     else backward(left, right, leftTime, rightTime, by, rightPayload)
@@ -57,6 +66,13 @@ object AsOf {
   /** Sort-merge as-of. Attaches `rightPayload` columns of the latest
     * right row with rightTime <= leftTime within equal `by` keys;
     * payload columns are null when no right row precedes.
+    *
+    * API contract (all directions, composed AND exec): payload columns
+    * must be ORDERABLE (no MapType) — duplicate right timestamps
+    * resolve deterministically to the max payload struct, which makes
+    * the payload a sort key. A map-typed payload fails at plan time
+    * with Spark's non-orderable analysis error; wrap it in a
+    * deterministic projection first if the ordering is irrelevant.
     */
   def backward(
       left: DataFrame,

@@ -85,10 +85,19 @@ object AsOfJoin {
         throw new IllegalArgumentException(s"no column $n in ${out.map(_.name)}"))
     val lt = attr(lPlan.output, leftTime)
     val rt = attr(rAliased.output, rightTime)
-    if (direction == Nearest)
-      require(lt.dataType == rt.dataType,
-        s"nearest as-of needs one time axis; got ${lt.dataType} vs ${rt.dataType} " +
-          "(use the composed AsOf.nearest, which rescales mixed date/timestamp axes)")
+    // EVERY direction needs one time axis and matching key types: the
+    // exec compares right-side rows with orderings built from the LEFT
+    // attributes' physical types, so a Date-vs-Timestamp mix (which the
+    // composed formulations coerce via unionByName) would not error —
+    // it would read the wrong bytes and silently mis-join. Refuse here.
+    require(lt.dataType == rt.dataType,
+      s"as-of exec needs one time axis; got ${lt.dataType} vs ${rt.dataType} " +
+        "(the composed AsOf formulations rescale mixed date/timestamp axes)")
+    by.foreach { n =>
+      val (lk, rk) = (attr(lPlan.output, n), attr(rAliased.output, n))
+      require(lk.dataType == rk.dataType,
+        s"as-of exec key '$n' type mismatch: ${lk.dataType} vs ${rk.dataType}")
+    }
     val node = AsOfJoin(
       lPlan, rAliased,
       by.map(attr(lPlan.output, _)), by.map(attr(rAliased.output, _)),
@@ -147,20 +156,33 @@ case class AsOfJoinExec(
     "numMatched" -> org.apache.spark.sql.execution.metric.SQLMetrics
       .createMetric(sparkContext, "rows with an as-of match"))
 
-  /** Time value of a single-field projected row on a totally ordered
-    * numeric axis. Integral/temporal types compare on exact longs;
-    * fractional types on doubles. Only `nearest` needs this (the other
-    * directions never subtract times), and the frame builder has
-    * already required one shared time type.
+  /** Distance comparator for `nearest`: true when the forward
+    * candidate is STRICTLY closer to the left time than the backward
+    * one (ties go backward, the composed contract). Integral/temporal
+    * axes subtract in exact long arithmetic — a double detour rounds
+    * operands above 2^53 (epoch-nanos longs are real inputs) and could
+    * flip a close comparison that the composed AsOf.nearest, computing
+    * in long column math, gets right. Fractional axes compare in their
+    * native floating width. Only `nearest` needs this; the frame
+    * builder has already required one shared time type.
     */
-  private def timeAxis(dt: DataType): InternalRow => Double = dt match {
-    case TimestampType | LongType => _.getLong(0).toDouble
-    case DateType | IntegerType => _.getInt(0).toDouble
-    case ShortType => _.getShort(0).toDouble
-    case ByteType => _.getByte(0).toDouble
-    case DoubleType => _.getDouble(0)
-    case FloatType => _.getFloat(0).toDouble
-    case other => throw new IllegalArgumentException(s"non-numeric as-of time type $other")
+  private def forwardCloser(
+      dt: DataType): (InternalRow, InternalRow, InternalRow) => Boolean = {
+    def viaLong(g: InternalRow => Long) =
+      (f: InternalRow, b: InternalRow, l: InternalRow) =>
+        g(f) - g(l) < g(l) - g(b)
+    dt match {
+      case TimestampType | LongType => viaLong(_.getLong(0))
+      case DateType | IntegerType => viaLong(_.getInt(0).toLong)
+      case ShortType => viaLong(_.getShort(0).toLong)
+      case ByteType => viaLong(_.getByte(0).toLong)
+      case DoubleType =>
+        (f, b, l) => f.getDouble(0) - l.getDouble(0) < l.getDouble(0) - b.getDouble(0)
+      case FloatType =>
+        (f, b, l) =>
+          f.getFloat(0).toDouble - l.getFloat(0) < l.getFloat(0).toDouble - b.getFloat(0)
+      case other => throw new IllegalArgumentException(s"non-numeric as-of time type $other")
+    }
   }
 
   override protected def doExecute(): RDD[InternalRow] = {
@@ -178,7 +200,7 @@ case class AsOfJoinExec(
       val rTimeProj = UnsafeProjection.create(Seq(rightTime: Expression), rOut)
       val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
       val timeOrd = RowOrdering.createNaturalAscendingOrdering(Seq(timeType))
-      val axis = timeAxis(timeType)
+      val fCloser = forwardCloser(timeType)
       // bind payload refs as NULLABLE — unmatched lefts read the all-null
       // right row, which the child schema's own nullability may not admit
       val result = UnsafeProjection.create(output, lOut ++ rOut.map(_.withNullability(true)))
@@ -283,10 +305,9 @@ case class AsOfJoinExec(
               if (b == null) f
               else if (f == null) b
               else {
-                val lt = axis(lTime)
                 // ties (equal distance) resolve to backward — the
                 // composed AsOf.nearest contract
-                if (axis(fTime) - lt < lt - axis(bTime)) f else b
+                if (fCloser(fTime, bTime, lTime)) f else b
               }
           }
           outRows += 1

@@ -208,6 +208,62 @@ class AsOfJoinExecSpec extends SparkSpec {
     }
   }
 
+  test("frame() refuses mixed time axes for EVERY direction, not just nearest") {
+    import ext.implicits._
+    val l = Seq((1, java.sql.Date.valueOf("2024-01-02"), 1L)).toDF("k", "t", "lid")
+    val r = Seq((1, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 9L))
+      .toDF("k", "rt", "rid")
+    // a Date-vs-Timestamp mix would not error in the exec — it would
+    // read the wrong bytes and silently mis-join; the builder refuses
+    for (dir <- Seq(graft.plans.AsOfJoin.Backward, graft.plans.AsOfJoin.Forward,
+        graft.plans.AsOfJoin.Nearest)) {
+      val e = intercept[IllegalArgumentException] {
+        graft.plans.AsOfJoin.frame(l, r, "t", "rt", Seq("k"), Seq("rid"), dir)
+      }
+      assert(e.getMessage.contains("time axis"), s"$dir: ${e.getMessage}")
+    }
+    val eKey = intercept[IllegalArgumentException] {
+      graft.plans.AsOfJoin.frame(
+        Seq((1L, 10L, 1L)).toDF("k", "t", "lid"),
+        Seq((1, 5L, 9L)).toDF("k", "rt", "rid"),
+        "t", "rt", Seq("k"), Seq("rid"))
+    }
+    assert(eKey.getMessage.contains("key 'k' type mismatch"), eKey.getMessage)
+  }
+
+  test("AsOf.auto falls back to the composed arm on mixed time axes") {
+    import ext.implicits._
+    val l = Seq((1, java.sql.Date.valueOf("2024-01-02"), 1L)).toDF("k", "t", "lid")
+    val r = (1 to 2000).map(i =>
+      (1, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), i.toLong))
+      .toDF("k", "rt", "rid")
+    val saved = ext.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    ext.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force past broadcast arm
+    try {
+      // would throw in frame() if auto still dispatched the exec;
+      // composed backward coerces the date axis and answers correctly
+      val out = AsOf.auto(l, r, "t", "rt", Seq("k"), Seq("rid")).collect()
+      assert(out.length == 1 && out.head.getAs[Long]("rid") == 2000L)
+    } finally ext.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
+  test("nearest distances compare exactly for long times above 2^53") {
+    import ext.implicits._
+    // at t ~ 2^60 a double's ulp is 256: both distances below round to
+    // 0.0 and a double comparison ties (wrongly going backward); exact
+    // long arithmetic sees forward 2 < backward 3
+    val t0 = 1L << 60
+    val l = Seq((1, t0, 1L)).toDF("k", "t", "lid")
+    val r = Seq((1, t0 - 3L, 7L), (1, t0 + 2L, 9L)).toDF("k", "rt", "rid")
+    val viaExec = graft.plans.AsOfJoin.frame(
+      l, r, "t", "rt", Seq("k"), Seq("rid"), graft.plans.AsOfJoin.Nearest).collect()
+    assert(viaExec.length == 1 && viaExec.head.getAs[Long]("rid") == 9L,
+      s"exec must pick the closer forward row: ${viaExec.mkString}")
+    val viaComposed = AsOf.nearest(
+      l, r, "t", "rt", by = Seq("k"), leftKey = Seq("lid"), Seq("rt", "rid")).collect()
+    assert(viaComposed.head.getAs[Long]("rid") == 9L, "arms must agree at 2^60")
+  }
+
   test("AsOf.auto dispatches by right-side size estimate") {
     val ev = Tables.events(ext, sf("sf0.001"))
     val l = ev.filter(col("event_type") === "purchase").select(col("user_id"), col("ts"))
