@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Snapshot versioning for warehouse tables — the minimal table-format
+  * core (what Delta/Iceberg manifests do) expressed on plain parquet +
+  * a manifest-per-version directory layout:
+  *
+  * {{{
+  *   table/
+  *     data/<uuid>/part-*.parquet     immutable, never rewritten
+  *     _manifests/v00001.manifest    one line per data file
+  * }}}
+  *
+  * Invariants that make this scale:
+  *  - data files are IMMUTABLE: an append commit writes only the new
+  *    files and a new manifest that lists old + new — version N+1
+  *    shares version N's files byte-for-byte (no rewrite, no copy);
+  *  - a manifest is the ATOMIC unit of visibility: written to a temp
+  *    name, fsync'd, then renamed into place (rename is atomic on
+  *    HDFS/posix). A reader either sees the complete new version or
+  *    the previous one — never a partial file list. A crash mid-commit
+  *    leaves a `.tmp` manifest that every reader ignores;
+  *  - rollback is a COMMIT, not a delete: restoring version V writes a
+  *    new manifest with V's file list, so history (and every
+  *    concurrent reader's pinned version) stays intact;
+  *  - readers pin a version by reading ONE manifest file — time-travel
+  *    costs a single small-file read, never a directory diff.
+  *
+  * The reference's warehouse has no versioning (replace-mode writes
+  * destroy history, `src/pipelines/etl.py:45-52`); this is the
+  * engine-side upgrade a monthly-batch warehouse needs the first time
+  * a bad run must be rolled back.
+  */
+object Snapshots {
+
+  private val ManifestDir = "_manifests"
+  private val DataDir = "data"
+
+  private def fs(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def manifestPath(table: Path, v: Int): Path =
+    new Path(new Path(table, ManifestDir), f"v$v%05d.manifest")
+
+  /** Committed versions, ascending (temp/partial manifests excluded). */
+  def versions(spark: SparkSession, tableDir: String): Seq[Int] = {
+    val mdir = new Path(new Path(tableDir), ManifestDir)
+    val f = fs(spark, mdir)
+    if (!f.exists(mdir)) Seq.empty
+    else
+      f.listStatus(mdir).toSeq
+        .map(_.getPath.getName)
+        .filter(n => n.startsWith("v") && n.endsWith(".manifest"))
+        .map(n => n.stripPrefix("v").stripSuffix(".manifest").toInt)
+        .sorted
+  }
+
+  private def readManifest(spark: SparkSession, table: Path, v: Int): Seq[String] = {
+    val f = fs(spark, table)
+    val in = f.open(manifestPath(table, v))
+    try
+      scala.io.Source.fromInputStream(in, "UTF-8").getLines().filter(_.nonEmpty).toList
+    finally in.close()
+  }
+
+  /** Commit `df` as a new version. `replace = false` (append) lists the
+    * previous version's files PLUS the new ones; `replace = true` lists
+    * only the new ones — either way no existing file is touched, so
+    * every prior version stays readable. Returns the committed version.
+    */
+  def commit(
+      df: DataFrame,
+      tableDir: String,
+      replace: Boolean = false): Int = {
+    val spark = df.sparkSession
+    val table = new Path(tableDir)
+    val f = fs(spark, table)
+    // 1. write the new data files under a fresh uuid dir (never visible
+    //    to readers until a manifest names them)
+    val batch = java.util.UUID.randomUUID.toString.replace("-", "")
+    val dataPath = new Path(new Path(table, DataDir), batch)
+    df.write.parquet(dataPath.toString)
+    val newFiles = f.listStatus(dataPath).toSeq
+      .map(_.getPath)
+      .filter(_.getName.endsWith(".parquet"))
+      .map(p => s"$DataDir/$batch/${p.getName}")
+      .sorted
+    // 2. new manifest = (previous files if appending) + new files
+    val prev = versions(spark, tableDir)
+    val v = prev.lastOption.getOrElse(0) + 1
+    val files =
+      if (replace || prev.isEmpty) newFiles
+      else readManifest(spark, table, prev.last) ++ newFiles
+    // 3. atomic publish: temp write, fsync, rename into place
+    val target = manifestPath(table, v)
+    val tmp = new Path(target.getParent, target.getName + ".tmp")
+    val out = f.create(tmp, true)
+    try {
+      out.write(files.mkString("", "\n", "\n").getBytes("UTF-8"))
+      out.hsync()
+    } finally out.close()
+    if (!f.rename(tmp, target))
+      throw new java.io.IOException(s"snapshot commit: could not publish $target")
+    v
+  }
+
+  /** Read a pinned version, or the latest when `version` is None. */
+  def read(
+      spark: SparkSession,
+      tableDir: String,
+      version: Option[Int] = None): DataFrame = {
+    val table = new Path(tableDir)
+    val vs = versions(spark, tableDir)
+    require(vs.nonEmpty, s"no committed snapshot under $tableDir")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v), s"version $v not in $vs")
+    val files = readManifest(spark, table, v)
+      .map(rel => new Path(table, rel).toString)
+    spark.read.parquet(files: _*)
+  }
+
+  /** Restore version `v` as a NEW commit (history preserved — rollback
+    * never deletes). Returns the new version number.
+    */
+  def rollback(spark: SparkSession, tableDir: String, v: Int): Int = {
+    val table = new Path(tableDir)
+    val vs = versions(spark, tableDir)
+    require(vs.contains(v), s"version $v not in $vs")
+    val next = vs.last + 1
+    val f = fs(spark, table)
+    val target = manifestPath(table, next)
+    val tmp = new Path(target.getParent, target.getName + ".tmp")
+    val out = f.create(tmp, true)
+    try {
+      out.write(
+        readManifest(spark, table, v).mkString("", "\n", "\n").getBytes("UTF-8"))
+      out.hsync()
+    } finally out.close()
+    if (!f.rename(tmp, target))
+      throw new java.io.IOException(s"snapshot rollback: could not publish $target")
+    next
+  }
+}

@@ -1,0 +1,87 @@
+package graft
+
+import graft.operators.Snapshots
+import org.apache.spark.sql.functions._
+
+/** Snapshot versioning invariants: append shares files instead of
+  * rewriting, every commit is atomic at the manifest rename, old
+  * versions stay readable forever, and rollback is itself a commit.
+  */
+class SnapshotSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def newTable(): String =
+    java.nio.file.Files.createTempDirectory("graft_snap").resolve("t").toString
+
+  test("append commits share prior data files; every version stays readable") {
+    val dir = newTable()
+    val v1 = Snapshots.commit((1 to 100).toDF("id"), dir)
+    val v2 = Snapshots.commit((101 to 150).toDF("id"), dir)
+    assert((v1, v2) == (1, 2))
+    assert(Snapshots.read(spark, dir).count() == 150) // latest
+    assert(Snapshots.read(spark, dir, Some(1)).count() == 100) // time travel
+    assert(Snapshots.read(spark, dir, Some(2)).count() == 150)
+    // replace starts a fresh file list but deletes nothing
+    val v3 = Snapshots.commit((1 to 20).toDF("id"), dir, replace = true)
+    assert(v3 == 3)
+    assert(Snapshots.read(spark, dir).count() == 20)
+    assert(Snapshots.read(spark, dir, Some(1)).count() == 100,
+      "replace must not destroy history")
+    assert(Snapshots.read(spark, dir, Some(2)).count() == 150)
+  }
+
+  test("append writes only the delta: v2's manifest reuses v1's files byte-for-byte") {
+    val dir = newTable()
+    Snapshots.commit((1 to 100).toDF("id"), dir)
+    val dataDir = java.nio.file.Paths.get(dir, "data")
+    def allDataFiles() = java.nio.file.Files.walk(dataDir).toArray
+      .map(_.asInstanceOf[java.nio.file.Path])
+      .filter(_.toString.endsWith(".parquet"))
+      .map(p => p -> java.nio.file.Files.getLastModifiedTime(p))
+      .toMap
+    val before = allDataFiles()
+    Snapshots.commit((101 to 150).toDF("id"), dir)
+    val after = allDataFiles()
+    // v1's physical files are untouched (same path, same mtime): the
+    // append rewrote NOTHING — the property that makes commits O(delta)
+    before.foreach { case (p, t) =>
+      assert(after.get(p).contains(t), s"append must not rewrite $p")
+    }
+    assert(after.size > before.size, "append must add new files")
+  }
+
+  test("rollback restores content as a new version; history intact") {
+    val dir = newTable()
+    Snapshots.commit(Seq(("a", 1)).toDF("k", "v"), dir)
+    Snapshots.commit(Seq(("b", 2)).toDF("k", "v"), dir, replace = true)
+    val v3 = Snapshots.rollback(spark, dir, 1)
+    assert(v3 == 3)
+    assert(Snapshots.versions(spark, dir) == Seq(1, 2, 3))
+    val restored = Snapshots.read(spark, dir).collect().map(_.getString(0)).toSeq
+    assert(restored == Seq("a"), "rollback target content must be live again")
+    assert(Snapshots.read(spark, dir, Some(2)).collect().head.getString(0) == "b",
+      "the rolled-back-over version must remain readable")
+  }
+
+  test("a crashed commit (leftover .tmp manifest) is invisible to readers") {
+    val dir = newTable()
+    Snapshots.commit((1 to 10).toDF("id"), dir)
+    // simulate a crash between temp-write and rename
+    val stale = java.nio.file.Paths.get(dir, "_manifests", "v00002.manifest.tmp")
+    java.nio.file.Files.write(stale, "data/garbage/deadbeef.parquet\n".getBytes)
+    assert(Snapshots.versions(spark, dir) == Seq(1), "tmp manifest must be ignored")
+    assert(Snapshots.read(spark, dir).count() == 10)
+    // and the next commit proceeds normally past the debris
+    assert(Snapshots.commit((11 to 12).toDF("id"), dir) == 2)
+    assert(Snapshots.read(spark, dir).count() == 12)
+  }
+
+  test("schema is stable across shared-file reads") {
+    val dir = newTable()
+    Snapshots.commit(Seq((1L, "x")).toDF("id", "tag"), dir)
+    Snapshots.commit(Seq((2L, "y")).toDF("id", "tag"), dir)
+    val out = Snapshots.read(spark, dir).orderBy(col("id"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(out == Seq((1L, "x"), (2L, "y")))
+  }
+}
