@@ -236,6 +236,29 @@ class PlanSpec extends SparkSpec {
     assertGlobalWindowPostShrink("q94_vocab_build")
   }
 
+  test("partition pruning: a partition-key predicate reaches the scan as a PartitionFilter") {
+    // the EtlJob fact is written partitionBy(year); at 100 TB the year
+    // predicate must prune DIRECTORIES at planning, never surface as a
+    // post-scan data filter over every file
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_prune").resolve("fact").toString
+    Tables.orders(spark, sf("sf0.001"))
+      .withColumn("o_year", year(col("o_orderdate")))
+      .write.partitionBy("o_year").parquet(dir)
+    val pruned = spark.read.parquet(dir).filter(col("o_year") === 1995)
+    val p = pruned.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [") && p.contains("o_year"),
+      s"year predicate must be a partition filter:\n$p")
+    assert(!p.contains("PushedFilters: [IsNotNull(o_year)"),
+      s"partition key must not degrade to a parquet data filter:\n$p")
+    val years = Tables.orders(spark, sf("sf0.001"))
+      .select(year(col("o_orderdate"))).distinct().count()
+    assert(years > 1, "fixture must have multiple partitions to prune")
+    val expected = Tables.orders(spark, sf("sf0.001"))
+      .filter(year(col("o_orderdate")) === 1995).count()
+    assert(pruned.count() == expected && expected > 0)
+  }
+
   test("CMS cell build is bounded-state: no Expand, broadcast estimate join, 3 exchanges (q132)") {
     // the sketch's whole point is state bounded at depth×width whatever
     // the key cardinality: the depth explode must stay map-side (no
