@@ -438,42 +438,84 @@ object Similarity {
         // consumed by cell assignment AND probe selection — cache so
         // the training lineage runs once, not per consumer
         val sc = scoresOf(el, trained).cache()
-        val cells = cellsOf(sc, IvfAssign)
-        val probes = sc
-          .filter(col("vec_id") < 8)
-          .withColumn(
-            "pr",
-            row_number().over(
-              Window.partitionBy(col("vec_id")).orderBy(col("score").desc, col("cell"))))
-          .filter(col("pr") <= IvfProbes)
-          .select(col("vec_id").as("query_id"), col("cell"))
-        val cands = probes
-          .join(cells, Seq("cell"))
-          .filter(col("vec_id") =!= col("query_id"))
-          // a candidate sharing BOTH probed cells with the query would
-          // otherwise score twice (multi-assignment duplicates)
-          .select(col("query_id"), col("vec_id").as("cand_id"))
-          .distinct()
-        val pairDots = cands
-          .join(el.as("a"), col("query_id") === col("a.vec_id"))
-          .join(el.as("b"), col("cand_id") === col("b.vec_id") && col("a.pos") === col("b.pos"))
-          .groupBy(col("query_id"), col("cand_id"))
-          .agg(sum((col("a.x") * col("b.x")).cast(Acc)).cast("double").as("dot"))
-        val n = normsOf(el)
-        pairDots
-          .join(n.as("na"), col("query_id") === col("na.vec_id"))
-          .join(n.as("nb"), col("cand_id") === col("nb.vec_id"))
-          .select(col("query_id"), col("cand_id"), cosine(col("dot"), col("na.norm"), col("nb.norm")).as("cos"))
-          .withColumn(
-            "rnk",
-            row_number()
-              .over(Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("cand_id")))
-              .cast(IntegerType))
-          .filter(col("rnk") <= 10)
-          .orderBy(col("query_id"), col("rnk"))
+        ivfProbe(el, sc, cellsOf(sc, IvfAssign))
       },
       Some(ivfOracleSql)
     )
   )
 
+  /** The IVF probe stage shared by q76 (index trained inline) and the
+    * persisted-index path: probe the [[IvfProbes]] best cells per
+    * query, gather candidates through the keyed cell equi-join,
+    * dedupe multi-assignment collisions, exact-cosine rerank, top-10.
+    */
+  private def ivfProbe(el: DataFrame, sc: DataFrame, cells: DataFrame): DataFrame = {
+    val probes = sc
+      .filter(col("vec_id") < 8)
+      .withColumn(
+        "pr",
+        row_number().over(
+          Window.partitionBy(col("vec_id")).orderBy(col("score").desc, col("cell"))))
+      .filter(col("pr") <= IvfProbes)
+      .select(col("vec_id").as("query_id"), col("cell"))
+    val cands = probes
+      .join(cells, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      // a candidate sharing BOTH probed cells with the query would
+      // otherwise score twice (multi-assignment duplicates)
+      .select(col("query_id"), col("vec_id").as("cand_id"))
+      .distinct()
+    val pairDots = cands
+      .join(el.as("a"), col("query_id") === col("a.vec_id"))
+      .join(el.as("b"), col("cand_id") === col("b.vec_id") && col("a.pos") === col("b.pos"))
+      .groupBy(col("query_id"), col("cand_id"))
+      .agg(sum((col("a.x") * col("b.x")).cast(Acc)).cast("double").as("dot"))
+    val n = normsOf(el)
+    pairDots
+      .join(n.as("na"), col("query_id") === col("na.vec_id"))
+      .join(n.as("nb"), col("cand_id") === col("nb.vec_id"))
+      .select(col("query_id"), col("cand_id"), cosine(col("dot"), col("na.norm"), col("nb.norm")).as("cos"))
+      .withColumn(
+        "rnk",
+        row_number()
+          .over(Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("cand_id")))
+          .cast(IntegerType))
+      .filter(col("rnk") <= 10)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** Persist the trained IVF index (centroids + inverted assignments)
+    * as TWO snapshot-versioned warehouse tables — a rebuild is a
+    * `replace` commit publishing both atomically-renamed manifests, so
+    * a reader pinning version V keeps a CONSISTENT quantizer and
+    * posting list forever (the property a production ANN service needs
+    * during reindexing). Returns the committed (centroids, assignments)
+    * versions — always equal when built through this entry point.
+    */
+  private[graft] def buildIvfIndex(
+      s: SparkSession, d: String, tableDir: String): (Int, Int) = {
+    val el = elems(s, d).cache()
+    val init = Tables.embeddings(s, d)
+      .select(col("vec_id"), (col("label") % IvfCells).cast(IntegerType).as("cell"))
+    val trained = meansOf(el, cellsOf(scoresOf(el, meansOf(el, init)), 1))
+    val cells = cellsOf(scoresOf(el, trained), IvfAssign)
+    (Snapshots.commit(trained, s"$tableDir/centroids", replace = true),
+      Snapshots.commit(cells, s"$tableDir/assignments", replace = true))
+  }
+
+  /** q76's search served from a persisted index version instead of the
+    * inline-trained one: centroids broadcast into the query scorer,
+    * candidates come from the stored posting list. `version = None`
+    * reads the latest committed index.
+    */
+  private[graft] def ivfTopkFromIndex(
+      s: SparkSession,
+      d: String,
+      tableDir: String,
+      version: Option[Int] = None): DataFrame = {
+    val el = elems(s, d).cache()
+    val cents = Snapshots.read(s, s"$tableDir/centroids", version)
+    val cells = Snapshots.read(s, s"$tableDir/assignments", version)
+    ivfProbe(el, scoresOf(el, cents), cells)
+  }
 }

@@ -74,6 +74,25 @@ class NativeFnSpec extends SparkSpec {
     assert(recall >= 0.8, s"IVF recall@10 degraded to $recall")
   }
 
+  test("persisted IVF index serves the same answers; pinned versions survive a rebuild") {
+    import graft.operators.Similarity
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").resolve("idx").toString
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "cand_id", "rnk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq.sorted
+    val inline = canon(SparkEntry.queries("q76_ivf_topk")(spark, sf("sf0.001")))
+    val (vc, va) = Similarity.buildIvfIndex(spark, sf("sf0.001"), dir)
+    assert(vc == 1 && va == 1)
+    assert(canon(Similarity.ivfTopkFromIndex(spark, sf("sf0.001"), dir)) == inline,
+      "index-served search must equal the inline-trained q76")
+    // rebuild publishes v2; a reader pinning v1 still gets v1's answers
+    Similarity.buildIvfIndex(spark, sf("sf0.001"), dir)
+    assert(canon(Similarity.ivfTopkFromIndex(spark, sf("sf0.001"), dir, Some(1))) == inline,
+      "a pinned index version must survive reindexing")
+    assert(canon(Similarity.ivfTopkFromIndex(spark, sf("sf0.001"), dir)) == inline,
+      "deterministic training: the rebuilt index answers identically")
+  }
+
   test("GraftExtensions injects both native functions into a fresh session") {
     import org.apache.spark.sql.SparkSession
     val orig = spark
