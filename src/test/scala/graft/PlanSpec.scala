@@ -259,6 +259,18 @@ class PlanSpec extends SparkSpec {
     assert(pruned.count() == expected && expected > 0)
   }
 
+  test("leakage-safe split broadcasts the cluster dim over ONE corpus scan (q134)") {
+    // the cluster table is near-dup-sized (its lineage ends at the CC
+    // localCheckpoint, so it shows as a materialized leaf): the final
+    // assignment must be one documents scan + a broadcast left join —
+    // never a shuffle of the corpus against a tiny dimension
+    val p = plan("q134_leakage_safe_split")
+    assert(p.contains("BroadcastHashJoin"), s"cluster dim must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no corpus shuffle for a tiny dim:\n$p")
+    assert(p.linesIterator.count(l => l.contains("FileScan") && l.contains("documents")) == 1,
+      s"assignment must scan the corpus once:\n$p")
+  }
+
   test("CMS cell build is bounded-state: no Expand, broadcast estimate join, 3 exchanges (q132)") {
     // the sketch's whole point is state bounded at depth×width whatever
     // the key cardinality: the depth explode must stay map-side (no
