@@ -768,6 +768,63 @@ object Text {
         SELECT lang, CAST(rn AS INT) AS rk, doc_id, h
         FROM r WHERE rn <= 5
         ORDER BY lang, rk""")
+    ),
+
+    // Percentile-thresholded quality pruning (the CCNet move): keep
+    // each language's top quartile by lexical-diversity score, with
+    // the cutoff LEARNED from the corpus, not hardcoded. Scores are
+    // exact integer ppm (floor-div — no float drift); the per-language
+    // p75 is one exact-percentile aggregate over the integer scores
+    // (the q108 parity recipe) whose tiny result broadcasts back, so
+    // the keep decision is a windowless projection over one corpus
+    // scan — q117's shape. Exposes per-language threshold + kept/total
+    // accounting, the numbers a corpus curator actually reviews.
+    Q(
+      "q135_quality_prune",
+      (s, d) => {
+        val scored = docs(s, d)
+          .select(
+            col("doc_id"), col("lang"),
+            expr("(CAST(size(array_distinct(tok)) AS BIGINT) * 1000000) div CAST(size(tok) AS BIGINT)")
+              .as("score_ppm"))
+          .cache() // threshold agg + keep filter both consume it
+        val thr = scored
+          .groupBy(col("lang"))
+          .agg(expr("percentile(score_ppm, 0.75D)").as("thr"))
+        val kept = scored
+          .join(broadcast(thr), Seq("lang"))
+          .filter(col("score_ppm") >= col("thr"))
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_kept"),
+            min(col("score_ppm")).as("min_kept_ppm"))
+        scored
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_total"))
+          .join(thr, Seq("lang"))
+          .join(kept, Seq("lang"))
+          .select(
+            col("lang"), round(col("thr"), 6).as("thr"),
+            col("n_total"), col("n_kept"), col("min_kept_ppm"))
+          .orderBy(col("lang"))
+      },
+      Some(s"""
+        WITH t AS (SELECT doc_id, lang, ${T.tokens} AS tok FROM documents),
+        m AS (SELECT doc_id, lang,
+                     (CAST(len(list_distinct(tok)) AS BIGINT) * 1000000)
+                       // CAST(len(tok) AS BIGINT) AS score_ppm
+              FROM t),
+        thr AS (SELECT lang, quantile_cont(score_ppm, 0.75) AS thr FROM m GROUP BY lang),
+        kept AS (SELECT m.lang, CAST(COUNT(*) AS BIGINT) AS n_kept,
+                        CAST(MIN(m.score_ppm) AS BIGINT) AS min_kept_ppm
+                 FROM m JOIN thr ON m.lang = thr.lang
+                 WHERE m.score_ppm >= thr.thr
+                 GROUP BY m.lang),
+        tot AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_total FROM m GROUP BY lang)
+        SELECT tot.lang, ROUND(thr.thr, 6) AS thr, tot.n_total, kept.n_kept, kept.min_kept_ppm
+        FROM tot JOIN thr ON tot.lang = thr.lang
+        JOIN kept ON tot.lang = kept.lang
+        ORDER BY tot.lang""")
     )
   )
 }

@@ -205,6 +205,21 @@ class CorpusOpsSpec extends SparkSpec {
     cent.foreach { r => assert(r.getLong(2) == sizes(r.get(0))) }
   }
 
+  test("q135 quality pruning keeps roughly the top quartile per language") {
+    val rows = SparkEntry.queries("q135_quality_prune")(spark, d).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (thr, total, kept, minKept) = (
+        r.getAs[Double]("thr"), r.getAs[Long]("n_total"),
+        r.getAs[Long]("n_kept"), r.getAs[Long]("min_kept_ppm"))
+      // >= p75 keeps at least a quarter (ties only add); must prune
+      // SOMETHING or the threshold did no work
+      assert(kept * 4 >= total, s"${r.getString(0)}: kept $kept of $total — below quartile")
+      assert(kept < total, s"${r.getString(0)}: threshold pruned nothing")
+      assert(minKept.toDouble >= thr, s"${r.getString(0)}: kept a sub-threshold doc")
+    }
+  }
+
   test("q134 leakage guarantee: no near-dup pair straddles train and eval") {
     // sf0.01: the corpus actually contains near-dup pairs (q47 >= 0.5)
     val split = SparkEntry.queries("q134_leakage_safe_split")(spark, sf("sf0.01"))
