@@ -485,37 +485,60 @@ object Similarity {
   }
 
   /** Persist the trained IVF index (centroids + inverted assignments)
-    * as TWO snapshot-versioned warehouse tables — a rebuild is a
-    * `replace` commit publishing both atomically-renamed manifests, so
-    * a reader pinning version V keeps a CONSISTENT quantizer and
-    * posting list forever (the property a production ANN service needs
-    * during reindexing). Returns the committed (centroids, assignments)
-    * versions — always equal when built through this entry point.
+    * as two snapshot-versioned warehouse tables. Each table's commit is
+    * atomic, but the PAIR is two commits: centroids publish first, so a
+    * crash between them leaves centroids one version ahead. Readers
+    * stay consistent anyway because [[ivfTopkFromIndex]] resolves
+    * "latest" to the newest version committed in BOTH tables — a torn
+    * rebuild is simply invisible until its assignments land. Returns
+    * the committed (centroids, assignments) versions — equal when the
+    * build completes.
     */
   private[graft] def buildIvfIndex(
       s: SparkSession, d: String, tableDir: String): (Int, Int) = {
     val el = elems(s, d).cache()
     val init = Tables.embeddings(s, d)
       .select(col("vec_id"), (col("label") % IvfCells).cast(IntegerType).as("cell"))
-    val trained = meansOf(el, cellsOf(scoresOf(el, meansOf(el, init)), 1))
-    val cells = cellsOf(scoresOf(el, trained), IvfAssign)
-    (Snapshots.commit(trained, s"$tableDir/centroids", replace = true),
-      Snapshots.commit(cells, s"$tableDir/assignments", replace = true))
+    // both commits consume the trained centroids (the second through
+    // the assignment lineage) — cache so training runs once, and
+    // unpersist once both snapshots are on disk
+    val trained = meansOf(el, cellsOf(scoresOf(el, meansOf(el, init)), 1)).cache()
+    try {
+      val cells = cellsOf(scoresOf(el, trained), IvfAssign)
+      (Snapshots.commit(trained, s"$tableDir/centroids", replace = true),
+        Snapshots.commit(cells, s"$tableDir/assignments", replace = true))
+    } finally {
+      trained.unpersist()
+      el.unpersist()
+      ()
+    }
   }
 
   /** q76's search served from a persisted index version instead of the
     * inline-trained one: centroids broadcast into the query scorer,
     * candidates come from the stored posting list. `version = None`
-    * reads the latest committed index.
+    * reads the newest CONSISTENT pair — the latest version present in
+    * both tables — so a half-published rebuild never mixes a new
+    * quantizer with old posting lists. The element frame is
+    * localCheckpoint'ed (the library-function pattern from
+    * globalCumsum): multiple consumers in the returned plan read one
+    * materialization, and the blocks free with the frame, no
+    * caller-visible cache to leak.
     */
   private[graft] def ivfTopkFromIndex(
       s: SparkSession,
       d: String,
       tableDir: String,
       version: Option[Int] = None): DataFrame = {
-    val el = elems(s, d).cache()
-    val cents = Snapshots.read(s, s"$tableDir/centroids", version)
-    val cells = Snapshots.read(s, s"$tableDir/assignments", version)
+    val el = elems(s, d).localCheckpoint(true)
+    val v = version.orElse {
+      val paired = Snapshots.versions(s, s"$tableDir/centroids")
+        .toSet.intersect(Snapshots.versions(s, s"$tableDir/assignments").toSet)
+      require(paired.nonEmpty, s"no consistent index pair under $tableDir")
+      Some(paired.max)
+    }
+    val cents = Snapshots.read(s, s"$tableDir/centroids", v)
+    val cells = Snapshots.read(s, s"$tableDir/assignments", v)
     ivfProbe(el, scoresOf(el, cents), cells)
   }
 }

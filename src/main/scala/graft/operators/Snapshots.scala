@@ -28,6 +28,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - readers pin a version by reading ONE manifest file — time-travel
   *    costs a single small-file read, never a directory diff.
   *
+  * Concurrency contract, stated honestly: commits assume a SINGLE
+  * WRITER per table — the same assumption Delta makes on filesystems
+  * without an atomic put-if-absent (raw local rename REPLACES an
+  * existing destination, so two racing committers of the same version
+  * could lose one update). The publish step re-checks the target just
+  * before renaming, turning most races into a loud error instead of a
+  * silent clobber; a real multi-writer deployment needs a lock service
+  * or an S3/HDFS-style conditional rename underneath, exactly as the
+  * production table formats do. Readers are always safe: they only
+  * ever open fully-published manifests.
+  *
   * The reference's warehouse has no versioning (replace-mode writes
   * destroy history, `src/pipelines/etl.py:45-52`); this is the
   * engine-side upgrade a monthly-batch warehouse needs the first time
@@ -94,16 +105,28 @@ object Snapshots {
       if (replace || prev.isEmpty) newFiles
       else readManifest(spark, table, prev.last) ++ newFiles
     // 3. atomic publish: temp write, fsync, rename into place
-    val target = manifestPath(table, v)
+    publish(f, manifestPath(table, v), files, "commit")
+    v
+  }
+
+  /** Temp-write + fsync + rename publish shared by commit and
+    * rollback. The target re-check just before the rename converts a
+    * lost-update race (raw local rename replaces existing files) into
+    * a loud error in practice — see the class doc's single-writer
+    * contract.
+    */
+  private def publish(f: FileSystem, target: Path, files: Seq[String], op: String): Unit = {
     val tmp = new Path(target.getParent, target.getName + ".tmp")
     val out = f.create(tmp, true)
     try {
       out.write(files.mkString("", "\n", "\n").getBytes("UTF-8"))
       out.hsync()
     } finally out.close()
+    if (f.exists(target))
+      throw new java.io.IOException(
+        s"snapshot $op: $target already published — concurrent committer detected")
     if (!f.rename(tmp, target))
-      throw new java.io.IOException(s"snapshot commit: could not publish $target")
-    v
+      throw new java.io.IOException(s"snapshot $op: could not publish $target")
   }
 
   /** Read a pinned version, or the latest when `version` is None. */
@@ -129,17 +152,8 @@ object Snapshots {
     val vs = versions(spark, tableDir)
     require(vs.contains(v), s"version $v not in $vs")
     val next = vs.last + 1
-    val f = fs(spark, table)
-    val target = manifestPath(table, next)
-    val tmp = new Path(target.getParent, target.getName + ".tmp")
-    val out = f.create(tmp, true)
-    try {
-      out.write(
-        readManifest(spark, table, v).mkString("", "\n", "\n").getBytes("UTF-8"))
-      out.hsync()
-    } finally out.close()
-    if (!f.rename(tmp, target))
-      throw new java.io.IOException(s"snapshot rollback: could not publish $target")
+    publish(fs(spark, table), manifestPath(table, next),
+      readManifest(spark, table, v), "rollback")
     next
   }
 }

@@ -168,9 +168,19 @@ case class AsOfJoinExec(
     */
   private def forwardCloser(
       dt: DataType): (InternalRow, InternalRow, InternalRow) => Boolean = {
+    // both distances are non-negative by construction (f is at-or-after
+    // the left, b at-or-before), so a negative difference can only mean
+    // long overflow (span > 2^63, e.g. mixed-sign epoch-nano extremes);
+    // that rare pair re-compares exactly in BigInt instead of silently
+    // wrapping to the wrong side
     def viaLong(g: InternalRow => Long) =
-      (f: InternalRow, b: InternalRow, l: InternalRow) =>
-        g(f) - g(l) < g(l) - g(b)
+      (f: InternalRow, b: InternalRow, l: InternalRow) => {
+        val (gf, gb, gl) = (g(f), g(b), g(l))
+        val df = gf - gl
+        val db = gl - gb
+        if (df >= 0 && db >= 0) df < db
+        else BigInt(gf) - BigInt(gl) < BigInt(gl) - BigInt(gb)
+      }
     dt match {
       case TimestampType | LongType => viaLong(_.getLong(0))
       case DateType | IntegerType => viaLong(_.getInt(0).toLong)

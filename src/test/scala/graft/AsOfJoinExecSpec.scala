@@ -264,6 +264,20 @@ class AsOfJoinExecSpec extends SparkSpec {
     assert(viaComposed.head.getAs[Long]("rid") == 9L, "arms must agree at 2^60")
   }
 
+  test("nearest survives distance overflow on mixed-sign long extremes") {
+    import ext.implicits._
+    // backward span l - b ~ 1.6e19 overflows a long to negative; a
+    // naive long comparison would then prefer the 9-quintillion-away
+    // backward row over the forward row 10 ticks ahead
+    val l0 = Long.MaxValue / 2
+    val l = Seq((1, l0, 1L)).toDF("k", "t", "lid")
+    val r = Seq((1, Long.MinValue / 2, 7L), (1, l0 + 10L, 9L)).toDF("k", "rt", "rid")
+    val out = graft.plans.AsOfJoin.frame(
+      l, r, "t", "rt", Seq("k"), Seq("rid"), graft.plans.AsOfJoin.Nearest).collect()
+    assert(out.length == 1 && out.head.getAs[Long]("rid") == 9L,
+      s"overflowed distance must not flip the verdict: ${out.mkString}")
+  }
+
   test("AsOf.auto dispatches by right-side size estimate") {
     val ev = Tables.events(ext, sf("sf0.001"))
     val l = ev.filter(col("event_type") === "purchase").select(col("user_id"), col("ts"))

@@ -91,6 +91,14 @@ class NativeFnSpec extends SparkSpec {
       "a pinned index version must survive reindexing")
     assert(canon(Similarity.ivfTopkFromIndex(spark, sf("sf0.001"), dir)) == inline,
       "deterministic training: the rebuilt index answers identically")
+    // torn rebuild: centroids advance to v3 but the assignments commit
+    // never lands (crash between the pair) — the default reader must
+    // resolve "latest" to the newest CONSISTENT pair, not mix versions
+    graft.operators.Snapshots.commit(
+      graft.operators.Snapshots.read(spark, s"$dir/centroids", Some(2)),
+      s"$dir/centroids", replace = true)
+    assert(canon(Similarity.ivfTopkFromIndex(spark, sf("sf0.001"), dir)) == inline,
+      "a half-published rebuild must be invisible to latest-version readers")
   }
 
   test("GraftExtensions injects both native functions into a fresh session") {
