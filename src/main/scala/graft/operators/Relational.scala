@@ -480,6 +480,62 @@ object Relational {
         FROM orders
         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
         ORDER BY o_custkey, o_orderkey""")
+    ),
+
+    // The canonical warehouse star join (TPC-H Q5 semantics): six
+    // tables, revenue by supplier nation for one region and year,
+    // where the customer and supplier nations must MATCH — the join
+    // graph is a cycle, not a tree, so join ORDER matters. Declared
+    // flat and left to Catalyst: region/nation broadcast into the
+    // probe side, customer joins orders before the fact, and the
+    // c_nationkey = s_nationkey equality closes the cycle as a cheap
+    // post-join filter on already-co-located rows. One lineitem scan,
+    // no cartesian anywhere — pinned in PlanSpec.
+    Q(
+      "q136_regional_supply",
+      (s, d) => {
+        val nations = Tables.nation(s, d)
+          .join(
+            broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"), col("n_name"))
+        val cust = Tables.customer(s, d)
+          .join(broadcast(nations), col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
+        val ord = Tables.orders(s, d)
+          .filter(
+            col("o_orderdate") >= lit("1995-01-01").cast("timestamp")
+              && col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+          .select(col("o_orderkey"), col("o_custkey"))
+        val supp = Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
+        cust
+          .join(ord, col("c_custkey") === col("o_custkey"))
+          .join(
+            Tables.lineitem(s, d)
+              .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"), col("l_discount")),
+            col("o_orderkey") === col("l_orderkey"))
+          .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+          .filter(col("c_nationkey") === col("s_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+          .orderBy(col("revenue").desc, col("n_name"))
+      },
+      Some("""
+        SELECT n_name,
+               CAST(SUM(CAST(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount)
+                             AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+        FROM customer, orders, lineitem, supplier, nation, region
+        WHERE c_custkey = o_custkey
+          AND l_orderkey = o_orderkey
+          AND l_suppkey = s_suppkey
+          AND c_nationkey = s_nationkey
+          AND s_nationkey = n_nationkey
+          AND n_regionkey = r_regionkey
+          AND r_name = 'ASIA'
+          AND CAST(o_orderdate AS TIMESTAMP) >= TIMESTAMP '1995-01-01'
+          AND CAST(o_orderdate AS TIMESTAMP) < TIMESTAMP '1996-01-01'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name""")
     )
   )
 }

@@ -259,6 +259,21 @@ class PlanSpec extends SparkSpec {
     assert(pruned.count() == expected && expected > 0)
   }
 
+  test("star join: one scan per fact, no cartesian, cyclic filter stays a filter (q136)") {
+    // the c_nationkey = s_nationkey equality closes the join CYCLE; a
+    // bad plan turns it into a nested-loop join or re-scans a fact
+    val p = plan("q136_regional_supply")
+    assert(p.linesIterator.count(l => l.contains("FileScan") && l.contains("lineitem")) == 1,
+      s"lineitem must scan once:\n$p")
+    assert(p.linesIterator.count(l => l.contains("FileScan") && l.contains("orders")) == 1,
+      s"orders must scan once:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the cyclic nation equality must never become a nested loop:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"dims must broadcast:\n$p")
+    assert(p.contains("PushedFilters") && p.contains("o_orderdate"),
+      s"the year range must reach the orders scan:\n$p")
+  }
+
   test("leakage-safe split broadcasts the cluster dim over ONE corpus scan (q134)") {
     // the cluster table is near-dup-sized (its lineage ends at the CC
     // localCheckpoint, so it shows as a materialized leaf): the final
