@@ -484,29 +484,39 @@ object Similarity {
       .orderBy(col("query_id"), col("rnk"))
   }
 
-  /** Persist the trained IVF index (centroids + inverted assignments)
-    * as two snapshot-versioned warehouse tables. Each table's commit is
-    * atomic, but the PAIR is two commits: centroids publish first, so a
-    * crash between them leaves centroids one version ahead. Readers
-    * stay consistent anyway because [[ivfTopkFromIndex]] resolves
-    * "latest" to the newest version committed in BOTH tables — a torn
-    * rebuild is simply invisible until its assignments land. Returns
-    * the committed (centroids, assignments) versions — equal when the
-    * build completes.
+  /** Persist the trained IVF index (coarse centroids + inverted
+    * assignments) as ONE snapshot-versioned table: centroid rows
+    * (`kind='c'`: cell, pos, c) and posting-list rows (`kind='a'`:
+    * vec_id, cell) union into a single frame published under a single
+    * atomic manifest. The quantizer and its posting lists therefore
+    * version TOGETHER by construction — a crash anywhere in the build
+    * leaves only orphan data files no manifest names, and the next
+    * successful rebuild publishes a complete, internally-consistent
+    * version. (The previous two-table layout committed centroids
+    * first; a torn build followed by a successful one could pair a
+    * stale quantizer with fresh posting lists at the same version
+    * number.) Returns the committed version.
     */
   private[graft] def buildIvfIndex(
-      s: SparkSession, d: String, tableDir: String): (Int, Int) = {
+      s: SparkSession, d: String, tableDir: String): Int = {
     val el = elems(s, d).cache()
     val init = Tables.embeddings(s, d)
       .select(col("vec_id"), (col("label") % IvfCells).cast(IntegerType).as("cell"))
-    // both commits consume the trained centroids (the second through
-    // the assignment lineage) — cache so training runs once, and
-    // unpersist once both snapshots are on disk
+    // both halves of the index consume the trained centroids (the
+    // posting lists through the assignment lineage) — cache so
+    // training runs once, and unpersist once the snapshot is on disk
     val trained = meansOf(el, cellsOf(scoresOf(el, meansOf(el, init)), 1)).cache()
     try {
       val cells = cellsOf(scoresOf(el, trained), IvfAssign)
-      (Snapshots.commit(trained, s"$tableDir/centroids", replace = true),
-        Snapshots.commit(cells, s"$tableDir/assignments", replace = true))
+      val index = trained
+        .select(
+          lit("c").as("kind"), col("cell"), col("pos"), col("c"),
+          lit(null).cast("bigint").as("vec_id"))
+        .unionByName(cells.select(
+          lit("a").as("kind"), col("cell"),
+          lit(null).cast(IntegerType).as("pos"), lit(null).cast("double").as("c"),
+          col("vec_id")))
+      Snapshots.commit(index, s"$tableDir/index", replace = true)
     } finally {
       trained.unpersist()
       el.unpersist()
@@ -516,10 +526,10 @@ object Similarity {
 
   /** q76's search served from a persisted index version instead of the
     * inline-trained one: centroids broadcast into the query scorer,
-    * candidates come from the stored posting list. `version = None`
-    * reads the newest CONSISTENT pair — the latest version present in
-    * both tables — so a half-published rebuild never mixes a new
-    * quantizer with old posting lists. The element frame is
+    * candidates come from the stored posting list. Both halves come
+    * from ONE versioned table (see [[buildIvfIndex]]), so any version
+    * — latest or pinned — is internally consistent by construction;
+    * there is no cross-table pairing to resolve. The element frame is
     * localCheckpoint'ed (the library-function pattern from
     * globalCumsum): multiple consumers in the returned plan read one
     * materialization, and the blocks free with the frame, no
@@ -531,14 +541,9 @@ object Similarity {
       tableDir: String,
       version: Option[Int] = None): DataFrame = {
     val el = elems(s, d).localCheckpoint(true)
-    val v = version.orElse {
-      val paired = Snapshots.versions(s, s"$tableDir/centroids")
-        .toSet.intersect(Snapshots.versions(s, s"$tableDir/assignments").toSet)
-      require(paired.nonEmpty, s"no consistent index pair under $tableDir")
-      Some(paired.max)
-    }
-    val cents = Snapshots.read(s, s"$tableDir/centroids", v)
-    val cells = Snapshots.read(s, s"$tableDir/assignments", v)
+    val idx = Snapshots.read(s, s"$tableDir/index", version)
+    val cents = idx.filter(col("kind") === "c").select(col("cell"), col("pos"), col("c"))
+    val cells = idx.filter(col("kind") === "a").select(col("vec_id"), col("cell"))
     ivfProbe(el, scoresOf(el, cents), cells)
   }
 }

@@ -1,7 +1,8 @@
 package graft.operators
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.{DataType, StructType}
 
 /** Snapshot versioning for warehouse tables — the minimal table-format
   * core (what Delta/Iceberg manifests do) expressed on plain parquet +
@@ -48,6 +49,23 @@ object Snapshots {
 
   private val ManifestDir = "_manifests"
   private val DataDir = "data"
+
+  /** Manifest header line carrying the committed schema as Spark's
+    * JSON encoding. Lets [[read]] reconstruct an EMPTY version (zero
+    * data files) as an empty DataFrame with the right schema instead
+    * of failing on a file-less parquet scan — without it, one empty
+    * commit would poison every subsequent latest-version read.
+    * Lines starting with `#` are metadata; readers of the file list
+    * skip them, so pre-header manifests stay readable.
+    */
+  private val SchemaPrefix = "#schema "
+
+  private def fileLines(lines: Seq[String]): Seq[String] =
+    lines.filterNot(_.startsWith("#"))
+
+  private def schemaOf(lines: Seq[String]): Option[StructType] =
+    lines.find(_.startsWith(SchemaPrefix))
+      .map(l => DataType.fromJson(l.stripPrefix(SchemaPrefix)).asInstanceOf[StructType])
 
   private def fs(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -103,9 +121,10 @@ object Snapshots {
     val v = prev.lastOption.getOrElse(0) + 1
     val files =
       if (replace || prev.isEmpty) newFiles
-      else readManifest(spark, table, prev.last) ++ newFiles
-    // 3. atomic publish: temp write, fsync, rename into place
-    publish(f, manifestPath(table, v), files, "commit")
+      else fileLines(readManifest(spark, table, prev.last)) ++ newFiles
+    // 3. atomic publish: temp write, fsync, rename into place (schema
+    //    header first so even a zero-file version stays readable)
+    publish(f, manifestPath(table, v), (SchemaPrefix + df.schema.json) +: files, "commit")
     v
   }
 
@@ -139,9 +158,15 @@ object Snapshots {
     require(vs.nonEmpty, s"no committed snapshot under $tableDir")
     val v = version.getOrElse(vs.last)
     require(vs.contains(v), s"version $v not in $vs")
-    val files = readManifest(spark, table, v)
-      .map(rel => new Path(table, rel).toString)
-    spark.read.parquet(files: _*)
+    val lines = readManifest(spark, table, v)
+    val files = fileLines(lines).map(rel => new Path(table, rel).toString)
+    if (files.nonEmpty) spark.read.parquet(files: _*)
+    else schemaOf(lines) match {
+      case Some(st) => spark.createDataFrame(spark.sparkContext.emptyRDD[Row], st)
+      case None => throw new java.io.IOException(
+        s"snapshot read: version $v of $tableDir has no files and no recorded schema " +
+          "(pre-schema-header manifest) — pin a non-empty version")
+    }
   }
 
   /** Restore version `v` as a NEW commit (history preserved — rollback

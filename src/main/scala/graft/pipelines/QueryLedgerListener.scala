@@ -5,7 +5,7 @@ import java.util.concurrent.ConcurrentLinkedQueue
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.execution.{QueryExecution, SparkPlan}
+import org.apache.spark.sql.execution.{QueryExecution, ReusedSubqueryExec, SparkPlan}
 import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
 import org.apache.spark.sql.util.QueryExecutionListener
@@ -35,18 +35,22 @@ final class QueryLedgerListener extends QueryExecutionListener {
 
   /** Every physical node of the FINAL plan, descending through the AQE
     * wrappers (`AdaptiveSparkPlanExec` and the query stages are leaf
-    * nodes whose real subtree hangs off a field, not `children`).
-    * Reused exchanges are NOT descended — their metrics belong to the
-    * original exchange and would double-count.
+    * nodes whose real subtree hangs off a field, not `children`) AND
+    * through subquery expressions (`p.subqueries` — a scalar subquery's
+    * exchange writes real shuffle bytes that `children` alone would
+    * silently drop from the totals). Reused exchanges and reused
+    * subqueries are NOT descended — their metrics belong to the
+    * original and would double-count.
     */
   private def allNodes(p: SparkPlan): Seq[SparkPlan] = {
     val inner = p match {
       case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
       case q: QueryStageExec => Seq(q.plan)
       case _: ReusedExchangeExec => Seq.empty
+      case _: ReusedSubqueryExec => Seq.empty
       case other => other.children
     }
-    p +: inner.flatMap(allNodes)
+    p +: (inner ++ p.subqueries).flatMap(allNodes)
   }
 
   /** Sum of a named SQLMetric over the whole plan — the two the ledger

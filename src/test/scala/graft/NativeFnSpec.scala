@@ -81,24 +81,33 @@ class NativeFnSpec extends SparkSpec {
       .select("query_id", "cand_id", "rnk")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq.sorted
     val inline = canon(SparkEntry.queries("q76_ivf_topk")(spark, sf("sf0.001")))
-    val (vc, va) = Similarity.buildIvfIndex(spark, sf("sf0.001"), dir)
-    assert(vc == 1 && va == 1)
+    val v1 = Similarity.buildIvfIndex(spark, sf("sf0.001"), dir)
+    assert(v1 == 1)
     assert(canon(Similarity.ivfTopkFromIndex(spark, sf("sf0.001"), dir)) == inline,
       "index-served search must equal the inline-trained q76")
     // rebuild publishes v2; a reader pinning v1 still gets v1's answers
-    Similarity.buildIvfIndex(spark, sf("sf0.001"), dir)
+    assert(Similarity.buildIvfIndex(spark, sf("sf0.001"), dir) == 2)
     assert(canon(Similarity.ivfTopkFromIndex(spark, sf("sf0.001"), dir, Some(1))) == inline,
       "a pinned index version must survive reindexing")
     assert(canon(Similarity.ivfTopkFromIndex(spark, sf("sf0.001"), dir)) == inline,
       "deterministic training: the rebuilt index answers identically")
-    // torn rebuild: centroids advance to v3 but the assignments commit
-    // never lands (crash between the pair) — the default reader must
-    // resolve "latest" to the newest CONSISTENT pair, not mix versions
-    graft.operators.Snapshots.commit(
-      graft.operators.Snapshots.read(spark, s"$dir/centroids", Some(2)),
-      s"$dir/centroids", replace = true)
+    // torn rebuild: a build that crashes mid-publish leaves orphan data
+    // files and a .tmp manifest no reader opens. Because quantizer and
+    // posting lists publish under ONE manifest, the torn build cannot
+    // leave half an index — and the NEXT successful rebuild claims the
+    // version number cleanly (the two-table layout's failure mode was a
+    // later rebuild pairing a stale quantizer with fresh posting lists)
+    val idxDir = java.nio.file.Paths.get(dir, "index")
+    java.nio.file.Files.createDirectories(idxDir.resolve("data/deadbeefcafe"))
+    java.nio.file.Files.write(
+      idxDir.resolve("_manifests/v00003.manifest.tmp"),
+      "data/deadbeefcafe/part-00000.parquet\n".getBytes("UTF-8"))
     assert(canon(Similarity.ivfTopkFromIndex(spark, sf("sf0.001"), dir)) == inline,
       "a half-published rebuild must be invisible to latest-version readers")
+    assert(Similarity.buildIvfIndex(spark, sf("sf0.001"), dir) == 3,
+      "a successful rebuild after a torn one must publish the next version")
+    assert(canon(Similarity.ivfTopkFromIndex(spark, sf("sf0.001"), dir)) == inline,
+      "the post-torn rebuild must serve a complete, consistent index")
   }
 
   test("GraftExtensions injects both native functions into a fresh session") {

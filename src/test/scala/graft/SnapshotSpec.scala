@@ -76,6 +76,25 @@ class SnapshotSpec extends SparkSpec {
     assert(Snapshots.read(spark, dir).count() == 12)
   }
 
+  test("an empty commit stays readable: the manifest's schema header backs a zero-row frame") {
+    val dir = newTable()
+    val empty = Seq((1L, "x")).toDF("id", "tag").filter(col("id") < 0)
+    val v1 = Snapshots.commit(empty, dir)
+    assert(v1 == 1)
+    val out = Snapshots.read(spark, dir)
+    assert(out.count() == 0, "empty version must read as zero rows, not fail")
+    assert(out.schema.fieldNames.toSeq == Seq("id", "tag"),
+      "schema must come from the manifest header")
+    // appending onto an empty version works, and rolling back to the
+    // empty version re-publishes its schema header (rollback copies
+    // manifest lines verbatim, metadata included)
+    Snapshots.commit(Seq((2L, "y")).toDF("id", "tag"), dir)
+    assert(Snapshots.read(spark, dir).count() == 1)
+    val v3 = Snapshots.rollback(spark, dir, v1)
+    val restored = Snapshots.read(spark, dir, Some(v3))
+    assert(restored.count() == 0 && restored.schema.fieldNames.toSeq == Seq("id", "tag"))
+  }
+
   test("schema is stable across shared-file reads") {
     val dir = newTable()
     Snapshots.commit(Seq((1L, "x")).toDF("id", "tag"), dir)
