@@ -222,21 +222,103 @@ object Dedup {
       .filter(col("hamming") <= 3)
   }
 
-  /** Distributed min-label-propagation connected components over an
-    * undirected pair list (2 columns: the two endpoint ids). Returns
-    * (node, lbl) where lbl is the component's minimum node id. Each
-    * round is one equi-join + one keyed min-agg; rounds needed = graph
-    * diameter (dup clusters are band-collision cliques, diameter <= 3
-    * observed — for adversarial long chains the escalation path is
-    * large-star/small-star, Kiveris et al. "Connected Components in
-    * MapReduce", which needs only O(log d) rounds). The driver collects
-    * ONE scalar per round: the decimal label-sum convergence certificate
-    * (labels are monotone non-increasing, so an unchanged sum proves a
-    * global fixpoint — and decimal(38) can't overflow on large surrogate
-    * ids the way an int64 sum could). The label table itself never
-    * leaves the cluster.
+  /** Distributed connected components over an undirected pair list
+    * (2 columns: the two endpoint ids) by alternating LARGE-STAR /
+    * SMALL-STAR rounds (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", SoCC'14 — a public technique). Returns
+    * ((node, lbl), rounds) where lbl is the component's minimum node
+    * id and rounds counts (large, small) pairs to the fixpoint.
+    *
+    * Why not plain min-label propagation: its round count is the graph
+    * DIAMETER. Dup clusters from band collisions are near-cliques
+    * (diameter ≤ 3), but templated web text at corpus scale produces
+    * long CHAINS of pairwise near-dups, and a length-L chain costs L
+    * shuffle rounds at any cluster size. The star operations instead
+    * contract every component toward a star rooted at its minimum:
+    * large-star hangs each node's larger neighbors off the neighborhood
+    * minimum, small-star re-points the smaller neighbors at it, and the
+    * round count grows with the log of component size, not its
+    * diameter — ≤7 rounds on TextDedupSpec's 24-node chain, strictly
+    * fewer than [[minLabelPropagation]] on the same graph (both
+    * pinned there), so million-node chains converge in tens of rounds.
+    *
+    * Mechanics: edges stay canonical as (hi > lo) pairs. Each
+    * half-round is one keyed min-agg plus one equi-join on the edge
+    * list — never an all-pairs product — and the new edge frame
+    * localCheckpoints (eager), truncating lineage so the plan stays
+    * bounded however many rounds run. Convergence is an EXACT fixpoint
+    * test, not a checksum heuristic: same edge count and an empty
+    * left-anti probe of next vs current, two cheap driver scalars over
+    * the already-materialized frames. At the fixpoint every component
+    * IS a star whose root is the component minimum (the paper's
+    * invariant), so labels read straight off the edge list.
     */
-  private[graft] def connectedComponents(pairsDf: DataFrame): DataFrame = {
+  private[graft] def connectedComponentsWithRounds(pairsDf: DataFrame): (DataFrame, Int) = {
+    val undirected = pairsDf.toDF("pa", "pb").filter(col("pa") =!= col("pb"))
+    var edges = undirected
+      .select(
+        greatest(col("pa"), col("pb")).as("hi"),
+        least(col("pa"), col("pb")).as("lo"))
+      .distinct()
+      .localCheckpoint()
+
+    // large-star(u): every neighbor v > u re-attaches to
+    // m(u) = min(N(u) ∪ {u}); emitted (v, m) keeps v > m canonical
+    def largeStar(e: DataFrame): DataFrame = {
+      val und = e.select(col("hi").as("u"), col("lo").as("v"))
+        .union(e.select(col("lo").as("u"), col("hi").as("v")))
+      val mins = und.groupBy(col("u"))
+        .agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      und.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("hi"), col("m").as("lo"))
+        .distinct()
+    }
+
+    // small-star(hi): all smaller neighbors (and hi itself) re-attach
+    // to m = min(N⁻(hi)); every emitted pair again has first > second
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy(col("hi")).agg(min(col("lo")).as("m"))
+      e.join(mins, "hi")
+        .filter(col("lo") =!= col("m"))
+        .select(col("lo").as("hi"), col("m").as("lo"))
+        .union(mins.select(col("hi"), col("m").as("lo")))
+        .distinct()
+    }
+
+    var converged = edges.isEmpty
+    var rounds = 0
+    while (!converged && rounds < 30) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      converged = next.count() == edges.count() &&
+        next.join(edges, Seq("hi", "lo"), "left_anti").isEmpty
+      edges = next
+      rounds += 1
+    }
+    require(converged, s"star contraction did not converge in $rounds rounds")
+    // fixpoint edges are (member, root) stars; roots label themselves
+    val labels = edges.select(col("hi").as("node"), col("lo").as("lbl"))
+      .union(edges.select(col("lo").as("node"), col("lo").as("lbl")))
+      .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
+      .localCheckpoint()
+    (labels, rounds)
+  }
+
+  private[graft] def connectedComponents(pairsDf: DataFrame): DataFrame =
+    connectedComponentsWithRounds(pairsDf)._1
+
+  /** Min-label propagation — the previous q84 engine, kept ONLY as the
+    * round-count control [[connectedComponentsWithRounds]] is raced
+    * against in TextDedupSpec (rounds = graph diameter; the star
+    * algorithm must beat it strictly on the chain fixture). Each round
+    * is one equi-join + keyed min-agg; the driver collects one scalar
+    * per round: the decimal label-sum certificate (labels are monotone
+    * non-increasing, so an unchanged sum proves a global fixpoint, and
+    * decimal(38) can't overflow on large surrogate ids the way an
+    * int64 sum could).
+    */
+  private[graft] def minLabelPropagation(pairsDf: DataFrame): (DataFrame, Int) = {
     val undirected = pairsDf.toDF("pa", "pb")
     val edges = undirected
       .union(undirected.select(col("pb"), col("pa")))
@@ -269,7 +351,7 @@ object Dedup {
       rounds += 1
     }
     require(converged, s"label propagation did not converge in $rounds rounds")
-    labels
+    (labels, rounds)
   }
 
   val all: Seq[Q] = Seq(

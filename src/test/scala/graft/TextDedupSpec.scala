@@ -105,6 +105,23 @@ class TextDedupSpec extends SparkSpec {
     assert(labels.size == 13)
   }
 
+  test("star contraction beats min-label propagation on a chain, answers identically") {
+    // a length-24 chain is the adversarial dup topology (templated web
+    // text): diameter 23, so propagation pays ~one round per hop while
+    // the star rounds grow with log of component size
+    val pairs = (100L until 123L).map(i => (i, i + 1)).toDF("a", "b")
+    val (starLabels, starRounds) = operators.Dedup.connectedComponentsWithRounds(pairs)
+    val star = starLabels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (100L to 123L).foreach(n => assert(star(n) == 100L, s"chain node $n"))
+    val (propLabels, propRounds) = operators.Dedup.minLabelPropagation(pairs)
+    val prop = propLabels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star == prop, "both algorithms must produce identical components")
+    assert(starRounds < propRounds,
+      s"star contraction ($starRounds rounds) must beat diameter-bound propagation ($propRounds)")
+    assert(starRounds <= 7,
+      s"star rounds must stay logarithmic on a 24-node chain, got $starRounds")
+  }
+
   test("connected components: empty edge set yields empty labels") {
     val empty = Seq.empty[(Long, Long)].toDF("a", "b")
     assert(operators.Dedup.connectedComponents(empty).count() == 0)
