@@ -148,6 +148,30 @@ object Snapshots {
       throw new java.io.IOException(s"snapshot $op: could not publish $target")
   }
 
+  /** True when `dir` is under snapshot control (has a manifest
+    * directory) — the guard raw-directory maintenance verbs use to
+    * refuse rewrites that would bypass versioning.
+    */
+  def isVersioned(spark: SparkSession, dir: String): Boolean = {
+    val mdir = new Path(new Path(dir), ManifestDir)
+    fs(spark, mdir).exists(mdir)
+  }
+
+  /** Absolute data-file paths of a version (latest when None). This is
+    * the maintenance entry point: compaction sizes its output from
+    * real on-disk file lengths, and the spec uses it to prove a pinned
+    * version still lists the exact same physical files after a
+    * rewrite-commit.
+    */
+  def files(spark: SparkSession, tableDir: String, version: Option[Int] = None): Seq[Path] = {
+    val table = new Path(tableDir)
+    val vs = versions(spark, tableDir)
+    require(vs.nonEmpty, s"no committed snapshot under $tableDir")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v), s"version $v not in $vs")
+    fileLines(readManifest(spark, table, v)).map(rel => new Path(table, rel))
+  }
+
   /** Read a pinned version, or the latest when `version` is None. */
   def read(
       spark: SparkSession,

@@ -93,6 +93,11 @@ object Warehouse {
       spark: org.apache.spark.sql.SparkSession,
       dir: String,
       targetBytes: Long): Int = {
+    // a temp-dir swap REWRITES files in place — under snapshot control
+    // that would orphan every manifest's file list and destroy time
+    // travel; versioned tables must compact as a commit instead
+    require(!Snapshots.isVersioned(spark, dir),
+      s"compact: $dir is snapshot-versioned — use compactSnapshot, which preserves history")
     val hconf = spark.sparkContext.hadoopConfiguration
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(hconf)
@@ -142,10 +147,56 @@ object Warehouse {
       df: org.apache.spark.sql.DataFrame,
       dir: String,
       clusterCol: String,
-      nFiles: Int): Unit =
+      nFiles: Int): Unit = {
+    require(!Snapshots.isVersioned(df.sparkSession, dir),
+      s"clusterWrite: $dir is snapshot-versioned — use clusterCommit, which preserves history")
+    clustered(df, clusterCol, nFiles).write.mode("overwrite").parquet(dir)
+  }
+
+  private def clustered(
+      df: org.apache.spark.sql.DataFrame,
+      clusterCol: String,
+      nFiles: Int): org.apache.spark.sql.DataFrame =
     df.repartitionByRange(nFiles, col(clusterCol))
       .sortWithinPartitions(col(clusterCol))
-      .write.mode("overwrite").parquet(dir)
+
+  /** Snapshot-preserving compaction — the Iceberg rewrite-commit
+    * semantic: rewrite the LATEST version's rows into
+    * `ceil(on_disk_bytes / targetBytes)` evenly-sized files and
+    * publish them as a NEW version via
+    * `Snapshots.commit(replace = true)`. No existing data file is
+    * touched, so a reader pinned to any prior version still reads the
+    * exact pre-compaction bytes, and rolling back across the
+    * compaction is an ordinary manifest commit like any other.
+    * Returns (committed version, file count).
+    */
+  def compactSnapshot(
+      spark: org.apache.spark.sql.SparkSession,
+      tableDir: String,
+      targetBytes: Long): (Int, Int) = {
+    val fs = new org.apache.hadoop.fs.Path(tableDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = Snapshots.files(spark, tableDir)
+      .map(p => fs.getFileStatus(p).getLen).sum
+    // overflow-safe ceiling: (bytes + target - 1) would wrap on a huge
+    // targetBytes; (bytes - 1) / target + 1 cannot
+    val n = math.max(1L, (bytes - 1) / targetBytes + 1).toInt
+    val v = Snapshots.commit(
+      Snapshots.read(spark, tableDir).repartition(n), tableDir, replace = true)
+    (v, n)
+  }
+
+  /** [[clusterWrite]]'s layout under snapshot control: disjoint key
+    * ranges per file, rows sorted within each, published as a new
+    * version (replace semantics, history intact). Returns the
+    * committed version.
+    */
+  def clusterCommit(
+      df: org.apache.spark.sql.DataFrame,
+      tableDir: String,
+      clusterCol: String,
+      nFiles: Int): Int =
+    Snapshots.commit(clustered(df, clusterCol, nFiles), tableDir, replace = true)
 
   val all: Seq[Q] = Seq(
     // Banded range self-join: pairs of orders by the same customer

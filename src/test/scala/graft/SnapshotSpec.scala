@@ -95,6 +95,50 @@ class SnapshotSpec extends SparkSpec {
     assert(restored.count() == 0 && restored.schema.fieldNames.toSeq == Seq("id", "tag"))
   }
 
+  test("compaction is a commit: pinned reads and rollback survive it") {
+    val dir = newTable()
+    Snapshots.commit((1 to 1000).toDF("id").repartition(8), dir)
+    Snapshots.commit((1001 to 2000).toDF("id").repartition(8), dir)
+    def sumAt(v: Option[Int]) =
+      Snapshots.read(spark, dir, v).agg(sum(col("id"))).head.getLong(0)
+    val fullSum = sumAt(None)
+    val v2Files = Snapshots.files(spark, dir, Some(2)).map(_.toString)
+    assert(v2Files.size >= 16, "fixture must actually be fragmented")
+    val (v3, n) = operators.Warehouse.compactSnapshot(spark, dir, targetBytes = 1L << 40)
+    assert(v3 == 3 && n == 1)
+    assert(Snapshots.files(spark, dir).size == 1, "compaction must shrink the file count")
+    assert(sumAt(None) == fullSum, "compaction must not change content")
+    // the rewrite-commit property: version 2 still lists the exact
+    // same physical files and reads the exact same rows as before
+    assert(Snapshots.files(spark, dir, Some(2)).map(_.toString) == v2Files,
+      "a pinned pre-compaction version must keep its original files")
+    assert(sumAt(Some(2)) == fullSum)
+    // rollback ACROSS the compaction is an ordinary commit
+    val v4 = Snapshots.rollback(spark, dir, 1)
+    assert(v4 == 4)
+    assert(Snapshots.read(spark, dir).count() == 1000)
+    assert(sumAt(Some(3)) == fullSum, "the compacted version itself stays readable")
+    // raw-directory maintenance must refuse a versioned table outright
+    intercept[IllegalArgumentException] {
+      operators.Warehouse.compact(spark, dir, targetBytes = 1024)
+    }
+    intercept[IllegalArgumentException] {
+      operators.Warehouse.clusterWrite((1 to 5).toDF("id"), dir, "id", 1)
+    }
+  }
+
+  test("clusterCommit publishes the clustered layout as a version, history intact") {
+    val dir = newTable()
+    Snapshots.commit(Seq((3L, "c"), (1L, "a")).toDF("id", "tag"), dir)
+    val v2 = operators.Warehouse.clusterCommit(
+      (1L to 100L).toDF("id").withColumn("tag", lit("x")), dir, "id", nFiles = 4)
+    assert(v2 == 2)
+    assert(Snapshots.files(spark, dir).size == 4, "one file per key range")
+    assert(Snapshots.read(spark, dir).count() == 100)
+    assert(Snapshots.read(spark, dir, Some(1)).count() == 2,
+      "the pre-cluster version must survive the rewrite")
+  }
+
   test("schema is stable across shared-file reads") {
     val dir = newTable()
     Snapshots.commit(Seq((1L, "x")).toDF("id", "tag"), dir)
