@@ -60,6 +60,17 @@ object Snapshots {
     */
   private val SchemaPrefix = "#schema "
 
+  /** Manifest metadata lines (`#meta k=v`): small commit-scoped
+    * key-value pairs — what an exactly-once streaming sink uses to
+    * record the micro-batch id a version delivered
+    * ([[graft.streaming.SnapshotSink]]). Rollback copies manifest
+    * lines verbatim, metadata included: restoring a version restores
+    * its stream position too, so a post-rollback restart re-delivers
+    * from that point instead of resuming past data the rollback
+    * removed.
+    */
+  private val MetaPrefix = "#meta "
+
   private def fileLines(lines: Seq[String]): Seq[String] =
     lines.filterNot(_.startsWith("#"))
 
@@ -94,15 +105,35 @@ object Snapshots {
     finally in.close()
   }
 
+  /** Metadata recorded with version `v`'s commit (empty for plain
+    * commits and for pre-metadata manifests).
+    */
+  def meta(spark: SparkSession, tableDir: String, v: Int): Map[String, String] =
+    readManifest(spark, new Path(tableDir), v)
+      .filter(_.startsWith(MetaPrefix))
+      .map { l =>
+        val kv = l.stripPrefix(MetaPrefix)
+        val i = kv.indexOf('=')
+        kv.take(i) -> kv.drop(i + 1)
+      }
+      .toMap
+
   /** Commit `df` as a new version. `replace = false` (append) lists the
     * previous version's files PLUS the new ones; `replace = true` lists
     * only the new ones — either way no existing file is touched, so
-    * every prior version stays readable. Returns the committed version.
+    * every prior version stays readable. `meta` key-value pairs are
+    * recorded in the manifest (see [[meta]]). Returns the committed
+    * version.
     */
   def commit(
       df: DataFrame,
       tableDir: String,
-      replace: Boolean = false): Int = {
+      replace: Boolean = false,
+      meta: Map[String, String] = Map.empty): Int = {
+    meta.foreach { case (k, v) =>
+      require(!k.contains('=') && (k + v).forall(c => c != '\n' && c != '\r'),
+        s"snapshot meta must be line-safe and '='-free in keys: $k=$v")
+    }
     val spark = df.sparkSession
     val table = new Path(tableDir)
     val f = fs(spark, table)
@@ -124,7 +155,9 @@ object Snapshots {
       else fileLines(readManifest(spark, table, prev.last)) ++ newFiles
     // 3. atomic publish: temp write, fsync, rename into place (schema
     //    header first so even a zero-file version stays readable)
-    publish(f, manifestPath(table, v), (SchemaPrefix + df.schema.json) +: files, "commit")
+    val header = (SchemaPrefix + df.schema.json) +:
+      meta.toSeq.sorted.map { case (k, mv) => s"$MetaPrefix$k=$mv" }
+    publish(f, manifestPath(table, v), header ++ files, "commit")
     v
   }
 

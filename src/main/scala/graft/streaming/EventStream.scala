@@ -29,7 +29,7 @@ object EventStream {
     .add("value", org.apache.spark.sql.types.DoubleType)
     .add("props", StringType)
 
-  private def readEvents(
+  private[graft] def readEvents(
       spark: SparkSession,
       dir: String,
       filesPerTrigger: Option[Int] = None,

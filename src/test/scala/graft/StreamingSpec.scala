@@ -131,6 +131,65 @@ class StreamingSpec extends SparkSpec {
     assert(batch == expected)
   }
 
+  test("exactly-once sink: crash after commit, before checkpoint — restart does not double-deliver") {
+    import graft.operators.Snapshots
+    import graft.streaming.SnapshotSink
+    import org.apache.spark.sql.functions._
+    // 3 slice files processed one per micro-batch; the injected crash
+    // lands in the at-least-once window (snapshot commit durable, epoch
+    // commit marker not yet written), so batch 0 IS re-delivered on
+    // restart and the sink must recognize and skip it
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(sf("sf0.001") + "/events.parquet")
+    val Array(lo, hi) = raw.agg(min(col("ts")), max(col("ts"))).head
+      .toSeq.map(_.asInstanceOf[Long]).toArray
+    val dir = java.nio.file.Files.createTempDirectory("graft_eo_sink")
+    (0 until 3).foreach { i =>
+      val from = lo + (hi - lo + 1) / 3 * i
+      val to = if (i == 2) hi + 1 else lo + (hi - lo + 1) / 3 * (i + 1)
+      val build = dir.resolve(s"build_$i")
+      raw.filter(col("ts") >= from && col("ts") < to)
+        .coalesce(1).write.parquet(build.toString)
+      val part = java.nio.file.Files.list(build).toArray
+        .map(_.asInstanceOf[java.nio.file.Path])
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      val target = dir.resolve(s"s$i.parquet")
+      java.nio.file.Files.move(part, target)
+      target.toFile.setLastModified(1000000L * (i + 1))
+    }
+    val table = dir.resolve("table").toString
+    val ckpt = dir.resolve("ckpt").toString
+    def feed() = graft.streaming.EventStream
+      .readEvents(spark, dir.toString, Some(1), "s*.parquet")
+      .select("event_id", "user_id", "event_type", "value")
+    // run 1: commit batch 0, then die before its checkpoint marker
+    val failing = feed().writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        SnapshotSink.appendOnce(b, table, id)
+        if (id == 0) throw new RuntimeException("injected crash")
+        ()
+      }
+      .start()
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      failing.awaitTermination()
+    }
+    assert(Snapshots.versions(spark, table) == Seq(1),
+      "batch 0 must be durable in the table before the crash")
+    // run 2, same checkpoint: batch 0 re-delivered → no-op; 1, 2 land
+    SnapshotSink.deliver(feed(), table, ckpt)
+    assert(Snapshots.versions(spark, table) == Seq(1, 2, 3),
+      "exactly one commit per micro-batch — replay must not re-commit")
+    assert(SnapshotSink.lastBatchId(spark, table).contains(2L))
+    val batchAnswer = spark.read
+      .parquet((0 until 3).map(i => dir.resolve(s"s$i.parquet").toString): _*)
+      .select("event_id", "user_id", "event_type", "value")
+    assert(canon(Snapshots.read(spark, table)) == canon(batchAnswer),
+      "final table must equal the batch answer, each row exactly once")
+  }
+
   test("streaming CMS accumulates across micro-batches with state bounded at depth x width") {
     import org.apache.spark.sql.functions._
     // 3 time-slice files, one micro-batch each: the final cells must
