@@ -198,6 +198,68 @@ object Warehouse {
       nFiles: Int): Int =
     Snapshots.commit(clustered(df, clusterCol, nFiles), tableDir, replace = true)
 
+  /** q131's diagnostic reduced to the routing statistic: the largest
+    * single key's share of `df`'s rows on `key`. Two keyed aggregates,
+    * ONE row to the driver — the same cost class as the runtime
+    * statistics AQE plans from, and the only driver-side value the
+    * skew router reads.
+    */
+  private def topKeyShare(df: org.apache.spark.sql.DataFrame, key: String): Double = {
+    val r = df.groupBy(col(key)).agg(count(lit(1)).as("n"))
+      .agg(max(col("n")).cast("double"), sum(col("n")).cast("double"))
+      .head()
+    if (r.isNullAt(1) || r.getDouble(1) == 0.0) 0.0 else r.getDouble(0) / r.getDouble(1)
+  }
+
+  private val SaltCol = "graft_salt"
+
+  /** Skew-routed equi-join — the q131 verdict CONSUMED, not just
+    * reported: profile the fact side's join-key concentration
+    * ([[topKeyShare]]); when the top key holds more than `threshold`
+    * of the rows, run the join in the q69 salting shape — fact rows
+    * scatter over `salts` sub-keys (round-robin off the row id stripe;
+    * the salt value never reaches the output, so task retries are
+    * harmless), the dim side replicates ×`salts`, and the shuffle key
+    * becomes (key, salt), spreading the hot key over `salts` reducers
+    * instead of one straggler. Below the threshold the plain shuffle
+    * join runs and nothing pays the replication cost. Results are
+    * identical either way (WarehouseSpec pins equality AND the
+    * partition spread bound).
+    *
+    * Relationship to AQE: OptimizeSkewedJoin splits oversized
+    * partitions at runtime, but only past byte thresholds (256 MB
+    * default) and only for the join strategies it covers — this route
+    * pins the decision to the measured key statistic itself, the same
+    * explicit shape q69 uses for skewed aggregation.
+    */
+  def skewRoutedJoin(
+      fact: org.apache.spark.sql.DataFrame,
+      dim: org.apache.spark.sql.DataFrame,
+      key: String,
+      salts: Int = 8,
+      threshold: Double = 0.2): org.apache.spark.sql.DataFrame =
+    skewRoutedWithDecision(fact, dim, key, salts, threshold)._1
+
+  /** [[skewRoutedJoin]] plus the routing decision, exposed so the spec
+    * can pin which shape actually ran.
+    */
+  private[graft] def skewRoutedWithDecision(
+      fact: org.apache.spark.sql.DataFrame,
+      dim: org.apache.spark.sql.DataFrame,
+      key: String,
+      salts: Int,
+      threshold: Double): (org.apache.spark.sql.DataFrame, Boolean) = {
+    val salted = topKeyShare(fact, key) > threshold
+    if (!salted) (fact.join(dim, Seq(key)), false)
+    else {
+      val f = fact.withColumn(
+        SaltCol,
+        pmod(monotonically_increasing_id(), lit(salts.toLong)).cast(IntegerType))
+      val d = dim.withColumn(SaltCol, explode(sequence(lit(0), lit(salts - 1))))
+      (f.join(d, Seq(key, SaltCol)).drop(SaltCol), true)
+    }
+  }
+
   val all: Seq[Q] = Seq(
     // Banded range self-join: pairs of orders by the same customer
     // placed within 30 days of each other (reorder-interval analysis).

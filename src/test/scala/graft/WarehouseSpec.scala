@@ -13,6 +13,50 @@ class WarehouseSpec extends SparkSpec {
   private def q(name: String, dir: String = "sf0.001") =
     SparkEntry.queries(name)(spark, sf(dir))
 
+  test("q131 verdict routes a hot-key join to salting: no straggler, results equal plain join") {
+    // crafted skew: one key holds 80% of the fact rows; the dim is
+    // joined un-broadcast (forced, simulating a dim past the broadcast
+    // threshold — broadcast joins have no reducer skew to route around)
+    // and AQE coalescing is off so partition sizes reflect the shuffle
+    val hot = spark.range(8000).select(lit(7L).as("k"), col("id").as("payload"))
+    val cold = spark.range(2000).select((col("id") % 100 + 100).as("k"), col("id").as("payload"))
+    val fact = hot.union(cold)
+    val dim = spark.range(200).select(col("id").as("k"), concat(lit("d"), col("id")).as("tag"))
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevCoalesce = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+      def partSizes(df: org.apache.spark.sql.DataFrame): Array[Long] =
+        df.withColumn("pid", spark_partition_id())
+          .groupBy("pid").count().collect().map(_.getLong(1))
+      val plain = fact.join(dim, Seq("k"))
+      assert(partSizes(plain).max >= 8000,
+        "fixture must actually straggle: the hot key lands in ONE partition unsalted")
+      val (routed, saltedRan) = operators.Warehouse
+        .skewRoutedWithDecision(fact, dim, "k", salts = 8, threshold = 0.2)
+      assert(saltedRan, "top-1 share 0.8 must trigger the salting shape")
+      val sizes = partSizes(routed)
+      assert(sizes.max <= 8000 / 2,
+        s"salting must spread the hot key across reducers, got max ${sizes.max}")
+      assert(sizes.sum == 10000, "every fact row joins exactly once")
+      val canon = (df: org.apache.spark.sql.DataFrame) =>
+        df.select("k", "payload", "tag").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+      assert(canon(routed) == canon(plain), "salted and plain joins must agree")
+      // below threshold: the plain shape runs — no salt column, no
+      // replicated dim anywhere in the plan
+      val uniform = spark.range(10000).select((col("id") % 100).as("k"), col("id").as("payload"))
+      val (flat, saltedFlat) = operators.Warehouse
+        .skewRoutedWithDecision(uniform, dim, "k", salts = 8, threshold = 0.2)
+      assert(!saltedFlat, "a uniform key distribution must not pay for salting")
+      assert(!flat.queryExecution.executedPlan.toString.contains("graft_salt"))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prevCoalesce)
+    }
+  }
+
   test("banded reorder-pair join equals the brute-force theta join (q104)") {
     val banded = q("q104_reorder_pairs")
     val o = Tables.orders(spark, sf("sf0.001")).select(
