@@ -59,33 +59,40 @@ object Dedup {
   /** Per-(doc, band) LSH signature: the band's [[NumHashes]]/[[BandRows]]
     * minhash values joined with '-' in j order.
     *
-    * All [[NumHashes]] minima are computed inside ONE projection over the
-    * per-doc hash array (`array_min(transform(hms, ...))` per j), so the
-    * whole signature costs a single groupBy(doc_id) shuffle. The obvious
-    * alternative — explode 16 (j, h) rows per shingle and aggregate by
-    * (doc, j) then (doc, band) — amplifies the shuffle 16× and pays two
-    * keyed aggregations for the same numbers.
+    * All [[NumHashes]] minima are computed as parallel `min()` aggregate
+    * columns in ONE hash aggregate whose distribution the upstream
+    * repartition(doc_id) already satisfies — scan → shingle explode →
+    * 16-way min agg → band projection is a single map-side stage with no
+    * signature-build shuffle at all. The obvious alternative — explode
+    * 16 (j, h) rows per shingle and aggregate by (doc, j) then
+    * (doc, band) — amplifies the shuffle 16× and pays two keyed
+    * aggregations for the same numbers.
     */
   private def bands(s: SparkSession, d: String): DataFrame = {
     val numBands = NumHashes / BandRows
-    shingleSet(s, d)
+    // No shingle distinct() and no collect_list: a minimum is idempotent
+    // to duplicates, so the signature is identical WITHOUT the full
+    // (doc_id, shingle) dedup exchange, and 16 min() aggregates keep
+    // per-doc state at 16 longs instead of an O(shingles) array. The
+    // repartition(doc_id) after the single-split scan already satisfies
+    // the groupBy's distribution, so everything from scan to band rows
+    // is ONE stage: the only exchanges left in q46 are that repartition
+    // and the caller's sort (pinned at <= 2 in PlanSpec).
+    val mins = (0 until NumHashes)
+      .map(j => min(TextFns.minhashJ(col("hm"), lit(j))).as(s"m$j"))
+    Tables.documents(s, d)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("tok"))
+      .select(col("doc_id"), explode(TextFns.shingles(col("tok"), 3)).as("shingle"))
       .select(col("doc_id"), TextFns.hmod(col("shingle")).as("hm"))
       .groupBy(col("doc_id"))
-      .agg(collect_list(col("hm")).as("hms"))
+      .agg(mins.head, mins.tail: _*)
       .select(
         col("doc_id"),
-        posexplode(
-          transform(
-            sequence(lit(0), lit(numBands - 1)),
-            b =>
-              concat_ws(
-                "-",
-                transform(
-                  sequence(lit(0), lit(BandRows - 1)),
-                  r =>
-                    array_min(
-                      transform(col("hms"), h => TextFns.minhashJ(h, b * BandRows + r)))
-                      .cast("string"))))))
+        posexplode(array((0 until numBands).map(b =>
+          concat_ws(
+            "-",
+            (0 until BandRows).map(r => col(s"m${b * BandRows + r}").cast("string")): _*)): _*)))
       .select(col("doc_id"), col("pos").cast(IntegerType).as("band"), col("col").as("sig"))
   }
 

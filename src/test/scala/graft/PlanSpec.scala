@@ -99,13 +99,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("from_json"), s"expected typed from_json parse:\n$p")
   }
 
-  test("minhash signature pipeline stays at three exchanges (q46)") {
-    // repartition after the single-split scan + shingle DISTINCT +
-    // groupBy(doc_id): the measured-optimal formulation. A regression to
-    // the exploded per-(doc, j) form adds two more keyed exchanges.
+  test("minhash signature build is map-only: two exchanges total (q46)") {
+    // repartition after the single-split scan, then ONE stage to band
+    // rows (min() is duplicate-idempotent so there is no shingle
+    // distinct, and the 16-way min agg reuses the repartition's
+    // distribution), then the output sort. A regression to shingle
+    // DISTINCT or to the exploded per-(doc, j) form adds keyed
+    // exchanges on the full shingle set.
     val p = plan("q46_minhash_bands")
     val exchanges = p.linesIterator.count(l => l.contains("Exchange") && !l.contains("Reused"))
-    assert(exchanges <= 4, s"q46 grew extra shuffles ($exchanges):\n$p")
+    assert(exchanges <= 2, s"q46 grew extra shuffles ($exchanges):\n$p")
   }
 
   test("native top-k broadcasts the query vectors (q64)") {
