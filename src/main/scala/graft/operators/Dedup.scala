@@ -277,10 +277,11 @@ object Dedup {
       val mins = und.groupBy(col("u"))
         .agg(min(col("v")).as("mn"))
         .select(col("u"), least(col("mn"), col("u")).as("m"))
+      // no distinct here: small-star ends the round with one, and a few
+      // duplicate intermediate edges are cheaper than a second exchange
       und.join(mins, "u")
         .filter(col("v") > col("u"))
         .select(col("v").as("hi"), col("m").as("lo"))
-        .distinct()
     }
 
     // small-star(hi): all smaller neighbors (and hi itself) re-attach

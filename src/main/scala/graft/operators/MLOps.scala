@@ -426,7 +426,7 @@ object MLOps {
           .orderBy(col("cluster"))
       },
       None,
-      bench = false
+      bench = true
     ),
 
     // The learned-embedding clustering path closed END TO END (M2/M5):
@@ -452,7 +452,7 @@ object MLOps {
           .orderBy(col("cluster"))
       },
       None,
-      bench = false
+      bench = true
     ),
 
     // PCA(4) on the z-scored matrix: explained-variance summary (M3)
@@ -471,7 +471,7 @@ object MLOps {
           .toSeq.toDF("component", "explained_variance")
       },
       None,
-      bench = false
+      bench = true
     ),
 
     // M4: silhouette score of the k=4 product clustering (squared
@@ -494,7 +494,7 @@ object MLOps {
         Seq(("silhouette_sq_euclidean", math.rint(sil * 1e4) / 1e4)).toDF("metric", "value")
       },
       None,
-      bench = false
+      bench = true
     ),
 
     // M5 data prep: per-product quarterly revenue sequences as sorted

@@ -313,7 +313,7 @@ object Similarity {
           JOIN norms nb ON d.vec_b = nb.vec_id)
         WHERE cos >= 0.35
         ORDER BY vec_a, vec_b"""),
-      bench = false
+      bench = true
     ),
 
     // brute-force cosine top-k: 8 query vectors against the full corpus

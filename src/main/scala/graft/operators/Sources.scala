@@ -48,7 +48,7 @@ object Sources {
                CAST(COUNT(*) AS BIGINT) AS n,
                CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS sum_bal
         FROM customer GROUP BY 1, 2 ORDER BY 1, 2"""),
-      bench = false
+      bench = true
     ),
 
     // JSON-lines sink + source (schema-first read again)
@@ -72,7 +72,7 @@ object Sources {
                CAST(COUNT(*) AS BIGINT) AS n,
                CAST(SUM(CAST(s_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS sum_bal
         FROM supplier GROUP BY 1 ORDER BY 1"""),
-      bench = false
+      bench = true
     ),
 
     // ORC sink + source (columnar twin to the parquet warehouse; like
@@ -99,7 +99,7 @@ object Sources {
                min(p_size) AS min_size,
                CAST(SUM(CAST(p_retailprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
         FROM part GROUP BY 1 ORDER BY 1"""),
-      bench = false
+      bench = true
     )
   )
 }

@@ -27,7 +27,7 @@ object Streaming {
                CAST(COUNT(*) AS BIGINT) AS n,
                CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
         FROM events GROUP BY 1, 2 ORDER BY 1, 2"""),
-      bench = false
+      bench = true
     ),
 
     Q(
@@ -53,7 +53,7 @@ object Streaming {
                CAST(COUNT(*) AS BIGINT) AS n_events,
                CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
         FROM sessions GROUP BY user_id, session_id ORDER BY user_id, start_us"""),
-      bench = false
+      bench = true
     ),
 
     // custom state machine via mapGroupsWithState (typed GroupState)
@@ -65,7 +65,7 @@ object Streaming {
                CAST(COUNT(*) AS BIGINT) AS n_events,
                CAST(SUM(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_micros
         FROM events GROUP BY user_id ORDER BY user_id"""),
-      bench = false
+      bench = true
     ),
 
     // streaming exact dedup over a doubled input: watermark-bounded
@@ -76,7 +76,7 @@ object Streaming {
       Some("""
         SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
         FROM events GROUP BY event_type ORDER BY event_type"""),
-      bench = false
+      bench = true
     ),
 
     // stream-static broadcast join + aggregation (streaming J7/J8 twin)
@@ -89,7 +89,7 @@ object Streaming {
                CAST(SUM(CAST(e.value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
         FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
         GROUP BY 1 ORDER BY 1"""),
-      bench = false
+      bench = true
     ),
 
     // stream-stream inner join with watermarks + time-range state
@@ -108,7 +108,7 @@ object Streaming {
          AND CAST(c.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL 1 HOUR
          AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
         GROUP BY 1, 2 ORDER BY 1"""),
-      bench = false
+      bench = true
     ),
 
     // streaming backward AS-OF via O(1) custom state — the incremental
@@ -128,7 +128,7 @@ object Streaming {
         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
           ON p.user_id = c.user_id AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
         ORDER BY p.user_id, p.event_id"""),
-      bench = false
+      bench = true
     ),
 
     // streaming Count-Min sketch: q132's cell build as an incremental
@@ -149,7 +149,7 @@ object Streaming {
                   FROM ev CROSS JOIN d GROUP BY 1, 2)
         SELECT d, cell, c FROM cells ORDER BY d, cell"""
       },
-      bench = false
+      bench = true
     )
   )
 }

@@ -1036,6 +1036,30 @@ object Warehouse {
         SELECT CAST(k AS BIGINT) AS user_id, n, cms_est, cms_est - n AS overcount
         FROM est ORDER BY n DESC, user_id"""
       }
+    ),
+
+    // The SALTED arm of skewRoutedJoin hash-gated end-to-end: threshold
+    // 0 forces the salted rewrite (salted fact × salt-replicated dim,
+    // shuffle key (user_id, salt)) and the oracle is the PLAIN join —
+    // proving the rewrite is result-invisible on real tables. The
+    // routing policy itself (salt only past the measured top-1 share)
+    // is WarehouseSpec's crafted-skew pin; every other equi-join in the
+    // library is the plain arm.
+    Q(
+      "q137_skew_routed_join",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("event_id"), col("user_id"), col("value"))
+        val dim = Tables.customer(s, d)
+          .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
+        skewRoutedJoin(ev, dim, "user_id", salts = 8, threshold = 0.0)
+          .select(col("event_id"), col("user_id"), col("segment"), col("value"))
+          .orderBy(col("event_id"))
+      },
+      Some("""
+        SELECT e.event_id, e.user_id, c.c_mktsegment AS segment, e.value
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        ORDER BY e.event_id""")
     )
   )
 }
