@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Second live RDBMS for the JDBC catalog specs: the DuckDB JDBC driver
+// (same engine + version as the correctness oracle) already sits in the
+// image's local artifact cache. Discovered by glob — NOT a
+// libraryDependency, nothing resolves over the network, and
+// DuckDbJdbcSpec cancels itself when the jar is absent.
+Test / unmanagedJars ++= {
+  val cache = file(sys.props("user.home")) / ".cache" / "coursier"
+  (if (cache.exists) (cache ** "duckdb_jdbc-1.0.0.jar").get() else Nil)
+    .take(1).map(Attributed.blank(_))
+}
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

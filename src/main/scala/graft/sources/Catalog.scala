@@ -39,6 +39,12 @@ final class ParquetCatalog(dir: String) extends Catalog {
   */
 final class JdbcCatalog(url: String, driver: String) extends Catalog {
 
+  // DuckDB needs its (tiny) dialect registered or Spark misreads the
+  // existence-probe failure on first write — see DuckDbDialect
+  if (DuckDbDialect.canHandle(url) &&
+    !(org.apache.spark.sql.jdbc.JdbcDialects.get(url) eq DuckDbDialect))
+    org.apache.spark.sql.jdbc.JdbcDialects.registerDialect(DuckDbDialect)
+
   private def base(s: SparkSession) =
     s.read.format("jdbc").option("url", url).option("driver", driver)
 

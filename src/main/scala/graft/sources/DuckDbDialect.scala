@@ -1,0 +1,34 @@
+package graft.sources
+
+import java.sql.SQLException
+
+import org.apache.spark.sql.jdbc.JdbcDialect
+
+/** Minimal DuckDB dialect for Spark's JDBC source — the same extension
+  * point the built-in PostgresDialect implements.
+  *
+  * Why it must exist at all: Spark 4 decides "table missing, create
+  * it" vs "real failure, abort the write" by asking the dialect
+  * [[isObjectNotFoundException]] about the probe query's SQLException.
+  * The default implementation matches on SQLState / vendor codes, and
+  * DuckDB's JDBC driver populates NEITHER — so without a dialect,
+  * every first write to a DuckDB catalog dies on its own existence
+  * probe instead of creating the table. Everything else (double-quoted
+  * case-exact identifiers, TEXT/DOUBLE DDL, `TRUNCATE TABLE`) DuckDB
+  * shares with the generic dialect's PG-flavored SQL, so only the
+  * classification gap is overridden.
+  *
+  * Registered idempotently by [[JdbcCatalog]] when it sees a
+  * `jdbc:duckdb:` URL (`JdbcDialects.registerDialect` prepends; double
+  * registration is harmless but avoided anyway).
+  */
+object DuckDbDialect extends JdbcDialect {
+
+  override def canHandle(url: String): Boolean =
+    url.toLowerCase(java.util.Locale.ROOT).startsWith("jdbc:duckdb:")
+
+  override def isObjectNotFoundException(e: SQLException): Boolean =
+    e.getMessage != null &&
+      (e.getMessage.contains("does not exist") ||
+        e.getMessage.contains("Catalog Error"))
+}
