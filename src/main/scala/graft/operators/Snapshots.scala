@@ -226,6 +226,49 @@ object Snapshots {
     }
   }
 
+  /** Expire history — the Iceberg expire-snapshots verb, and the
+    * storage-reclamation half of the maintenance story: every
+    * compaction writes a full rewrite, so without expiry a table's
+    * footprint grows by one copy per compaction forever. Drops every
+    * version older than the newest `keep` manifests and deletes the
+    * data files no KEPT version references; kept versions are
+    * untouched — their manifests keep naming the exact same files.
+    * Returns (dropped versions, deleted file count).
+    *
+    * Ordering makes a crash safe, not atomic: manifests are deleted
+    * BEFORE their now-unreferenced data files, so no surviving
+    * manifest can ever name a deleted file; a crash mid-vacuum leaves
+    * only orphan data files, which are invisible to every reader
+    * (garbage, not corruption — reclaiming files no manifest has EVER
+    * referenced is a separate orphan sweep by age, exactly as the
+    * production table formats split these verbs). Same single-writer
+    * assumption as [[commit]]; a reader pinned to a dropped version
+    * loses it by design, so `keep` must cover the longest reader pin
+    * window.
+    */
+  def vacuum(spark: SparkSession, tableDir: String, keep: Int): (Seq[Int], Int) = {
+    require(keep >= 1, "vacuum must keep at least the latest version")
+    val table = new Path(tableDir)
+    val f = fs(spark, table)
+    val vs = versions(spark, tableDir)
+    val (drop, kept) = vs.splitAt(math.max(0, vs.size - keep))
+    if (drop.isEmpty) (Seq.empty, 0)
+    else {
+      val keepFiles = kept.flatMap(v => fileLines(readManifest(spark, table, v))).toSet
+      val dead = drop.flatMap(v => fileLines(readManifest(spark, table, v))).toSet -- keepFiles
+      drop.foreach { v =>
+        if (!f.delete(manifestPath(table, v), false))
+          throw new java.io.IOException(s"vacuum: could not drop manifest v$v of $tableDir")
+      }
+      dead.foreach { rel =>
+        val p = new Path(table, rel)
+        if (f.exists(p) && !f.delete(p, false))
+          throw new java.io.IOException(s"vacuum: could not delete $p")
+      }
+      (drop, dead.size)
+    }
+  }
+
   /** Restore version `v` as a NEW commit (history preserved — rollback
     * never deletes). Returns the new version number.
     */

@@ -122,6 +122,28 @@ class PipelineSpec extends SparkSpec {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("ledger metric sums include subquery subtrees") {
+    import org.apache.spark.sql.functions._
+    val listener = new graft.pipelines.QueryLedgerListener
+    spark.listenerManager.register(listener)
+    try {
+      // the ONLY exchange in this plan lives inside the scalar subquery
+      // (the global avg); the outer filter writes map-side to the noop
+      // sink — so a nonzero shuffle_bytes in the ledger row proves the
+      // metric walk descends into p.subqueries
+      Tables.lineitem(spark, sf("sf0.001"))
+        .createOrReplaceTempView("li_ledger_sub")
+      spark.sql(
+        """SELECT l_orderkey, l_quantity FROM li_ledger_sub
+           WHERE l_quantity > (SELECT avg(l_quantity) FROM li_ledger_sub)""")
+        .write.format("noop").mode("overwrite").save()
+      listener.awaitQuiescent()
+      val snap = listener.snapshot(spark).collect()
+      assert(snap.exists(r => r.getString(3) == "ok" && r.getLong(4) > 0),
+        s"subquery-only shuffle must land in shuffle_bytes: ${snap.mkString(",")}")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("schema evolution: an appended column reads back across old and new files") {
     // the monthly-append reality: a later delivery adds a column; the
     // warehouse must read old+new files as one table (old rows null for

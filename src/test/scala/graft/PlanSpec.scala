@@ -111,6 +111,17 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 2, s"q46 grew extra shuffles ($exchanges):\n$p")
   }
 
+  test("q137's salt is in the JOIN KEY, not a post-join predicate") {
+    // the q103 lesson generalized: a salt (or band) that appears only
+    // as a filter still meets every pair in the shuffle — the hot key
+    // only actually spreads if (key, salt) IS the join key
+    val p = plan("q137_skew_routed_join")
+    assert(
+      p.linesIterator.exists(l =>
+        l.contains("Join") && l.contains("user_id") && l.contains("graft_salt")),
+      s"salted join must key on (user_id, graft_salt):\n$p")
+  }
+
   test("native top-k broadcasts the query vectors (q64)") {
     val p = operators.Similarity.nativeTopk(spark, sf("sf0.001"))
       .queryExecution.executedPlan.toString

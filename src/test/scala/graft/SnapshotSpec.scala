@@ -139,6 +139,39 @@ class SnapshotSpec extends SparkSpec {
       "the pre-cluster version must survive the rewrite")
   }
 
+  test("vacuum expires old versions and reclaims only unreferenced files") {
+    val dir = newTable()
+    Snapshots.commit((1 to 100).toDF("id").repartition(4), dir) // v1
+    Snapshots.commit((101 to 150).toDF("id"), dir) // v2 shares v1's files
+    // a dropped version whose files a KEPT version still references
+    // must delete NOTHING
+    val (d1, n1) = Snapshots.vacuum(spark, dir, keep = 1)
+    assert(d1 == Seq(1) && n1 == 0,
+      "files shared into a kept manifest must survive the vacuum")
+    assert(Snapshots.versions(spark, dir) == Seq(2))
+    assert(Snapshots.read(spark, dir).count() == 150)
+    // compaction then expiry: the rewrite's predecessors actually leave disk
+    operators.Warehouse.compactSnapshot(spark, dir, targetBytes = 1L << 40) // v3
+    Snapshots.commit((151 to 160).toDF("id"), dir) // v4
+    val v2Files = Snapshots.files(spark, dir, Some(2)).map(_.toString)
+    val v4Files = Snapshots.files(spark, dir, Some(4)).map(_.toString)
+    val (d2, n2) = Snapshots.vacuum(spark, dir, keep = 2)
+    assert(d2 == Seq(2) && n2 == v2Files.size,
+      "every file only the dropped versions referenced must be deleted")
+    assert(Snapshots.versions(spark, dir) == Seq(3, 4))
+    assert(v2Files.forall(p => !java.nio.file.Files.exists(java.nio.file.Paths.get(
+      new java.net.URI(p).getPath))), "dropped-only files must leave disk")
+    assert(Snapshots.files(spark, dir, Some(4)).map(_.toString) == v4Files,
+      "kept manifests must keep naming the exact same files")
+    assert(Snapshots.read(spark, dir).count() == 160)
+    assert(Snapshots.read(spark, dir, Some(3)).count() == 150)
+    intercept[IllegalArgumentException] { Snapshots.read(spark, dir, Some(2)) }
+    // keep window covering everything is a no-op; next commit continues
+    // the version sequence past the dropped range
+    assert(Snapshots.vacuum(spark, dir, keep = 10) == (Seq.empty, 0))
+    assert(Snapshots.commit((161 to 162).toDF("id"), dir) == 5)
+  }
+
   test("schema is stable across shared-file reads") {
     val dir = newTable()
     Snapshots.commit(Seq((1L, "x")).toDF("id", "tag"), dir)
