@@ -181,6 +181,24 @@ object Dedup {
     */
   private[graft] val DupJaccard = 0.5
 
+  /** Oracle chain `cc(doc_id, cluster_rep)` shared by q84 and q138:
+    * connected components of the `pairs` CTE as a recursive CTE.
+    * Requires `WITH RECURSIVE $minhashPairsSql` upstream.
+    */
+  private val dupClustersSql: String =
+    s"""dup AS (SELECT doc_a, doc_b FROM pairs WHERE jaccard >= $DupJaccard),
+        edges AS (SELECT doc_a AS src, doc_b AS dst FROM dup
+                  UNION ALL SELECT doc_b, doc_a FROM dup),
+        reach(node, lbl) AS (
+          SELECT DISTINCT src, src FROM edges
+          UNION
+          -- propagating only labels below the destination id is safe:
+          -- the component min is below every other member, so it still
+          -- reaches everywhere; everything larger is never the answer
+          SELECT e.dst, r.lbl FROM reach r
+          JOIN edges e ON e.src = r.node WHERE r.lbl < e.dst),
+        cc AS (SELECT node AS doc_id, min(lbl) AS cluster_rep FROM reach GROUP BY node)"""
+
   /** 60-bit SimHash near-dup pairs (hamming <= 3) over a (doc_id, text)
     * frame. See the q85 declaration for the completeness argument
     * (4 x 15-bit bands + pigeonhole) and skew guard.
@@ -538,22 +556,75 @@ object Dedup {
           .orderBy(col("doc_id")),
       Some(s"""
         WITH RECURSIVE $minhashPairsSql,
-        dup AS (SELECT doc_a, doc_b FROM pairs WHERE jaccard >= $DupJaccard),
-        edges AS (SELECT doc_a AS src, doc_b AS dst FROM dup
-                  UNION ALL SELECT doc_b, doc_a FROM dup),
-        reach(node, lbl) AS (
-          SELECT DISTINCT src, src FROM edges
-          UNION
-          -- propagating only labels below the destination id is safe:
-          -- the component min is below every other member, so it still
-          -- reaches everywhere; everything larger is never the answer
-          SELECT e.dst, r.lbl FROM reach r
-          JOIN edges e ON e.src = r.node WHERE r.lbl < e.dst),
-        cc AS (SELECT node AS doc_id, min(lbl) AS cluster_rep FROM reach GROUP BY node)
+        $dupClustersSql
         SELECT doc_id, cluster_rep,
                CAST(COUNT(*) OVER (PARTITION BY cluster_rep) AS INT) AS cluster_size,
                CAST(doc_id = cluster_rep AS INT) AS is_canonical
         FROM cc ORDER BY doc_id""")
+    ),
+
+    // Quality-aware survivor selection: within each near-dup cluster,
+    // KEEP THE BEST member, not the first — min-id survivors (q84's
+    // is_canonical) systematically keep whichever copy was crawled
+    // first, while a dedup pipeline wants the highest-quality copy
+    // (least boilerplate-diluted, most lexically diverse). Quality is
+    // the exact integer-ppm distinct-token ratio (the q135 recipe —
+    // integer DIV, no double comparisons to drift), tie-broken by
+    // length then id. Scale shape: the cluster table is tiny relative
+    // to the corpus (only docs that appear in a near-dup pair), so it
+    // BROADCASTS into one corpus scan; the survivor window partitions
+    // by cluster over that small join result only.
+    Q(
+      "q138_cluster_survivor",
+      (s, d) => {
+        val cc = connectedComponents(
+          minhashPairs(s, d)
+            .filter(col("jaccard") >= DupJaccard)
+            .select(col("doc_a"), col("doc_b")))
+          .select(col("node").as("doc_id"), col("lbl").as("cluster_rep"))
+        val metrics = Tables.documents(s, d)
+          .repartition(col("doc_id"))
+          .select(col("doc_id"), TextFns.tokens(col("text")).as("tok"))
+          .select(
+            col("doc_id"),
+            size(col("tok")).as("n_tokens"),
+            size(array_distinct(col("tok"))).as("n_distinct"))
+          .select(
+            col("doc_id"), col("n_tokens"),
+            expr("(CAST(n_distinct AS BIGINT) * 1000000) div n_tokens").as("ppm"))
+        metrics
+          .join(broadcast(cc), "doc_id")
+          .withColumn(
+            "cluster_size",
+            count(lit(1)).over(
+              org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_rep")))
+              .cast(IntegerType))
+          .withColumn(
+            "rk",
+            row_number().over(
+              org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_rep"))
+                .orderBy(col("ppm").desc, col("n_tokens").desc, col("doc_id"))))
+          .filter(col("rk") === 1)
+          .select(
+            col("cluster_rep"), col("doc_id").as("keep_id"),
+            col("ppm").as("keep_ppm"), col("cluster_size"))
+          .orderBy(col("cluster_rep"))
+      },
+      Some(s"""
+        WITH RECURSIVE $minhashPairsSql,
+        $dupClustersSql,
+        q AS (SELECT doc_id,
+                     CAST(len(tok) AS INT) AS n_tokens,
+                     len(list_distinct(tok)) * 1000000 // len(tok) AS ppm
+              FROM (SELECT doc_id, ${T.tokens} AS tok FROM documents)),
+        j AS (SELECT cc.doc_id, cc.cluster_rep, q.ppm, q.n_tokens,
+                     CAST(COUNT(*) OVER (PARTITION BY cc.cluster_rep) AS INT) AS cluster_size
+              FROM cc JOIN q ON cc.doc_id = q.doc_id),
+        r AS (SELECT *, row_number() OVER (PARTITION BY cluster_rep
+                          ORDER BY ppm DESC, n_tokens DESC, doc_id) AS rk
+              FROM j)
+        SELECT cluster_rep, doc_id AS keep_id, CAST(ppm AS BIGINT) AS keep_ppm, cluster_size
+        FROM r WHERE rk = 1 ORDER BY cluster_rep""")
     ),
 
     // SimHash near-dup pairs: 60-bit simhash (the 32-bit q48 signature

@@ -220,6 +220,37 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("q138 survivor is the argmax-quality member of its cluster") {
+    // Independent recomputation: clusters from q84 (itself hash-green vs
+    // the recursive-CTE oracle), quality recomputed driver-side with the
+    // same whitespace tokenization — no Spark expressions shared with
+    // the query under test.
+    val clusters = SparkEntry.queries("q84_dup_clusters")(spark, d)
+      .select("doc_id", "cluster_rep")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val quality = Tables.documents(spark, d)
+      .select("doc_id", "text")
+      .collect().map { r =>
+        val toks = r.getString(1).trim.split("\\s+")
+        r.getLong(0) -> ((toks.distinct.length.toLong * 1000000L) / toks.length, toks.length)
+      }.toMap
+    val survivors = SparkEntry.queries("q138_cluster_survivor")(spark, d).collect()
+    val byRep = clusters.groupBy(_._2)
+    assert(survivors.length == byRep.size, "one survivor per cluster")
+    survivors.foreach { r =>
+      val (rep, keep) = (r.getAs[Long]("cluster_rep"), r.getAs[Long]("keep_id"))
+      val members = byRep(rep).map(_._1)
+      assert(members.contains(keep), s"survivor $keep not a member of cluster $rep")
+      assert(r.getAs[Int]("cluster_size") == members.length)
+      val expected = members.maxBy { id =>
+        val (ppm, n) = quality(id); (ppm, n.toLong, -id)
+      }
+      assert(keep == expected,
+        s"cluster $rep kept $keep but argmax-quality member is $expected")
+      assert(r.getAs[Long]("keep_ppm") == quality(keep)._1)
+    }
+  }
+
   test("q134 leakage guarantee: no near-dup pair straddles train and eval") {
     // sf0.01: the corpus actually contains near-dup pairs (q47 >= 0.5)
     val split = SparkEntry.queries("q134_leakage_safe_split")(spark, sf("sf0.01"))

@@ -300,6 +300,18 @@ class PlanSpec extends SparkSpec {
       s"assignment must scan the corpus once:\n$p")
   }
 
+  test("survivor selection broadcasts the cluster dim; window shuffles only cluster members (q138)") {
+    // same scale contract as q134: the cluster table is near-dup-sized,
+    // so quality scoring is one corpus scan + broadcast inner join; the
+    // survivor window runs AFTER that join, so its exchange carries only
+    // clustered docs, never the corpus
+    val p = plan("q138_cluster_survivor")
+    assert(p.contains("BroadcastHashJoin"), s"cluster dim must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no corpus shuffle against a tiny dim:\n$p")
+    assert(p.linesIterator.count(l => l.contains("FileScan") && l.contains("documents")) == 1,
+      s"quality scoring must scan the corpus once:\n$p")
+  }
+
   test("CMS cell build is bounded-state: no Expand, broadcast estimate join, 3 exchanges (q132)") {
     // the sketch's whole point is state bounded at depth×width whatever
     // the key cardinality: the depth explode must stay map-side (no
