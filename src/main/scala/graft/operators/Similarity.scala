@@ -280,6 +280,57 @@ object Similarity {
         QUALIFY rnk <= 10
         ORDER BY query_id, rnk"""
 
+  /** Exact-rerank shortlist depth for the SQ8 path: deep enough that
+    * int8 rounding noise cannot push a true top-10 member out of the
+    * candidate set at these corpus sizes (recall vs exact q51 gated in
+    * NativeFnSpec), shallow enough that the full-precision pass stays
+    * trivially bounded.
+    */
+  private val SqShortlist = 32
+
+  /** Oracle mirror of q139: same scale/code/integer-dot/shortlist/
+    * rerank chain. Quantization is floor(x/scale*127 + 0.5) in both
+    * engines — one IEEE division, one multiplication, one floor, all
+    * correctly rounded and engine-identical — and both the code dot
+    * (int64) and the rerank (DECIMAL(38,12)) are exact, so the whole
+    * approximate index hash-matches.
+    */
+  private val sq8OracleSql: String = s"""
+        WITH $elemsSql,
+        $normsSql,
+        sc AS (SELECT pos, MAX(ABS(x)) AS scale FROM el GROUP BY pos),
+        codes AS (SELECT el.vec_id, el.pos,
+                         CAST(CASE WHEN sc.scale = 0 THEN 0
+                                   ELSE floor(el.x / sc.scale * 127 + 0.5) END AS INT) AS code
+                  FROM el JOIN sc ON el.pos = sc.pos),
+        qd AS (SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+                      CAST(SUM(CAST(a.code AS BIGINT) * b.code) AS BIGINT) AS qdot
+               FROM codes a JOIN codes b ON a.pos = b.pos AND a.vec_id != b.vec_id
+               WHERE a.vec_id < 8
+               GROUP BY 1, 2),
+        short AS (SELECT query_id, cand_id FROM (
+                    SELECT query_id, cand_id,
+                           row_number() OVER (PARTITION BY query_id
+                                              ORDER BY qdot DESC, cand_id) AS srn
+                    FROM qd)
+                  WHERE srn <= $SqShortlist),
+        pdots AS (SELECT s.query_id, s.cand_id,
+                         CAST(SUM(CAST(a.x*b.x AS DECIMAL(38,12))) AS DOUBLE) AS dot
+                  FROM short s
+                  JOIN el a ON s.query_id = a.vec_id
+                  JOIN el b ON s.cand_id = b.vec_id AND a.pos = b.pos
+                  GROUP BY 1, 2),
+        scored AS (SELECT d.query_id, d.cand_id,
+                          ROUND(d.dot / (na.norm * nb.norm), 6) AS cos
+                   FROM pdots d
+                   JOIN norms na ON d.query_id = na.vec_id
+                   JOIN norms nb ON d.cand_id = nb.vec_id)
+        SELECT query_id, cand_id, cos,
+               CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS INT) AS rnk
+        FROM scored
+        QUALIFY rnk <= 10
+        ORDER BY query_id, rnk"""
+
   val all: Seq[Q] = Seq(
     // embedding-cosine near-dup pairs (brute force over pos-join; the
     // verified-correct baseline the LSH variant is judged against)
@@ -441,9 +492,68 @@ object Similarity {
         ivfProbe(el, sc, cellsOf(sc, IvfAssign))
       },
       Some(ivfOracleSql)
+    ),
+
+    // Int8 scalar quantization (the FAISS SQ8 layout, a public
+    // technique): per-dimension symmetric scale = max |x| over the
+    // corpus, code = round-half-up(x/scale × 127) ∈ [-127, 127]. The
+    // candidate pass ranks on the INTEGER code dot — exact arithmetic,
+    // so the whole query stays hash-gated, unlike engine-native float
+    // ANN — and only the [[SqShortlist]]-deep shortlist touches the
+    // full-precision vectors for the decimal-exact rerank (the q51
+    // math). Scale story: codes are 1 byte/dim vs 4, so the scan and
+    // the candidate shuffle carry 4× less than brute force, and the
+    // expensive exact pass is bounded at shortlist × queries rows; the
+    // scale row (one value per dimension) broadcasts like any trained
+    // quantizer. Guard: an all-zero dimension quantizes to code 0, not
+    // NaN.
+    Q(
+      "q139_sq8_topk",
+      (s, d) => {
+        val el = elems(s, d).cache()
+        val scales = el.groupBy(col("pos")).agg(max(abs(col("x"))).as("scale"))
+        val codes = el
+          .join(broadcast(scales), Seq("pos"))
+          .select(
+            col("vec_id"), col("pos"),
+            when(col("scale") === 0.0, 0)
+              .otherwise(floor(col("x") / col("scale") * 127.0 + 0.5).cast(IntegerType))
+              .as("code"))
+          .cache()
+        val qdots = codes.as("a")
+          .filter(col("vec_id") < 8)
+          .join(codes.as("b"),
+            col("a.pos") === col("b.pos") && col("a.vec_id") =!= col("b.vec_id"))
+          .groupBy(col("a.vec_id").as("query_id"), col("b.vec_id").as("cand_id"))
+          .agg(sum(col("a.code").cast("long") * col("b.code")).as("qdot"))
+        val shortlist = qdots
+          .withColumn(
+            "srn",
+            row_number().over(
+              Window.partitionBy(col("query_id")).orderBy(col("qdot").desc, col("cand_id"))))
+          .filter(col("srn") <= SqShortlist)
+          .select(col("query_id"), col("cand_id"))
+        val pairDots = broadcast(shortlist)
+          .join(el.as("a"), col("query_id") === col("a.vec_id"))
+          .join(el.as("b"), col("cand_id") === col("b.vec_id") && col("a.pos") === col("b.pos"))
+          .groupBy(col("query_id"), col("cand_id"))
+          .agg(sum((col("a.x") * col("b.x")).cast(Acc)).cast("double").as("dot"))
+        val n = normsOf(el)
+        pairDots
+          .join(n.as("na"), col("query_id") === col("na.vec_id"))
+          .join(n.as("nb"), col("cand_id") === col("nb.vec_id"))
+          .select(col("query_id"), col("cand_id"), cosine(col("dot"), col("na.norm"), col("nb.norm")).as("cos"))
+          .withColumn(
+            "rnk",
+            row_number()
+              .over(Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("cand_id")))
+              .cast(IntegerType))
+          .filter(col("rnk") <= 10)
+          .orderBy(col("query_id"), col("rnk"))
+      },
+      Some(sq8OracleSql)
     )
   )
-
   /** The IVF probe stage shared by q76 (index trained inline) and the
     * persisted-index path: probe the [[IvfProbes]] best cells per
     * query, gather candidates through the keyed cell equi-join,
