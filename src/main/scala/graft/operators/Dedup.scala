@@ -313,13 +313,19 @@ object Dedup {
         .distinct()
     }
 
-    var converged = edges.isEmpty
+    // one count job per frame, not per comparison: the previous round's
+    // count is remembered, so a round costs count(next) + (anti-join
+    // probe only when the counts agree)
+    var edgeCount = edges.count()
+    var converged = edgeCount == 0
     var rounds = 0
     while (!converged && rounds < 30) {
       val next = smallStar(largeStar(edges)).localCheckpoint()
-      converged = next.count() == edges.count() &&
+      val nextCount = next.count()
+      converged = nextCount == edgeCount &&
         next.join(edges, Seq("hi", "lo"), "left_anti").isEmpty
       edges = next
+      edgeCount = nextCount
       rounds += 1
     }
     require(converged, s"star contraction did not converge in $rounds rounds")
