@@ -281,4 +281,73 @@ object Snapshots {
       readManifest(spark, table, v), "rollback")
     next
   }
+
+  /** MERGE (upsert) as a snapshot commit — the Delta/Iceberg
+    * copy-on-write MERGE INTO semantic: rows of `updates` replace
+    * current rows sharing the same `keyCols` value; unmatched update
+    * rows insert. One update row per key (enforced — a multi-match
+    * MERGE is ambiguous, the same error the production formats raise).
+    *
+    * Scale shape — rewrite amplification is proportional to TOUCHED
+    * FILES, not table size: a probe pass (updates' keys broadcast,
+    * `_metadata.file_path` left-semi) finds which data files contain a
+    * matched key; untouched files carry into the new manifest verbatim
+    * (byte-for-byte shared, like an append), and only touched-file
+    * survivors + update rows are rewritten. A point-update of one key
+    * in a 10k-file table rewrites one file. The touched-file list is
+    * driver-side METADATA (bounded by file count, the same scale class
+    * as the manifest itself), not data collected to the driver.
+    *
+    * Same single-writer contract as [[commit]]; readers pinned to the
+    * pre-merge version keep their exact files. Returns the new version.
+    */
+  def merge(updates: DataFrame, tableDir: String, keyCols: Seq[String]): Int = {
+    import org.apache.spark.sql.functions.{broadcast, col, count, lit}
+    require(keyCols.nonEmpty, "merge needs at least one key column")
+    val spark = updates.sparkSession
+    val table = new Path(tableDir)
+    val f = fs(spark, table)
+    val prev = versions(spark, tableDir)
+    require(prev.nonEmpty, s"merge: no committed snapshot under $tableDir")
+    val manifest = readManifest(spark, table, prev.last)
+    val schema = schemaOf(manifest).getOrElse(updates.schema)
+    require(updates.columns.sorted.sameElements(schema.fieldNames.sorted),
+      s"merge: update columns ${updates.columns.toSeq} != table columns ${schema.fieldNames.toSeq}")
+    // updates feed the key probe AND the rewrite union — two jobs, no
+    // exchange reuse across jobs, so materialize once
+    val u = updates.localCheckpoint(true)
+    val keys = u.select(keyCols.map(col): _*)
+    require(
+      u.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1).isEmpty,
+      "merge: updates carry duplicate keys — one row per key (multi-match MERGE is ambiguous)")
+    // probe: which current data files hold a matched key (file paths
+    // only — metadata-scale driver result)
+    val touchedAbs = read(spark, tableDir)
+      .select((keyCols.map(col) :+ col("_metadata.file_path").as("_sn_path")): _*)
+      .join(broadcast(keys), keyCols, "left_semi")
+      .select(col("_sn_path")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val (touched, kept) =
+      fileLines(manifest).partition(rel => touchedAbs.exists(_.endsWith("/" + rel)))
+    // rewrite = touched-file survivors + every update row
+    val rewritten =
+      if (touched.isEmpty) u
+      else spark.read
+        .parquet(touched.map(rel => new Path(table, rel).toString): _*)
+        .join(broadcast(keys), keyCols, "left_anti")
+        .unionByName(u)
+    val batch = java.util.UUID.randomUUID.toString.replace("-", "")
+    val dataPath = new Path(new Path(table, DataDir), batch)
+    rewritten.write.parquet(dataPath.toString)
+    val newFiles = f.listStatus(dataPath).toSeq
+      .map(_.getPath)
+      .filter(_.getName.endsWith(".parquet"))
+      .map(p => s"$DataDir/$batch/${p.getName}")
+      .sorted
+    val v = prev.last + 1
+    publish(f, manifestPath(table, v),
+      (SchemaPrefix + schema.json) +: (kept ++ newFiles), "merge")
+    v
+  }
 }

@@ -180,4 +180,50 @@ class SnapshotSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
     assert(out == Seq((1L, "x"), (2L, "y")))
   }
+
+  test("merge upserts by key; untouched files are shared, not rewritten") {
+    val dir = newTable()
+    // two appends → (at least) two disjoint file sets: ids 1-100, 101-200
+    Snapshots.commit((1 to 100).map(i => (i.toLong, s"v$i")).toDF("id", "tag"), dir)
+    Snapshots.commit((101 to 200).map(i => (i.toLong, s"v$i")).toDF("id", "tag"), dir)
+    val filesBefore = Snapshots.files(spark, dir).map(_.toString)
+    // update two low ids, insert one new — only v1's files hold matches
+    val v3 = Snapshots.merge(
+      Seq((5L, "UP5"), (7L, "UP7"), (999L, "NEW")).toDF("id", "tag"), dir, Seq("id"))
+    assert(v3 == 3)
+    val out = Snapshots.read(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.size == 201, "100 + 100 + 1 insert")
+    assert(out(5L) == "UP5" && out(7L) == "UP7" && out(999L) == "NEW")
+    assert(out(6L) == "v6" && out(150L) == "v150", "unmatched rows unchanged")
+    // file-granular copy-on-write: every pre-merge file NOT holding a
+    // matched key appears verbatim in the new manifest
+    val filesAfter = Snapshots.files(spark, dir).map(_.toString).toSet
+    val shared = filesBefore.filter(filesAfter.contains)
+    assert(shared.nonEmpty, "merge must carry untouched files, not rewrite the table")
+    // the pre-merge version is untouched (time travel across a merge)
+    assert(Snapshots.read(spark, dir, Some(2)).filter(col("id") === 5L)
+      .head().getString(1) == "v5")
+  }
+
+  test("insert-only merge rewrites nothing: all prior files carry over") {
+    val dir = newTable()
+    Snapshots.commit((1 to 50).map(i => (i.toLong, s"v$i")).toDF("id", "tag"), dir)
+    val before = Snapshots.files(spark, dir).map(_.toString).toSet
+    Snapshots.merge(Seq((1000L, "NEW")).toDF("id", "tag"), dir, Seq("id"))
+    val after = Snapshots.files(spark, dir).map(_.toString).toSet
+    assert(before.subsetOf(after), "no key matched — no file may be rewritten")
+    assert(Snapshots.read(spark, dir).count() == 51)
+  }
+
+  test("merge refuses duplicate update keys and mismatched columns") {
+    val dir = newTable()
+    Snapshots.commit(Seq((1L, "a")).toDF("id", "tag"), dir)
+    intercept[IllegalArgumentException] {
+      Snapshots.merge(Seq((2L, "x"), (2L, "y")).toDF("id", "tag"), dir, Seq("id"))
+    }
+    intercept[IllegalArgumentException] {
+      Snapshots.merge(Seq((2L, "x")).toDF("id", "other"), dir, Seq("id"))
+    }
+  }
 }
