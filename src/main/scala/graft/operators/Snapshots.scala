@@ -301,42 +301,94 @@ object Snapshots {
     * Same single-writer contract as [[commit]]; readers pinned to the
     * pre-merge version keep their exact files. Returns the new version.
     */
-  def merge(updates: DataFrame, tableDir: String, keyCols: Seq[String]): Int = {
-    import org.apache.spark.sql.functions.{broadcast, col, count, lit}
-    require(keyCols.nonEmpty, "merge needs at least one key column")
-    val spark = updates.sparkSession
-    val table = new Path(tableDir)
-    val f = fs(spark, table)
-    val prev = versions(spark, tableDir)
-    require(prev.nonEmpty, s"merge: no committed snapshot under $tableDir")
-    val manifest = readManifest(spark, table, prev.last)
-    val schema = schemaOf(manifest).getOrElse(updates.schema)
+  def merge(
+      updates: DataFrame,
+      tableDir: String,
+      keyCols: Seq[String],
+      meta: Map[String, String] = Map.empty): Int = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val schema = tableSchema(updates.sparkSession, tableDir).getOrElse(updates.schema)
     require(updates.columns.sorted.sameElements(schema.fieldNames.sorted),
       s"merge: update columns ${updates.columns.toSeq} != table columns ${schema.fieldNames.toSeq}")
-    // updates feed the key probe AND the rewrite union — two jobs, no
-    // exchange reuse across jobs, so materialize once
+    // materialize once: updates feed the key probe AND the rewrite
+    // union, and jobs get no exchange reuse
     val u = updates.localCheckpoint(true)
-    val keys = u.select(keyCols.map(col): _*)
     require(
       u.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("n"))
         .filter(col("n") > 1).isEmpty,
       "merge: updates carry duplicate keys — one row per key (multi-match MERGE is ambiguous)")
-    // probe: which current data files hold a matched key (file paths
+    rewriteByKeys(u.select(keyCols.map(col): _*), u, tableDir, keyCols, schema, meta, "merge")
+  }
+
+  /** DELETE by key as a snapshot commit — same file-granular
+    * copy-on-write machinery as [[merge]]: only files holding a listed
+    * key are rewritten (without the deleted rows); everything else is
+    * shared into the new manifest. Keys absent from the table are
+    * no-ops, exactly like SQL DELETE. Returns the new version.
+    */
+  def delete(
+      keys: DataFrame,
+      tableDir: String,
+      keyCols: Seq[String],
+      meta: Map[String, String] = Map.empty): Int = {
+    import org.apache.spark.sql.functions.col
+    val spark = keys.sparkSession
+    val schema = tableSchema(spark, tableDir).getOrElse(
+      throw new java.io.IOException(s"delete: no committed snapshot under $tableDir"))
+    val empty = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    rewriteByKeys(
+      keys.select(keyCols.map(col): _*).distinct().localCheckpoint(true),
+      empty, tableDir, keyCols, schema, meta, "delete")
+  }
+
+  private def tableSchema(spark: SparkSession, tableDir: String): Option[StructType] = {
+    val prev = versions(spark, tableDir)
+    require(prev.nonEmpty, s"no committed snapshot under $tableDir")
+    schemaOf(readManifest(spark, new Path(tableDir), prev.last))
+  }
+
+  /** Shared copy-on-write core of [[merge]] and [[delete]]: rewrite
+    * every data file holding one of `affectedKeys` — its surviving rows
+    * (anti-join on the keys) plus all `replacements` — and carry every
+    * other file into the new manifest verbatim. The touched-file list
+    * is driver-side METADATA (bounded by file count, the same scale
+    * class as the manifest itself), not data collected to the driver.
+    */
+  private def rewriteByKeys(
+      affectedKeys: DataFrame,
+      replacements: DataFrame,
+      tableDir: String,
+      keyCols: Seq[String],
+      schema: StructType,
+      meta: Map[String, String],
+      op: String): Int = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    require(keyCols.nonEmpty, s"$op needs at least one key column")
+    meta.foreach { case (k, v) =>
+      require(!k.contains('=') && (k + v).forall(c => c != '\n' && c != '\r'),
+        s"snapshot meta must be line-safe and '='-free in keys: $k=$v")
+    }
+    val spark = affectedKeys.sparkSession
+    val table = new Path(tableDir)
+    val f = fs(spark, table)
+    val prev = versions(spark, tableDir)
+    require(prev.nonEmpty, s"$op: no committed snapshot under $tableDir")
+    val manifest = readManifest(spark, table, prev.last)
+    // probe: which current data files hold an affected key (file paths
     // only — metadata-scale driver result)
     val touchedAbs = read(spark, tableDir)
       .select((keyCols.map(col) :+ col("_metadata.file_path").as("_sn_path")): _*)
-      .join(broadcast(keys), keyCols, "left_semi")
+      .join(broadcast(affectedKeys), keyCols, "left_semi")
       .select(col("_sn_path")).distinct()
       .collect().map(_.getString(0)).toSet
     val (touched, kept) =
       fileLines(manifest).partition(rel => touchedAbs.exists(_.endsWith("/" + rel)))
-    // rewrite = touched-file survivors + every update row
     val rewritten =
-      if (touched.isEmpty) u
+      if (touched.isEmpty) replacements
       else spark.read
         .parquet(touched.map(rel => new Path(table, rel).toString): _*)
-        .join(broadcast(keys), keyCols, "left_anti")
-        .unionByName(u)
+        .join(broadcast(affectedKeys), keyCols, "left_anti")
+        .unionByName(replacements)
     val batch = java.util.UUID.randomUUID.toString.replace("-", "")
     val dataPath = new Path(new Path(table, DataDir), batch)
     rewritten.write.parquet(dataPath.toString)
@@ -345,9 +397,10 @@ object Snapshots {
       .filter(_.getName.endsWith(".parquet"))
       .map(p => s"$DataDir/$batch/${p.getName}")
       .sorted
+    val header = (SchemaPrefix + schema.json) +:
+      meta.toSeq.sorted.map { case (k, mv) => s"$MetaPrefix$k=$mv" }
     val v = prev.last + 1
-    publish(f, manifestPath(table, v),
-      (SchemaPrefix + schema.json) +: (kept ++ newFiles), "merge")
+    publish(f, manifestPath(table, v), header ++ kept ++ newFiles, op)
     v
   }
 }
