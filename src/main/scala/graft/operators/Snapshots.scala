@@ -137,6 +137,28 @@ object Snapshots {
     val spark = df.sparkSession
     val table = new Path(tableDir)
     val f = fs(spark, table)
+    // schema check BEFORE any file lands: an append must carry every
+    // existing column at its exact type (anything else would poison
+    // readers of the mixed file list); columns the table has not seen
+    // are ADD-COLUMN evolution — recorded nullable, and [[read]] pins
+    // the version schema so pre-evolution files null-fill them
+    val prev = versions(spark, tableDir)
+    val committed =
+      if (replace || prev.isEmpty) df.schema
+      else schemaOf(readManifest(spark, table, prev.last)) match {
+        case None => df.schema // pre-schema-header table: nothing to check against
+        case Some(old) =>
+          val incoming = df.schema.fields.map(fd => fd.name -> fd.dataType).toMap
+          old.fields.foreach { fd =>
+            require(incoming.get(fd.name).contains(fd.dataType),
+              s"append schema must carry existing column ${fd.name}: ${fd.dataType.sql} " +
+                s"(got ${incoming.get(fd.name).map(_.sql).getOrElse("nothing")}) — " +
+                "dropping or retyping a column needs an explicit replace")
+          }
+          val known = old.fieldNames.toSet
+          StructType(old.fields ++
+            df.schema.fields.filterNot(fd => known(fd.name)).map(_.copy(nullable = true)))
+      }
     // 1. write the new data files under a fresh uuid dir (never visible
     //    to readers until a manifest names them)
     val batch = java.util.UUID.randomUUID.toString.replace("-", "")
@@ -148,14 +170,13 @@ object Snapshots {
       .map(p => s"$DataDir/$batch/${p.getName}")
       .sorted
     // 2. new manifest = (previous files if appending) + new files
-    val prev = versions(spark, tableDir)
     val v = prev.lastOption.getOrElse(0) + 1
     val files =
       if (replace || prev.isEmpty) newFiles
       else fileLines(readManifest(spark, table, prev.last)) ++ newFiles
     // 3. atomic publish: temp write, fsync, rename into place (schema
     //    header first so even a zero-file version stays readable)
-    val header = (SchemaPrefix + df.schema.json) +:
+    val header = (SchemaPrefix + committed.json) +:
       meta.toSeq.sorted.map { case (k, mv) => s"$MetaPrefix$k=$mv" }
     publish(f, manifestPath(table, v), header ++ files, "commit")
     v
@@ -217,7 +238,14 @@ object Snapshots {
     require(vs.contains(v), s"version $v not in $vs")
     val lines = readManifest(spark, table, v)
     val files = fileLines(lines).map(rel => new Path(table, rel).toString)
-    if (files.nonEmpty) spark.read.parquet(files: _*)
+    if (files.nonEmpty) schemaOf(lines) match {
+      // pin the version's recorded schema: files older than an
+      // add-column evolution simply null-fill the columns they lack
+      // (standard parquet missing-column semantics), and a pinned
+      // version always reads with ITS schema, not a later one
+      case Some(st) => spark.read.schema(st).parquet(files: _*)
+      case None => spark.read.parquet(files: _*)
+    }
     else schemaOf(lines) match {
       case Some(st) => spark.createDataFrame(spark.sparkContext.emptyRDD[Row], st)
       case None => throw new java.io.IOException(

@@ -216,6 +216,30 @@ class SnapshotSpec extends SparkSpec {
     assert(Snapshots.read(spark, dir).count() == 51)
   }
 
+  test("add-column evolution: appends may widen, old files null-fill, pinned versions keep their schema") {
+    val dir = newTable()
+    Snapshots.commit(Seq((1L, "a")).toDF("id", "tag"), dir)
+    // widen with a score column: allowed, recorded nullable
+    Snapshots.commit(Seq((2L, "b", 0.5)).toDF("id", "tag", "score"), dir)
+    val latest = Snapshots.read(spark, dir)
+    assert(latest.schema.fieldNames.toSeq == Seq("id", "tag", "score"))
+    val byId = latest.collect().map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).isNullAt(2), "pre-evolution row must null-fill the added column")
+    assert(byId(2L).getDouble(2) == 0.5)
+    // a reader pinned to v1 sees v1's schema, not the widened one
+    assert(Snapshots.read(spark, dir, Some(1)).schema.fieldNames.toSeq == Seq("id", "tag"))
+    // dropping or retyping an existing column is refused on append
+    intercept[IllegalArgumentException] {
+      Snapshots.commit(Seq(3L).toDF("id"), dir)
+    }
+    intercept[IllegalArgumentException] {
+      Snapshots.commit(Seq((4L, 9, 0.1)).toDF("id", "tag", "score"), dir)
+    }
+    // replace may change schema freely (it starts a fresh file list)
+    Snapshots.commit(Seq(5).toDF("n"), dir, replace = true)
+    assert(Snapshots.read(spark, dir).schema.fieldNames.toSeq == Seq("n"))
+  }
+
   test("merge refuses duplicate update keys and mismatched columns") {
     val dir = newTable()
     Snapshots.commit(Seq((1L, "a")).toDF("id", "tag"), dir)
