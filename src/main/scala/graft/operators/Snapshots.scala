@@ -297,6 +297,59 @@ object Snapshots {
     }
   }
 
+  /** Reclaim ORPHAN data files — files under `data/` that no manifest
+    * (of any version) references: the residue of a commit/merge/compact
+    * that crashed after writing data but before publishing its
+    * manifest. Orphans are invisible to every reader, so this is pure
+    * garbage collection; it is the age-based sweep the [[vacuum]] doc
+    * defers to, split into its own verb exactly as the production
+    * table formats do. Only files older than `olderThanMs` are
+    * deleted — the age guard is what makes the sweep safe to run
+    * concurrently with a writer: an in-flight commit's files are
+    * always younger than any sane threshold, so the sweep can never
+    * eat a batch that is about to be published. Returns the deleted
+    * file count.
+    */
+  def sweepOrphans(spark: SparkSession, tableDir: String, olderThanMs: Long): Int = {
+    val table = new Path(tableDir)
+    val f = fs(spark, table)
+    val dataRoot = new Path(table, DataDir)
+    if (!f.exists(dataRoot)) 0
+    else {
+      val referenced = versions(spark, tableDir)
+        .flatMap(v => fileLines(readManifest(spark, table, v))).toSet
+      val cutoff = System.currentTimeMillis() - olderThanMs
+      var deleted = 0
+      f.listStatus(dataRoot).foreach { batchDir =>
+        if (batchDir.isDirectory) {
+          val entries = f.listStatus(batchDir.getPath).toSeq
+          val (parquet, markers) = entries.partition(_.getPath.getName.endsWith(".parquet"))
+          val live = parquet.exists(st =>
+            referenced.contains(s"$DataDir/${batchDir.getPath.getName}/${st.getPath.getName}"))
+          parquet.foreach { st =>
+            val rel = s"$DataDir/${batchDir.getPath.getName}/${st.getPath.getName}"
+            if (!referenced.contains(rel) && st.getModificationTime < cutoff) {
+              if (!f.delete(st.getPath, false))
+                throw new java.io.IOException(s"orphan sweep: could not delete ${st.getPath}")
+              deleted += 1
+            }
+          }
+          // a batch dir with no live file left is itself garbage,
+          // write markers (_SUCCESS, checksums) included; markers in a
+          // LIVE dir stay — they belong to published files
+          val remaining = f.listStatus(batchDir.getPath)
+            .count(_.getPath.getName.endsWith(".parquet"))
+          if (!live && remaining == 0 && markers.forall(_.getModificationTime < cutoff)) {
+            if (!f.delete(batchDir.getPath, true))
+              throw new java.io.IOException(
+                s"orphan sweep: could not remove dead ${batchDir.getPath}")
+          }
+        }
+      }
+      deleted
+    }
+  }
+
   /** Restore version `v` as a NEW commit (history preserved — rollback
     * never deletes). Returns the new version number.
     */
