@@ -656,4 +656,31 @@ object Similarity {
     val cells = idx.filter(col("kind") === "a").select(col("vec_id"), col("cell"))
     ivfProbe(el, scoresOf(el, cents), cells)
   }
+
+  /** Incrementally extend a persisted IVF index with NEW vectors — the
+    * classic ANN add() semantic: assign each incoming vector to its
+    * [[IvfAssign]] best cells under the EXISTING trained quantizer and
+    * append only those posting-list rows as a new snapshot version.
+    * Cost is O(new × k) scoring plus an O(delta) append commit; the
+    * prior postings and centroid rows are shared byte-for-byte and a
+    * reader pinned to the pre-append version is untouched. NO
+    * retraining happens by design — the quantizer slowly drifts from
+    * the growing corpus, so a real deployment interleaves appends with
+    * periodic [[buildIvfIndex]] rebuilds (the versioned table makes
+    * that swap atomic under concurrent readers). Caller contract:
+    * `newDir`'s vec_ids are new — re-appending an indexed id would
+    * duplicate its posting entries. Returns the committed version.
+    */
+  private[graft] def appendToIvfIndex(s: SparkSession, newDir: String, tableDir: String): Int = {
+    val el = elems(s, newDir).localCheckpoint(true)
+    val idx = Snapshots.read(s, s"$tableDir/index")
+    val cents = idx.filter(col("kind") === "c").select(col("cell"), col("pos"), col("c"))
+    val cells = cellsOf(scoresOf(el, cents), IvfAssign)
+    Snapshots.commit(
+      cells.select(
+        lit("a").as("kind"), col("cell"),
+        lit(null).cast(IntegerType).as("pos"), lit(null).cast("double").as("c"),
+        col("vec_id")),
+      s"$tableDir/index")
+  }
 }
