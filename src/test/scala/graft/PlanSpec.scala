@@ -312,6 +312,17 @@ class PlanSpec extends SparkSpec {
       s"quality scoring must scan the corpus once:\n$p")
   }
 
+  test("SQ8 rerank joins broadcast the shortlist; nothing degenerates to a nested loop (q139)") {
+    // the element frames are cached (InMemoryRelation), so scan counts
+    // are not meaningful here; what must hold is the join strategy —
+    // the 8-query code table and the 256-pair shortlist broadcast, and
+    // no stage falls back to a cartesian/nested-loop shape
+    val p = plan("q139_sq8_topk")
+    assert(p.contains("BroadcastHashJoin"), s"query codes and shortlist must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"no candidate stage may be a nested loop:\n$p")
+  }
+
   test("CMS cell build is bounded-state: no Expand, broadcast estimate join, 3 exchanges (q132)") {
     // the sketch's whole point is state bounded at depth×width whatever
     // the key cardinality: the depth explode must stay map-side (no
