@@ -57,6 +57,41 @@ class WarehouseSpec extends SparkSpec {
     }
   }
 
+  test("the third q131 route: AQE splits the same hot partition when thresholds say so") {
+    // closes the plain/salt/AQE routing triangle with evidence: the
+    // identical crafted skew, un-broadcast, with the skew-join byte
+    // thresholds lowered to fixture scale — AQE's OptimizeSkewedJoin
+    // must split the hot partition at runtime (the `skew=true` mark on
+    // the final adaptive SMJ), and results must equal the plain join.
+    // This is the route skewRoutedJoin's scaladoc defers to when byte
+    // thresholds are the right trigger; here we prove it actually
+    // engages on this shape rather than citing it.
+    val hot = spark.range(8000).select(lit(7L).as("k"), col("id").as("payload"))
+    val cold = spark.range(2000).select((col("id") % 100 + 100).as("k"), col("id").as("payload"))
+    val fact = hot.union(cold)
+    val dim = spark.range(200).select(col("id").as("k"), concat(lit("d"), col("id")).as("tag"))
+    val prev = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor").map(k => k -> spark.conf.get(k))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    try {
+      val joined = fact.join(dim, Seq("k"))
+      val rows = joined.collect() // execution finalizes the adaptive plan
+      assert(rows.length == 10000)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"AQE must mark the hot partition's join as skew-handled:\n$finalPlan")
+      val expected = fact.as("f").join(dim.as("d"), "k").select("k", "payload", "tag")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+      assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq == expected)
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("banded reorder-pair join equals the brute-force theta join (q104)") {
     val banded = q("q104_reorder_pairs")
     val o = Tables.orders(spark, sf("sf0.001")).select(
