@@ -34,7 +34,12 @@ import org.apache.spark.sql.types.IntegerType
   *  - q57: KMeans k=10 over those q127 embeddings (the LSTM-embedding
   *    clustering path, notebooks/LSTM_features_learning.ipynb cell 22)
   *    with per-cluster sizes — rows-only, partition gated in KMeansSpec;
-  *  - q58: PCA(4) variance summary — rows-only.
+  *  - q58: PCA(4) variance summary — rows-only;
+  *  - q140: the LEARNED sequence encoder ([[learnedEmbedding]]) —
+  *    subspace iteration trained on the sequence Gram matrix with the
+  *    training replayed CTE-for-CTE by the DuckDB oracle, closing the
+  *    "q127 does not learn" gap with hash parity kept; the
+  *    energy-strictly-improves learning gate lives in MLGateSpec.
   */
 object MLOps {
   import Det._
@@ -308,13 +313,26 @@ object MLOps {
     * No explode (the 12 dims are 12 aggregate expressions in ONE pass),
     * no shuffle wider than the fact's own keys.
     */
-  private[graft] def sequenceEmbedding(s: SparkSession, d: String): DataFrame = {
-    val pq = Tables.lineitem(s, d)
+  /** The calendar-aligned (part, quarter) → integer-cents revenue
+    * matrix both sequence encoders ([[sequenceEmbedding]],
+    * [[learnedEmbedding]]) read — the Spark twin of `seqMatrixSql`.
+    */
+  private def seqMatrix(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
       .groupBy(
         col("l_partkey").as("part_id"),
         (year(col("l_shipdate")) * 4 + quarter(col("l_shipdate")))
           .cast(IntegerType).as("t"))
       .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("rev_cents"))
+
+  private val seqMatrixSql: String =
+    """pq AS (SELECT l_partkey AS part_id,
+                      CAST(year(l_shipdate) * 4 + quarter(l_shipdate) AS INT) AS t,
+                      CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+               FROM lineitem GROUP BY 1, 2)"""
+
+  private[graft] def sequenceEmbedding(s: SparkSession, d: String): DataFrame = {
+    val pq = seqMatrix(s, d)
     val comps = (1 to EmbedDim).map { j =>
       val sign = when(
         graft.functions.TextFns.h60(
@@ -330,13 +348,185 @@ object MLOps {
       val h = graft.functions.TextFns.Sql.h60(s"CAST(t AS VARCHAR) || ',$j'")
       s"CAST(SUM(rev_cents * (CASE WHEN $h % 2 = 0 THEN 1 ELSE -1 END)) AS BIGINT) AS e$j"
     }.mkString(",\n               ")
-    s"""pq AS (SELECT l_partkey AS part_id,
-                      CAST(year(l_shipdate) * 4 + quarter(l_shipdate) AS INT) AS t,
-                      CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
-               FROM lineitem GROUP BY 1, 2),
+    s"""$seqMatrixSql,
         emb AS (SELECT part_id,
                $comps
         FROM pq GROUP BY part_id)"""
+  }
+
+  /** Components / training rounds of [[learnedEmbedding]]. */
+  private[graft] val LearnDim = 4
+  private[graft] val LearnIters = 3
+
+  /** Exact power-of-two rescales (pure exponent shifts — no mantissa
+    * rounding, so directions are untouched). They exist for PARITY,
+    * not just range: Spark decimalizes a double via Java's SHORTEST
+    * decimal representation (~17 significant digits) while DuckDB
+    * rounds the exact binary expansion, and the two agree only while
+    * the DECIMAL(38,12) rounding position stays inside that 17-digit
+    * window — i.e. while |x| stays small. [[Shrink]] = 2^63 drops the
+    * G·v mat-vec results (~1e19, themselves integer-valued doubles
+    * whose decimal casts are exact) to O(1) before any dot product;
+    * [[RevShrink]] = 2^30 does the same for the final revenue
+    * projection. Every decimal-cast double in the chain is then either
+    * integer-valued or O(1-100) — both engines decimalize it
+    * identically.
+    */
+  private val Shrink = java.lang.Math.scalb(1.0, 63)
+  private val ShrinkSqlLit = "CAST(9223372036854775808 AS DOUBLE)" // 2^63, parsed exactly
+  private val RevShrink = 1073741824.0 // 2^30
+
+  /** A LEARNED sequence embedding, oracle-replayable — the q76 trick
+    * (replay deterministic training in SQL) applied to representation
+    * learning. The reference learns its sequence representation with a
+    * torch LSTM autoencoder (`src/models/LSTM_Autoencoder.py:5-98`);
+    * torch is out of scope (SURVEY §7.4.6) and q127 substitutes a FIXED
+    * random projection — deterministic, but it does not adapt to the
+    * data. This closes that gap with the strongest torch-free claim
+    * available: [[LearnIters]] rounds of subspace iteration (G·V +
+    * modified Gram-Schmidt) on the sequence Gram matrix G = XᵀX, i.e.
+    * training toward the top-[[LearnDim]] principal subspace — the
+    * CONVERGED solution of the linear autoencoder ‖X − XWWᵀ‖² the LSTM
+    * generalizes. The md5-seeded ±1 init is q127's projection, so the
+    * captured energy strictly improving over iterations (pinned in
+    * MLGateSpec) IS "learning beats the random projection", measured.
+    *
+    * Every training step is deterministic exact-or-IEEE arithmetic:
+    * G from HUGEINT/decimal integer products; every dot product
+    * decimal(38,12)-accumulated then cast to double; normalization one
+    * sqrt + one division; the [[Shrink]] rescale a pure exponent shift.
+    * The DuckDB oracle replays all of it CTE for CTE, so the learned
+    * encoder hash-matches — something no library PCA/autoencoder
+    * (MLlib, sklearn, torch) offers.
+    *
+    * Scale shape: the fact-sized work is exactly two passes — G (one
+    * self-join keyed on part over the tiny per-part quarter lists) and
+    * the final X·V projection; everything between operates on
+    * (quarters × [[LearnDim]]) frames, constant-size however large the
+    * corpus, exactly how a D×D covariance eigensolve distributes.
+    */
+  /** The training loop of [[learnedEmbedding]], exposed for the
+    * MLGateSpec learning gate: returns the (t, j, v) basis after every
+    * round — element 0 is the md5-sign init (q127's projection,
+    * normalized only implicitly), element [[LearnIters]] the final
+    * orthonormal basis the embedding projects onto.
+    */
+  private[graft] def learnedBases(s: SparkSession, d: String): Seq[DataFrame] =
+    basesOf(s, seqMatrix(s, d).localCheckpoint(true))
+
+  /** Training rounds over an already-materialized sequence matrix, so
+    * [[learnedEmbedding]] pays ONE fact scan for training + projection.
+    */
+  private def basesOf(s: SparkSession, pq: DataFrame): Seq[DataFrame] = {
+    val Acc12 = org.apache.spark.sql.types.DecimalType(38, 12)
+    def dsum12(c: Column): Column = sum(c.cast(Acc12)).cast("double")
+    val g = pq.as("a").join(pq.as("b"), "part_id")
+      .groupBy(col("a.t").as("t1"), col("b.t").as("t2"))
+      .agg(sum(col("a.rev_cents").cast(org.apache.spark.sql.types.DecimalType(38, 0))
+        * col("b.rev_cents")).cast("double").as("g"))
+      .localCheckpoint(true)
+    var v: DataFrame = pq.select(col("t")).distinct()
+      .crossJoin(s.range(1, LearnDim + 1).select(col("id").cast(IntegerType).as("j")))
+      .select(
+        col("t"), col("j"),
+        when(
+          graft.functions.TextFns.h60(concat(
+            col("t").cast("string"), lit(","), col("j").cast("string"), lit("v"))) % 2 === 0,
+          lit(1.0)).otherwise(lit(-1.0)).as("v"))
+      .localCheckpoint(true)
+    var bases = Vector(v)
+    for (_ <- 1 to LearnIters) {
+      val w = g.join(v.as("vv"), col("t2") === col("vv.t"))
+        .groupBy(col("t1").as("t"), col("j"))
+        .agg((dsum12(col("g") * col("v")) / Shrink).as("w"))
+        .localCheckpoint(true)
+      var done = Vector.empty[DataFrame] // finished orthonormal columns (t, vc)
+      for (j <- 1 to LearnDim) {
+        var u = w.filter(col("j") === j).select(col("t"), col("w").as("u"))
+        for (prior <- done) {
+          val dot = u.join(prior, "t").agg(dsum12(col("u") * col("vc")).as("dd"))
+          u = u.join(prior, "t").crossJoin(broadcast(dot))
+            .select(col("t"), (col("u") - col("dd") * col("vc")).as("u"))
+        }
+        val n = u.agg(sqrt(dsum12(col("u") * col("u"))).as("n"))
+        done = done :+ u.crossJoin(broadcast(n))
+          .select(
+            col("t"),
+            (col("u") / when(col("n") === 0.0, 1.0).otherwise(col("n"))).as("vc"))
+          .localCheckpoint(true)
+      }
+      v = done.zipWithIndex
+        .map { case (c, i) => c.select(col("t"), lit(i + 1).as("j"), col("vc").as("v")) }
+        .reduce(_.unionByName(_))
+        .localCheckpoint(true)
+      bases = bases :+ v
+    }
+    bases
+  }
+
+  private[graft] def learnedEmbedding(s: SparkSession, d: String): DataFrame = {
+    val Acc12 = org.apache.spark.sql.types.DecimalType(38, 12)
+    def dsum12(c: Column): Column = sum(c.cast(Acc12)).cast("double")
+    val pq = seqMatrix(s, d).localCheckpoint(true)
+    val v = basesOf(s, pq).last
+    val comps = (1 to LearnDim).map { j =>
+      // micro-unit integers, not rounded doubles: ROUND(double) at the
+      // 13th significant digit is where Java's shortest-representation
+      // rounding and DuckDB's binary-expansion rounding disagree by one
+      // ulp; floor(x*1e6 + 0.5) is three IEEE ops both engines compute
+      // bit-identically, and the BIGINT output hashes exactly
+      floor(dsum12(when(col("j") === j, col("rev_cents").cast("double") / RevShrink * col("v")))
+        * 1000000.0 + 0.5).cast("long").as(s"f${j}_micro")
+    }
+    pq.join(v, pq("t") === v("t"))
+      .groupBy(col("part_id")).agg(comps.head, comps.tail: _*)
+      .orderBy(col("part_id"))
+  }
+
+  /** CTE-for-CTE DuckDB replay of [[learnedEmbedding]]'s training —
+    * generated by the same loop structure so the two cannot drift.
+    */
+  private[graft] val learnedEmbeddingSql: String = {
+    val h = graft.functions.TextFns.Sql.h60(
+      "CAST(t AS VARCHAR) || ',' || CAST(j AS VARCHAR) || 'v'")
+    def d12(e: String) = s"CAST(SUM(CAST($e AS DECIMAL(38,12))) AS DOUBLE)"
+    val ctes = scala.collection.mutable.ArrayBuffer[String](
+      s"""g AS MATERIALIZED (SELECT a.t AS t1, b.t AS t2,
+                CAST(SUM(CAST(a.rev_cents AS HUGEINT) * b.rev_cents) AS DOUBLE) AS g
+              FROM pq a JOIN pq b ON a.part_id = b.part_id GROUP BY 1, 2)""",
+      s"""v0 AS MATERIALIZED (SELECT t, j,
+                CASE WHEN $h % 2 = 0 THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END AS v
+              FROM (SELECT DISTINCT t FROM pq)
+              CROSS JOIN (SELECT CAST(unnest(generate_series(1, $LearnDim)) AS INT) AS j))""")
+    for (i <- 1 to LearnIters) {
+      ctes += s"""w$i AS MATERIALIZED (SELECT g.t1 AS t, v.j, ${d12("g.g * v.v")} / $ShrinkSqlLit AS w
+              FROM g JOIN v${i - 1} v ON g.t2 = v.t GROUP BY 1, 2)"""
+      for (j <- 1 to LearnDim) {
+        ctes += s"u${i}_${j}_0 AS MATERIALIZED (SELECT t, w AS u FROM w$i WHERE j = $j)"
+        for (k <- 1 until j) {
+          ctes += s"""d${i}_${j}_$k AS MATERIALIZED (SELECT ${d12("a.u * b.vc")} AS dd
+              FROM u${i}_${j}_${k - 1} a JOIN c${i}_$k b ON a.t = b.t)"""
+          ctes += s"""u${i}_${j}_$k AS MATERIALIZED (SELECT a.t, a.u - d.dd * b.vc AS u
+              FROM u${i}_${j}_${k - 1} a JOIN c${i}_$k b ON a.t = b.t CROSS JOIN d${i}_${j}_$k d)"""
+        }
+        ctes += s"n${i}_$j AS MATERIALIZED (SELECT sqrt(${d12("u * u")}) AS n FROM u${i}_${j}_${j - 1})"
+        ctes += s"""c${i}_$j AS MATERIALIZED (SELECT t, u / (CASE WHEN n.n = 0 THEN 1 ELSE n.n END) AS vc
+              FROM u${i}_${j}_${j - 1} CROSS JOIN n${i}_$j n)"""
+      }
+      ctes += (1 to LearnDim)
+        .map(j => s"SELECT t, CAST($j AS INT) AS j, vc AS v FROM c${i}_$j")
+        .mkString(s"v$i AS MATERIALIZED (", " UNION ALL ", ")")
+    }
+    val comps = (1 to LearnDim).map { j =>
+      s"CAST(floor(${d12(s"CASE WHEN v.j = $j THEN pq.rev_cents / CAST(1073741824 AS DOUBLE) * v.v END")}" +
+        s" * 1000000 + 0.5) AS BIGINT) AS f${j}_micro"
+    }.mkString(",\n               ")
+    s"""${seqMatrixSql.replace("pq AS (", "pq AS MATERIALIZED (")},
+        ${ctes.mkString(",\n        ")}
+        SELECT part_id,
+               $comps
+        FROM pq JOIN v$LearnIters v ON pq.t = v.t
+        GROUP BY part_id ORDER BY part_id"""
   }
 
   /** KMeans on a z-scored frame; labels canonicalized by (cluster size
@@ -540,6 +730,17 @@ object MLOps {
       Some(s"""
         WITH $sequenceEmbeddingSql
         SELECT * FROM emb ORDER BY part_id""")
+    ),
+
+    // The LEARNED sequence encoder (see [[learnedEmbedding]]): subspace
+    // iteration trained on the sequence Gram matrix, DuckDB oracle
+    // replaying every training round — the torch-free closure of the
+    // reference's LSTM-autoencoder path with hash parity kept
+    Q(
+      "q140_learned_embedding",
+      (s, d) => learnedEmbedding(s, d),
+      Some(s"""
+        WITH $learnedEmbeddingSql""")
     ),
 
     // F9: whole-quarter difference arithmetic ((y1-y2)*4 + (q1-q2),

@@ -18,6 +18,49 @@ class MLGateSpec extends SparkSpec {
     SparkEntry.queries("q58_pca_variance")(spark, sf("sf0.001"))
       .collect().sortBy(_.getInt(0)).map(_.getDouble(1))
 
+  test("q140 training gate: each subspace-iteration round strictly raises the captured energy") {
+    // Independent recomputation: G from the collected integer sequence
+    // matrix (exact BigInt products), captured energy of a basis V as
+    // Σ_j (v_jᵀ G v_j)/(v_jᵀ v_j) — the Rayleigh-quotient sum subspace
+    // iteration maximizes. The md5-sign init (basis 0) is exactly
+    // q127's random projection, so basis 0 → basis LearnIters strictly
+    // improving IS "learning beats the random projection", measured.
+    val d = sf("sf0.001")
+    val pq = graft.Tables.lineitem(spark, d)
+      .groupBy(
+        col("l_partkey").as("p"),
+        (year(col("l_shipdate")) * 4 + quarter(col("l_shipdate"))).cast("int").as("t"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("rev"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val ts = pq.map(_._2).distinct.sorted
+    val ti = ts.zipWithIndex.toMap
+    val byPart = pq.groupBy(_._1)
+    val gm = Array.ofDim[Double](ts.length, ts.length)
+    byPart.values.foreach { rows =>
+      for ((_, t1, r1) <- rows; (_, t2, r2) <- rows)
+        gm(ti(t1))(ti(t2)) += (BigInt(r1) * BigInt(r2)).toDouble
+    }
+    def energy(basis: Array[org.apache.spark.sql.Row]): Double = {
+      val cols = basis.groupBy(_.getInt(1)).values.map { rs =>
+        val v = Array.ofDim[Double](ts.length)
+        rs.foreach(r => v(ti(r.getInt(0))) = r.getDouble(2))
+        v
+      }
+      cols.map { v =>
+        val gv = gm.map(row => row.zip(v).map { case (a, b) => a * b }.sum)
+        v.zip(gv).map { case (a, b) => a * b }.sum / v.map(x => x * x).sum
+      }.sum
+    }
+    val energies = MLOps.learnedBases(spark, d).map(b => energy(b.collect()))
+    assert(energies.length == MLOps.LearnIters + 1)
+    energies.sliding(2).foreach { case Seq(prev, next) =>
+      assert(next > prev,
+        s"every training round must raise the captured energy: $energies")
+    }
+    assert(energies.last > energies.head * 1.5,
+      s"the trained basis must clearly beat the random-projection init: $energies")
+  }
+
   test("q58: explained variance is a valid, descending, deterministic spectrum") {
     val ev = pcaVariances
     assert(ev.length == 4, s"expected 4 components, got ${ev.length}")
