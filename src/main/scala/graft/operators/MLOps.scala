@@ -424,6 +424,10 @@ object MLOps {
       .groupBy(col("a.t").as("t1"), col("b.t").as("t2"))
       .agg(sum(col("a.rev_cents").cast(org.apache.spark.sql.types.DecimalType(38, 0))
         * col("b.rev_cents")).cast("double").as("g"))
+      // quarters x quarters rows: 1 partition kills ~40 tiny 32-task
+      // stages in the training loop (values untouched — every sum in
+      // the chain is decimal-exact and order-free)
+      .coalesce(1)
       .localCheckpoint(true)
     var v: DataFrame = pq.select(col("t")).distinct()
       .crossJoin(s.range(1, LearnDim + 1).select(col("id").cast(IntegerType).as("j")))
@@ -433,12 +437,14 @@ object MLOps {
           graft.functions.TextFns.h60(concat(
             col("t").cast("string"), lit(","), col("j").cast("string"), lit("v"))) % 2 === 0,
           lit(1.0)).otherwise(lit(-1.0)).as("v"))
+      .coalesce(1)
       .localCheckpoint(true)
     var bases = Vector(v)
     for (_ <- 1 to LearnIters) {
       val w = g.join(v.as("vv"), col("t2") === col("vv.t"))
         .groupBy(col("t1").as("t"), col("j"))
         .agg((dsum12(col("g") * col("v")) / Shrink).as("w"))
+        .coalesce(1)
         .localCheckpoint(true)
       var done = Vector.empty[DataFrame] // finished orthonormal columns (t, vc)
       for (j <- 1 to LearnDim) {
@@ -453,11 +459,13 @@ object MLOps {
           .select(
             col("t"),
             (col("u") / when(col("n") === 0.0, 1.0).otherwise(col("n"))).as("vc"))
+          .coalesce(1)
           .localCheckpoint(true)
       }
       v = done.zipWithIndex
         .map { case (c, i) => c.select(col("t"), lit(i + 1).as("j"), col("vc").as("v")) }
         .reduce(_.unionByName(_))
+        .coalesce(1)
         .localCheckpoint(true)
       bases = bases :+ v
     }
@@ -478,7 +486,9 @@ object MLOps {
       floor(dsum12(when(col("j") === j, col("rev_cents").cast("double") / RevShrink * col("v")))
         * 1000000.0 + 0.5).cast("long").as(s"f${j}_micro")
     }
-    pq.join(v, pq("t") === v("t"))
+    // the basis is quarters x LearnDim rows — broadcast it so the only
+    // fact-sized stage of the projection is one map-side pass
+    pq.join(broadcast(v), pq("t") === v("t"))
       .groupBy(col("part_id")).agg(comps.head, comps.tail: _*)
       .orderBy(col("part_id"))
   }
