@@ -250,6 +250,29 @@ class PlanSpec extends SparkSpec {
     assertGlobalWindowPostShrink("q94_vocab_build")
   }
 
+  test("DYNAMIC partition pruning: a dim filter prunes fact partitions at runtime") {
+    // the join-time complement of the static pin below: when the
+    // pruning predicate lives on a DIMENSION (no literal on the fact),
+    // Spark must inject a dynamicpruning subquery into the fact scan's
+    // PartitionFilters so only the dim-selected year directories are
+    // read — at 100 TB this is the difference between scanning one
+    // year and scanning the decade
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dpp").resolve("fact").toString
+    Tables.orders(spark, sf("sf0.001"))
+      .withColumn("o_year", year(col("o_orderdate")))
+      .write.partitionBy("o_year").parquet(dir)
+    val fact = spark.read.parquet(dir)
+    val dim = Tables.orders(spark, sf("sf0.001"))
+      .select(year(col("o_orderdate")).as("o_year"), col("o_orderpriority").as("tag"))
+      .distinct()
+    val joined = fact.join(dim.filter(col("tag") === "1-URGENT"), Seq("o_year"))
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruning"),
+      s"the dim filter must inject a dynamic pruning subquery into the fact scan:\n$p")
+    assert(joined.count() > 0)
+  }
+
   test("partition pruning: a partition-key predicate reaches the scan as a PartitionFilter") {
     // the EtlJob fact is written partitionBy(year); at 100 TB the year
     // predicate must prune DIRECTORIES at planning, never surface as a
