@@ -176,8 +176,9 @@ object Snapshots {
       else fileLines(readManifest(spark, table, prev.last)) ++ newFiles
     // 3. atomic publish: temp write, fsync, rename into place (schema
     //    header first so even a zero-file version stays readable)
+    val op = if (replace || prev.isEmpty) "replace" else "append"
     val header = (SchemaPrefix + committed.json) +:
-      meta.toSeq.sorted.map { case (k, mv) => s"$MetaPrefix$k=$mv" }
+      (meta + ("_op" -> op)).toSeq.sorted.map { case (k, mv) => s"$MetaPrefix$k=$mv" }
     publish(f, manifestPath(table, v), header ++ files, "commit")
     v
   }
@@ -350,6 +351,28 @@ object Snapshots {
     }
   }
 
+  /** DESCRIBE HISTORY — one row per committed version: the operation
+    * that produced it (append / replace / merge / delete; rollback
+    * rows carry the RESTORED version's op because rollback copies its
+    * manifest verbatim, metadata included; pre-op manifests show ""),
+    * file count, total bytes (shared files counted in every version
+    * that references them — this is the version's READ footprint, not
+    * incremental storage), and the user metadata. Driver-side manifest
+    * reads only — metadata-scale, like every other verb here.
+    */
+  def history(spark: SparkSession, tableDir: String): DataFrame = {
+    val table = new Path(tableDir)
+    val f = fs(spark, table)
+    val rows = versions(spark, tableDir).map { v =>
+      val files = fileLines(readManifest(spark, table, v))
+      val bytes = files.map(rel => f.getFileStatus(new Path(table, rel)).getLen).sum
+      val m = meta(spark, tableDir, v)
+      (v, m.getOrElse("_op", ""), files.size, bytes,
+        (m - "_op").toSeq.sorted.map { case (k, x) => s"$k=$x" }.mkString(","))
+    }
+    spark.createDataFrame(rows).toDF("version", "op", "n_files", "bytes", "meta")
+  }
+
   /** Restore version `v` as a NEW commit (history preserved — rollback
     * never deletes). Returns the new version number.
     */
@@ -479,7 +502,7 @@ object Snapshots {
       .map(p => s"$DataDir/$batch/${p.getName}")
       .sorted
     val header = (SchemaPrefix + schema.json) +:
-      meta.toSeq.sorted.map { case (k, mv) => s"$MetaPrefix$k=$mv" }
+      (meta + ("_op" -> op)).toSeq.sorted.map { case (k, mv) => s"$MetaPrefix$k=$mv" }
     val v = prev.last + 1
     publish(f, manifestPath(table, v), header ++ kept ++ newFiles, op)
     v
