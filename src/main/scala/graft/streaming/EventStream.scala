@@ -1,10 +1,9 @@
 package graft.streaming
 
-import graft.Det
+import graft.{Det, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
-import org.apache.spark.sql.types.{LongType, StringType, StructType}
 
 /** Structured Streaming over the events table: the same aggregations
   * the batch operators declare (q36 hourly windows, q37 sessions), run
@@ -20,38 +19,73 @@ import org.apache.spark.sql.types.{LongType, StringType, StructType}
   */
 object EventStream {
 
-  /** events.parquet physical schema (ts stored as int64 nanos — see
-    * [[graft.Tables.events]]).
+  /** Stream-source schema, derived from the actual parquet footers (a
+    * driver-side metadata read of the static files — no job). A pinned
+    * literal schema silently misreads regenerated data (micros-as-nanos
+    * → timestamps 1000× off, wrong windows with no error); deriving it
+    * makes the stream track whatever vintage is on disk, and
+    * [[graft.Tables.normalizeEventTs]] branches on the ts dtype exactly
+    * as the batch reader does.
     */
-  private val rawSchema: StructType = new StructType()
-    .add("event_id", LongType).add("user_id", LongType)
-    .add("event_type", StringType).add("ts", LongType)
-    .add("value", org.apache.spark.sql.types.DoubleType)
-    .add("props", StringType)
+  private def sourceSchema(
+      spark: SparkSession, dir: String, glob: String): org.apache.spark.sql.types.StructType = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.option("pathGlobFilter", glob).parquet(dir).schema
+  }
+
+  /** Total rows in the static files the glob matches, from parquet
+    * footer metadata only (driver-side, no Spark job). This is the
+    * harness invariant: after an AvailableNow run drains the source,
+    * the stream must have ingested exactly this many rows — schema
+    * drift that silently drops or mangles data fails loudly instead of
+    * emitting wrong answers.
+    */
+  private[graft] def staticRowCount(
+      spark: SparkSession, dir: String, glob: String): Long = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = spark.sessionState.newHadoopConf()
+    val base = new Path(dir)
+    val fs = base.getFileSystem(conf)
+    val matched = fs.globStatus(new Path(base, glob))
+    require(matched != null && matched.nonEmpty, s"no files match $dir/$glob")
+    matched.iterator.map { st =>
+      val r = ParquetFileReader.open(HadoopInputFile.fromStatus(st, conf))
+      try r.getRecordCount finally r.close()
+    }.sum
+  }
 
   private[graft] def readEvents(
       spark: SparkSession,
       dir: String,
       filesPerTrigger: Option[Int] = None,
       glob: String = "events.parquet"): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val reader = spark.readStream
-      .schema(rawSchema)
+      .schema(sourceSchema(spark, dir, glob))
       // file stream sources take a directory; select just the events
       // table out of the scale-factor dir (specs override the glob to
       // stream their own multi-file layouts)
       .option("pathGlobFilter", glob)
     filesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
-    reader
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    Tables.normalizeEventTs(reader.parquet(dir))
   }
 
   /** Run a streaming DF to completion into a memory sink; return the
     * final table. Query names are unique per call so concurrent runs
     * (bench + verify in one JVM) don't collide.
+    *
+    * `expectedInput` is the loud-failure invariant: total source input
+    * rows across all micro-batches must equal the static footer count
+    * of the same files (×2 for self-union readers). A mistyped schema
+    * or dropped files then raises here instead of surfacing as subtly
+    * wrong windows downstream.
     */
-  private def runToTable(spark: SparkSession, df: DataFrame, mode: String): DataFrame = {
+  private def runToTable(
+      spark: SparkSession,
+      df: DataFrame,
+      mode: String,
+      expectedInput: Option[Long] = None): DataFrame = {
     val name = s"graft_stream_${java.util.UUID.randomUUID.toString.replace("-", "")}"
     val q = df.writeStream
       .format("memory")
@@ -60,6 +94,12 @@ object EventStream {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    expectedInput.foreach { exp =>
+      val got = q.recentProgress.iterator.flatMap(_.sources).map(_.numInputRows).sum
+      require(got == exp,
+        s"stream ingested $got input rows but the static files hold $exp — " +
+          "schema drift or dropped data; refusing to emit a result")
+    }
     spark.table(name)
   }
 
@@ -72,7 +112,8 @@ object EventStream {
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_value"))
-    runToTable(spark, agged, "complete")
+    runToTable(spark, agged, "complete",
+        Some(staticRowCount(spark, dir, "events.parquet")))
       .select(
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
         col("event_type"), col("n"), col("sum_value"))
@@ -106,7 +147,8 @@ object EventStream {
       .toDF("user_id", "n_events", "sum_value_micros")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id")).orderBy(col("n_events").desc)
-    runToTable(spark, updated, "update")
+    runToTable(spark, updated, "update",
+        Some(staticRowCount(spark, dir, "events.parquet")))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn")
@@ -124,7 +166,8 @@ object EventStream {
       .join(broadcast(dim), Seq("user_id"), "left")
       .groupBy(coalesce(col("segment"), lit("UNKNOWN")).as("segment"))
       .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_value"))
-    runToTable(spark, agged, "complete")
+    runToTable(spark, agged, "complete",
+      Some(staticRowCount(spark, dir, "events.parquet")))
   }
 
   /** Streaming exact dedup: the input is doubled (self-union) and
@@ -141,7 +184,9 @@ object EventStream {
       .dropDuplicatesWithinWatermark("event_id")
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"))
-    runToTable(spark, deduped, "complete")
+    // self-union: the source set is read twice
+    runToTable(spark, deduped, "complete",
+      Some(2 * staticRowCount(spark, dir, "events.parquet")))
   }
 
   /** STREAM-STREAM inner join: purchases joined to the same user's
@@ -169,7 +214,9 @@ object EventStream {
       col("p_user") === col("user_id") &&
         col("click_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
         col("click_ts") <= col("p_ts"))
-    runToTable(spark, joined, "append")
+    // two independent readers over the same files
+    runToTable(spark, joined, "append",
+        Some(2 * staticRowCount(spark, dir, "events.parquet")))
       .groupBy(col("purchase_id"), col("p_user").as("user_id"))
       .agg(count(lit(1)).as("n_clicks"))
   }
@@ -233,7 +280,8 @@ object EventStream {
           out.iterator
       }
       .toDF("user_id", "event_id", "ts_us", "click_event_id", "click_ts_us")
-    runToTable(spark, attributed, "append")
+    runToTable(spark, attributed, "append",
+      Some(staticRowCount(spark, dir, glob)))
   }
 
   /** Gap-based sessions (30 min) via the native session_window —
@@ -249,7 +297,8 @@ object EventStream {
         min(unix_micros(col("ts"))).as("start_us"),
         max(unix_micros(col("ts"))).as("end_us"),
         Det.dsum(col("value")).as("sum_value"))
-    runToTable(spark, agged, "complete")
+    runToTable(spark, agged, "complete",
+        Some(staticRowCount(spark, dir, "events.parquet")))
       .select(col("user_id"), col("start_us"), col("end_us"), col("n_events"), col("sum_value"))
   }
 
@@ -275,6 +324,7 @@ object EventStream {
       .select(col("k"), explode(sequence(lit(0), lit(3))).as("d"))
       .groupBy(col("d"), TextFns.cmsCell(col("k"), col("d"), 256).as("cell"))
       .agg(count(lit(1)).as("c"))
-    runToTable(spark, cells, "complete")
+    runToTable(spark, cells, "complete",
+      Some(staticRowCount(spark, dir, glob)))
   }
 }

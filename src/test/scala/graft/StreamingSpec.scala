@@ -13,6 +13,34 @@ class StreamingSpec extends SparkSpec {
   private def canon(df: DataFrame): Seq[String] =
     df.collect().map(_.mkString("|")).sorted.toSeq
 
+  /** Split sf0.001 events into `n` mtime-ordered single-file slices by
+    * event time (normalized micros — works for any on-disk ts vintage).
+    * Returns (slice dir, lo micros, hi micros); slices are named
+    * s0..s{n-1}.parquet for the "s*.parquet" stream glob.
+    */
+  private def sliceEventsByTime(n: Int, tag: String): (java.nio.file.Path, Long, Long) = {
+    import org.apache.spark.sql.functions._
+    val raw = Tables.events(spark, sf("sf0.001"))
+      .withColumn("ts_us", unix_micros(col("ts")))
+    val Array(lo, hi) = raw.agg(min(col("ts_us")), max(col("ts_us"))).head
+      .toSeq.map(_.asInstanceOf[Long]).toArray
+    val dir = java.nio.file.Files.createTempDirectory(tag)
+    (0 until n).foreach { i =>
+      val from = lo + (hi - lo + 1) / n * i
+      val to = if (i == n - 1) hi + 1 else lo + (hi - lo + 1) / n * (i + 1)
+      val sliceDir = dir.resolve(s"slice_build_$i")
+      raw.filter(col("ts_us") >= from && col("ts_us") < to).drop("ts_us")
+        .coalesce(1).write.parquet(sliceDir.toString)
+      val part = java.nio.file.Files.list(sliceDir).toArray
+        .map(_.asInstanceOf[java.nio.file.Path])
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      val target = dir.resolve(s"s$i.parquet")
+      java.nio.file.Files.move(part, target)
+      target.toFile.setLastModified(1000000L * (i + 1))
+    }
+    (dir, lo, hi)
+  }
+
   test("streaming hourly windows == batch hourly aggregation") {
     val streamed = EventStream.hourly(spark, sf("sf0.001"))
     val batch = SparkEntry.queries("q36_event_hourly")(spark, sf("sf0.001"))
@@ -53,35 +81,19 @@ class StreamingSpec extends SparkSpec {
     // purchases in batch 2/3 whose latest prior click arrived in an
     // EARLIER batch must still be attributed — the GroupState path a
     // single-batch run never exercises
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(sf("sf0.001") + "/events.parquet")
-    val Array(lo, hi) = raw.agg(min(col("ts")), max(col("ts"))).head
-      .toSeq.map(_.asInstanceOf[Long]).toArray
-    val streamDir = java.nio.file.Files.createTempDirectory("graft_stream_asof")
-    (0 until 3).foreach { i =>
-      val from = lo + (hi - lo + 1) / 3 * i
-      val to = if (i == 2) hi + 1 else lo + (hi - lo + 1) / 3 * (i + 1)
-      val sliceDir = streamDir.resolve(s"slice_build_$i")
-      raw.filter(col("ts") >= from && col("ts") < to)
-        .coalesce(1).write.parquet(sliceDir.toString)
-      val part = java.nio.file.Files.list(sliceDir).toArray
-        .map(_.asInstanceOf[java.nio.file.Path])
-        .find(_.getFileName.toString.endsWith(".parquet")).get
-      val target = streamDir.resolve(s"s$i.parquet")
-      java.nio.file.Files.move(part, target)
-      target.toFile.setLastModified(1000000L * (i + 1))
-    }
+    val (streamDir, lo, hi) = sliceEventsByTime(3, "graft_stream_asof")
     val streamed = EventStream.asOfAttribution(
       spark, streamDir.toString, filesPerTrigger = Some(1), glob = "s*.parquet")
     val batch = SparkEntry.queries("q38_asof_click_purchase")(spark, sf("sf0.001"))
     assert(canon(streamed.select("user_id", "event_id", "ts_us", "click_event_id", "click_ts_us"))
       == canon(batch))
     // the cross-batch path must actually fire: some purchase in a later
-    // slice matches a click from an earlier one
+    // slice matches a click from an earlier one (cuts are in micros, as
+    // are q38's ts_us/click_ts_us outputs)
     val cut1 = lo + (hi - lo + 1) / 3
     val crossBatch = batch.filter(
-      col("ts_us") >= cut1 / 1000 && col("click_ts_us").isNotNull &&
-        col("click_ts_us") < cut1 / 1000)
+      col("ts_us") >= cut1 && col("click_ts_us").isNotNull &&
+        col("click_ts_us") < cut1)
     assert(crossBatch.count() > 0, "fixture must exercise cross-batch attribution")
   }
 
@@ -139,24 +151,7 @@ class StreamingSpec extends SparkSpec {
     // lands in the at-least-once window (snapshot commit durable, epoch
     // commit marker not yet written), so batch 0 IS re-delivered on
     // restart and the sink must recognize and skip it
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(sf("sf0.001") + "/events.parquet")
-    val Array(lo, hi) = raw.agg(min(col("ts")), max(col("ts"))).head
-      .toSeq.map(_.asInstanceOf[Long]).toArray
-    val dir = java.nio.file.Files.createTempDirectory("graft_eo_sink")
-    (0 until 3).foreach { i =>
-      val from = lo + (hi - lo + 1) / 3 * i
-      val to = if (i == 2) hi + 1 else lo + (hi - lo + 1) / 3 * (i + 1)
-      val build = dir.resolve(s"build_$i")
-      raw.filter(col("ts") >= from && col("ts") < to)
-        .coalesce(1).write.parquet(build.toString)
-      val part = java.nio.file.Files.list(build).toArray
-        .map(_.asInstanceOf[java.nio.file.Path])
-        .find(_.getFileName.toString.endsWith(".parquet")).get
-      val target = dir.resolve(s"s$i.parquet")
-      java.nio.file.Files.move(part, target)
-      target.toFile.setLastModified(1000000L * (i + 1))
-    }
+    val (dir, _, _) = sliceEventsByTime(3, "graft_eo_sink")
     val table = dir.resolve("table").toString
     val ckpt = dir.resolve("ckpt").toString
     def feed() = graft.streaming.EventStream
@@ -256,24 +251,8 @@ class StreamingSpec extends SparkSpec {
     // 3 time-slice files, one micro-batch each: the final cells must
     // equal the single-pass batch sketch (state carried and merged
     // across batches), and the state can never exceed 4x256 rows
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(sf("sf0.001") + "/events.parquet")
-    val Array(lo, hi) = raw.agg(min(col("ts")), max(col("ts"))).head
-      .toSeq.map(_.asInstanceOf[Long]).toArray
-    val dir = java.nio.file.Files.createTempDirectory("graft_stream_cms")
-    (0 until 3).foreach { i =>
-      val from = lo + (hi - lo + 1) / 3 * i
-      val to = if (i == 2) hi + 1 else lo + (hi - lo + 1) / 3 * (i + 1)
-      val build = dir.resolve(s"build_$i")
-      raw.filter(col("ts") >= from && col("ts") < to)
-        .coalesce(1).write.parquet(build.toString)
-      val part = java.nio.file.Files.list(build).toArray
-        .map(_.asInstanceOf[java.nio.file.Path])
-        .find(_.getFileName.toString.endsWith(".parquet")).get
-      val target = dir.resolve(s"s$i.parquet")
-      java.nio.file.Files.move(part, target)
-      target.toFile.setLastModified(1000000L * (i + 1))
-    }
+    val (dir, _, _) = sliceEventsByTime(3, "graft_stream_cms")
+    val raw = Tables.events(spark, sf("sf0.001"))
     val streamed = EventStream.cmsCells(
       spark, dir.toString, filesPerTrigger = Some(1), glob = "s*.parquet")
     val batch = SparkEntry.queries("q133_stream_cms")(spark, sf("sf0.001"))
