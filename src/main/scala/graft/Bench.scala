@@ -50,11 +50,20 @@ object Bench {
     }
   })
 
+  /** One timed execution's outcome: completed in `sec`, timed out at
+    * the cap (slow — a real DNF), or raised (broken — an analysis or
+    * runtime error, which must never masquerade as a timeout in the
+    * record: "slow" and "broken" need different responses).
+    */
+  private sealed trait RunResult
+  private final case class Ok(sec: Double) extends RunResult
+  private case object Dnf extends RunResult
+  private final case class Err(msg: String) extends RunResult
+
   /** Runs one execution under a wall-clock cap; cancels the Spark jobs
     * (not just the waiting thread) on timeout so executor slots free up.
-    * Returns Some(seconds) on success, None on timeout/error.
     */
-  private def runCapped(spark: SparkSession, q: Q, dir: String, capSec: Long): Option[Double] = {
+  private def runCapped(spark: SparkSession, q: Q, dir: String, capSec: Long): RunResult = {
     val fut = pool.submit(new Callable[Double] {
       def call(): Double = {
         spark.sparkContext.setJobGroup(q.name, q.name, interruptOnCancel = true)
@@ -63,16 +72,17 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
     })
-    try Some(fut.get(capSec, TimeUnit.SECONDS))
+    try Ok(fut.get(capSec, TimeUnit.SECONDS))
     catch {
       case _: TimeoutException =>
         spark.sparkContext.cancelJobGroup(q.name)
         fut.cancel(true)
         System.err.println(s"[bench] ${q.name}: DNF (> ${capSec}s, jobs cancelled)")
-        None
+        Dnf
       case e: Throwable =>
-        System.err.println(s"[bench] ${q.name}: ${e.getCause}")
-        None
+        val cause = Option(e.getCause).getOrElse(e)
+        System.err.println(s"[bench] ${q.name}: $cause")
+        Err(s"${cause.getClass.getSimpleName}: ${Option(cause.getMessage).getOrElse("").linesIterator.take(1).mkString}")
     }
   }
 
@@ -94,10 +104,19 @@ object Bench {
     catch { case e: Exception => System.err.println(s"[bench] out file: $e") }
   }
 
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => " "
+      case c => c.toString
+    } + "\""
+
   private def jsonLine(
       sfDir: String,
       done: Seq[(String, Seq[Double])],
       dnf: Seq[String],
+      errs: Seq[(String, String)],
       skipped: Seq[String]): String = {
     val qs = done.map { case (k, rs) => "\"" + k + "\":" + f"${rs.min}%.3f" }.mkString("{", ",", "}")
     val runs = done.map { case (k, rs) =>
@@ -105,8 +124,13 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = done.map(_._2.min).sum
     val dnfs = dnf.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // broken ≠ slow: erroring queries are excluded from queries/total
+    // (their cap-charged time would be fiction) and recorded with the
+    // first line of the cause so the driver can separate the two
+    val errJson = errs.map { case (k, m) => "\"" + k + "\":" + jstr(m.take(200)) }
+      .mkString("{", ",", "}")
     val skips = skipped.map("\"" + _ + "\"").mkString("[", ",", "]")
-    f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"runs":$runs,"dnf":$dnfs,"skipped":$skips,"sf":"$sfDir"}"""
+    f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"runs":$runs,"dnf":$dnfs,"err":$errJson,"skipped":$skips,"sf":"$sfDir"}"""
   }
 
   /** Every remaining unpartitioned window in the library sits on a
@@ -178,6 +202,7 @@ object Bench {
 
     var done = Vector.empty[(String, Seq[Double])]
     var dnf = Vector.empty[String]
+    var errs = Vector.empty[(String, String)]
     var skipped = Vector.empty[String]
     queries.foreach { q =>
       if (remainingSec <= 5) {
@@ -187,29 +212,47 @@ object Bench {
         // run, then tighten the per-run cap to whatever time is left
         val cap = math.min(RunCapSec, remainingSec - 2)
         val nRuns = if (remainingSec > 2 * RunCapSec) 2 else 1
-        var runs = (1 to nRuns).flatMap(_ => runCapped(spark, q, sfDir, cap)).toVector
+        var runs = Vector.empty[Double]
+        var err: Option[String] = None
+        var attempts = 0
+        // an error is deterministic (same plan, same data) — record it
+        // once and stop; only timeouts merit a second/third attempt
+        while (attempts < nRuns && err.isEmpty) {
+          runCapped(spark, q, sfDir, cap) match {
+            case Ok(s)  => runs :+= s
+            case Dnf    => ()
+            case Err(m) => err = Some(m)
+          }
+          attempts += 1
+        }
         // stall arbitration: two runs that disagree by >StallRatio mean
         // one of them hit a host stall — a third run decides which
-        if (runs.size == 2 && runs.max > runs.min * StallRatio && remainingSec > RunCapSec)
-          runs ++= runCapped(spark, q, sfDir, cap)
-        if (runs.nonEmpty) {
-          val sec = runs.min
-          done :+= (q.name -> runs)
-          System.err.println(
-            f"[bench] ${q.name}%-28s $sec%8.2fs  (runs: ${runs.map(r => f"$r%.2f").mkString(", ")})")
-        } else {
-          dnf :+= q.name
-          done :+= (q.name -> Vector(cap.toDouble)) // cap charged so totals stay comparable
+        if (err.isEmpty && runs.size == 2 && runs.max > runs.min * StallRatio &&
+            remainingSec > RunCapSec)
+          runCapped(spark, q, sfDir, cap) match {
+            case Ok(s) => runs :+= s
+            case _     => ()
+          }
+        (err, runs) match {
+          case (Some(m), _) =>
+            errs :+= (q.name -> m)
+          case (None, rs) if rs.nonEmpty =>
+            done :+= (q.name -> rs)
+            System.err.println(
+              f"[bench] ${q.name}%-28s ${rs.min}%8.2fs  (runs: ${rs.map(r => f"$r%.2f").mkString(", ")})")
+          case _ =>
+            dnf :+= q.name
+            done :+= (q.name -> Vector(cap.toDouble)) // cap charged so totals stay comparable
         }
         // caches are per-query scoped (self-join sharing); never let them
         // accumulate across the suite
         spark.catalog.clearCache()
-        emit(jsonLine(sfDir, done, dnf, skipped))
+        emit(jsonLine(sfDir, done, dnf, errs, skipped))
       }
     }
     if (skipped.nonEmpty) {
       System.err.println(s"[bench] budget exhausted; skipped: ${skipped.mkString(", ")}")
-      emit(jsonLine(sfDir, done, dnf, skipped))
+      emit(jsonLine(sfDir, done, dnf, errs, skipped))
     }
     spark.stop()
   }

@@ -71,6 +71,28 @@ object Snapshots {
     */
   private val MetaPrefix = "#meta "
 
+  /** Meta keys that ride forward onto every subsequent commit unless
+    * the commit sets them itself. The stream high-water mark must
+    * survive maintenance rewrites (compaction, clustering, merge): if
+    * only the original delivery commits carried it, a vacuum that
+    * drops those manifests would erase the mark and a restarted stream
+    * would double-deliver. An explicitly supplied value always wins;
+    * rollback still repositions the mark by restoring the old manifest
+    * verbatim.
+    */
+  private val StickyMeta: Set[String] = Set("stream_batch_id")
+
+  /** Sticky entries of the latest version, minus keys `supplied` sets. */
+  private def carriedMeta(
+      spark: SparkSession,
+      tableDir: String,
+      prev: Seq[Int],
+      supplied: Map[String, String]): Map[String, String] =
+    prev.lastOption
+      .map(v => meta(spark, tableDir, v))
+      .getOrElse(Map.empty)
+      .filter { case (k, _) => StickyMeta(k) && !supplied.contains(k) }
+
   private def fileLines(lines: Seq[String]): Seq[String] =
     lines.filterNot(_.startsWith("#"))
 
@@ -177,8 +199,9 @@ object Snapshots {
     // 3. atomic publish: temp write, fsync, rename into place (schema
     //    header first so even a zero-file version stays readable)
     val op = if (replace || prev.isEmpty) "replace" else "append"
+    val fullMeta = carriedMeta(spark, tableDir, prev, meta) ++ meta
     val header = (SchemaPrefix + committed.json) +:
-      (meta + ("_op" -> op)).toSeq.sorted.map { case (k, mv) => s"$MetaPrefix$k=$mv" }
+      (fullMeta + ("_op" -> op)).toSeq.sorted.map { case (k, mv) => s"$MetaPrefix$k=$mv" }
     publish(f, manifestPath(table, v), header ++ files, "commit")
     v
   }
@@ -487,9 +510,14 @@ object Snapshots {
       .collect().map(_.getString(0)).toSet
     val (touched, kept) =
       fileLines(manifest).partition(rel => touchedAbs.exists(_.endsWith("/" + rel)))
+    // pin the table schema on the touched-file read: files written
+    // before an add-column evolution lack the new columns, and an
+    // unpinned read would resolve to whichever file's footer wins —
+    // the pinned read null-fills them exactly like [[read]] does
     val rewritten =
       if (touched.isEmpty) replacements
       else spark.read
+        .schema(schema)
         .parquet(touched.map(rel => new Path(table, rel).toString): _*)
         .join(broadcast(affectedKeys), keyCols, "left_anti")
         .unionByName(replacements)
@@ -501,8 +529,9 @@ object Snapshots {
       .filter(_.getName.endsWith(".parquet"))
       .map(p => s"$DataDir/$batch/${p.getName}")
       .sorted
+    val fullMeta = carriedMeta(spark, tableDir, prev, meta) ++ meta
     val header = (SchemaPrefix + schema.json) +:
-      (meta + ("_op" -> op)).toSeq.sorted.map { case (k, mv) => s"$MetaPrefix$k=$mv" }
+      (fullMeta + ("_op" -> op)).toSeq.sorted.map { case (k, mv) => s"$MetaPrefix$k=$mv" }
     val v = prev.last + 1
     publish(f, manifestPath(table, v), header ++ kept ++ newFiles, op)
     v

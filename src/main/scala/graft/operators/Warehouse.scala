@@ -205,7 +205,9 @@ object Warehouse {
     * skew router reads.
     */
   private def topKeyShare(df: org.apache.spark.sql.DataFrame, key: String): Double = {
-    val r = df.groupBy(col(key)).agg(count(lit(1)).as("n"))
+    // NULL keys never match the inner equi-join this statistic routes,
+    // so they must not count toward (or against) the skew decision
+    val r = df.filter(col(key).isNotNull).groupBy(col(key)).agg(count(lit(1)).as("n"))
       .agg(max(col("n")).cast("double"), sum(col("n")).cast("double"))
       .head()
     if (r.isNullAt(1) || r.getDouble(1) == 0.0) 0.0 else r.getDouble(0) / r.getDouble(1)

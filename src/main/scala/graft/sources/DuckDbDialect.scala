@@ -27,8 +27,11 @@ object DuckDbDialect extends JdbcDialect {
   override def canHandle(url: String): Boolean =
     url.toLowerCase(java.util.Locale.ROOT).startsWith("jdbc:duckdb:")
 
+  // "does not exist" is the stable tail of DuckDB's missing-object
+  // errors ("Catalog Error: Table with name t does not exist!"); a bare
+  // "Catalog Error" match would also swallow genuinely different
+  // catalog failures (ambiguous references, type errors in DDL) and
+  // misroute them into CREATE TABLE instead of aborting
   override def isObjectNotFoundException(e: SQLException): Boolean =
-    e.getMessage != null &&
-      (e.getMessage.contains("does not exist") ||
-        e.getMessage.contains("Catalog Error"))
+    e.getMessage != null && e.getMessage.contains("does not exist")
 }

@@ -85,4 +85,18 @@ class DuckDbJdbcSpec extends SparkSpec {
     assert(latest.collect().head.getAs[Number](0).intValue == 2)
     assert(cat.table(spark, "ledger").count() == 2)
   }
+
+  test("dialect classifies only missing-object errors as not-found, not every Catalog Error") {
+    import graft.sources.DuckDbDialect
+    def sql(msg: String) = new java.sql.SQLException(msg)
+    assert(DuckDbDialect.isObjectNotFoundException(
+      sql("""Catalog Error: Table with name "t" does not exist!""")))
+    assert(DuckDbDialect.isObjectNotFoundException(
+      sql("Catalog Error: Schema with name s does not exist!")))
+    // a genuinely different catalog failure must NOT be treated as
+    // "table missing, create it" — that would mask the real error
+    assert(!DuckDbDialect.isObjectNotFoundException(
+      sql("""Catalog Error: ambiguous reference to catalog or schema "x" """)))
+    assert(!DuckDbDialect.isObjectNotFoundException(sql(null)))
+  }
 }

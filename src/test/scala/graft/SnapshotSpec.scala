@@ -240,6 +240,54 @@ class SnapshotSpec extends SparkSpec {
     assert(Snapshots.read(spark, dir).schema.fieldNames.toSeq == Seq("n"))
   }
 
+  test("merge and delete after add-column evolution: matched keys in pre-evolution files rewrite with null-fill") {
+    val dir = newTable()
+    // v1: pre-evolution files (no score column) hold keys 1-3
+    Snapshots.commit(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "tag"), dir)
+    // v2: add-column evolution
+    Snapshots.commit(Seq((4L, "d", 0.4)).toDF("id", "tag", "score"), dir)
+    // merge touches key 2 — it lives in a PRE-evolution file, so the
+    // rewrite must read that file with the pinned (evolved) schema and
+    // null-fill score for the surviving rows 1 and 3
+    Snapshots.merge(Seq((2L, "B2", 0.2)).toDF("id", "tag", "score"), dir, Seq("id"))
+    val rows = Snapshots.read(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))).toMap
+    assert(rows == Map(
+      1L -> (("a", None)), 2L -> (("B2", Some(0.2))),
+      3L -> (("c", None)), 4L -> (("d", Some(0.4)))),
+      s"merge-after-evolution state wrong: $rows")
+    // delete a key from another pre-evolution file: survivors keep the
+    // evolved schema, nothing resurrects the narrow one
+    Snapshots.delete(Seq(Tuple1(1L)).toDF("id"), dir, Seq("id"))
+    val after = Snapshots.read(spark, dir)
+    assert(after.schema.fieldNames.toSeq == Seq("id", "tag", "score"))
+    assert(after.collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L, 4L))
+  }
+
+  test("stream high-water mark survives maintenance commits and vacuum: no double-delivery window") {
+    import graft.streaming.SnapshotSink
+    val dir = newTable()
+    // two delivered micro-batches, then maintenance rewrites with no
+    // batch id of their own (compaction-style replace + a merge)
+    assert(SnapshotSink.appendOnce(Seq((1L, "a")).toDF("id", "tag"), dir, 0L))
+    assert(SnapshotSink.appendOnce(Seq((2L, "b")).toDF("id", "tag"), dir, 1L))
+    Snapshots.commit(Snapshots.read(spark, dir).repartition(1), dir, replace = true)
+    Snapshots.merge(Seq((1L, "a2")).toDF("id", "tag"), dir, Seq("id"))
+    assert(SnapshotSink.lastBatchId(spark, dir).contains(1L),
+      "maintenance commits must carry the stream batch id forward")
+    // vacuum drops every manifest the sink wrote itself — the carried
+    // mark on the kept maintenance manifest must still position replay
+    val (dropped, _) = Snapshots.vacuum(spark, dir, keep = 1)
+    assert(dropped.nonEmpty)
+    assert(SnapshotSink.lastBatchId(spark, dir).contains(1L),
+      "vacuum erased the high-water mark — a restarted stream would double-deliver")
+    assert(!SnapshotSink.appendOnce(Seq((2L, "b")).toDF("id", "tag"), dir, 1L),
+      "a re-delivered batch must still be recognized after vacuum")
+    // a NEW batch advances the mark as before
+    assert(SnapshotSink.appendOnce(Seq((3L, "c")).toDF("id", "tag"), dir, 2L))
+    assert(SnapshotSink.lastBatchId(spark, dir).contains(2L))
+  }
+
   test("orphan sweep deletes only aged unreferenced files; live data and young writes survive") {
     val dir = newTable()
     Snapshots.commit((1 to 50).toDF("id"), dir)

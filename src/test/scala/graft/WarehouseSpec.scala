@@ -57,6 +57,19 @@ class WarehouseSpec extends SparkSpec {
     }
   }
 
+  test("skew profile ignores NULL keys: rows an inner join drops cannot trigger salting") {
+    // 8000 NULL-key rows dominate the fact side, but they never join —
+    // the non-null distribution is uniform, so the router must pick the
+    // plain shape (counting nulls would misroute into replication cost)
+    val fact = spark.range(8000).select(lit(null).cast("long").as("k"), col("id").as("payload"))
+      .union(spark.range(2000).select((col("id") % 100).as("k"), col("id").as("payload")))
+    val dim = spark.range(100).select(col("id").as("k"), concat(lit("d"), col("id")).as("tag"))
+    val (routed, salted) = operators.Warehouse
+      .skewRoutedWithDecision(fact, dim, "k", salts = 8, threshold = 0.2)
+    assert(!salted, "NULL keys must not count toward the top-key share")
+    assert(routed.count() == 2000)
+  }
+
   test("the third q131 route: AQE splits the same hot partition when thresholds say so") {
     // closes the plain/salt/AQE routing triangle with evidence: the
     // identical crafted skew, un-broadcast, with the skew-join byte
