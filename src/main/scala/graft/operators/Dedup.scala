@@ -885,6 +885,121 @@ object Dedup {
                CASE WHEN (${T.h60("CAST(cluster_key AS VARCHAR)")} % 100) < 90
                     THEN 'train' ELSE 'eval' END AS split
         FROM assign ORDER BY doc_id""")
+    ),
+
+    // EXACT substring-duplication spans via winnowing fingerprints
+    // (Schleimer/Wilkerson/Aiken 2003 — the MOSS selection; the span
+    // view of dedup that Lee et al. 2022 get from suffix arrays, in
+    // the shuffle-bounded form a cluster can run). The shingle/minhash
+    // family above answers "which DOCS are near-dups"; this answers
+    // "which CHARACTER RANGES are duplicated", the cut-list a
+    // train-data pipeline feeds to span removal. Pipeline: every
+    // K-char gram is hashed (md5-portable), a gram is an ANCHOR when
+    // its hash is the minimum of the surrounding 2W-1 grams — a
+    // CONTENT-DEFINED choice, so two copies of a region select the
+    // same anchors regardless of their alignment in each document
+    // (the failure mode of fixed-stride sampling); anchors whose hash
+    // recurs (across docs or within one — boilerplate either way) mark
+    // [pos, pos+K-1], and overlapping/adjacent marks merge into spans
+    // per doc (the SQL islands pattern). Any duplicated region of
+    // length >= K+2(W-1) is guaranteed to contain a shared anchor.
+    // Scale: positions explode is linear in corpus chars (the same
+    // class as the shingle explodes above, repartitioned off the
+    // small-file scan first); anchor selection is a bounded-frame
+    // window per doc; recurrence is ONE hash aggregate + a left-semi
+    // back — docs never meet docs, so no pair blowup and no skew cap
+    // needed (a boilerplate anchor shared by a million docs still
+    // costs one aggregate row, not a million-squared join).
+    Q(
+      "q141_dup_spans",
+      (s, d) => {
+        val K = 20 // gram length
+        val W = 15 // winnow window (anchor density ~1/W)
+        val grams = Tables.documents(s, d)
+          .select(col("doc_id"), col("text"), col("n_chars"))
+          .filter(col("n_chars") >= K)
+          .repartition(col("doc_id"))
+          .select(
+            col("doc_id"), col("n_chars"), col("text"),
+            explode(sequence(lit(1L), col("n_chars") - (K - 1))).as("pos"))
+          .select(
+            col("doc_id"), col("n_chars"), col("pos"),
+            TextFns.h60(expr(s"substring(text, pos, $K)")).as("fp"))
+        val wSel = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("pos"))
+          .rowsBetween(-(W - 1), W - 1)
+        // anchors feeds BOTH sides of the recurrence semi-join (the
+        // aggregate and the probe); without a cache the whole
+        // explode+md5+window pipeline would execute twice
+        val anchors = grams
+          .withColumn("wmin", min(col("fp")).over(wSel))
+          .filter(col("fp") === col("wmin"))
+          .select(col("doc_id"), col("n_chars"), col("pos"), col("fp"))
+          .cache()
+        val recurring = anchors
+          .groupBy(col("fp")).agg(count(lit(1)).as("n"))
+          .filter(col("n") >= 2)
+          .select(col("fp"))
+        val wDoc = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("pos"))
+        val marked = anchors
+          .join(recurring, Seq("fp"), "left_semi")
+          .withColumn("e", col("pos") + (K - 1))
+          .withColumn(
+            "me",
+            max(col("e")).over(wDoc.rowsBetween(Long.MinValue, -1)))
+          .withColumn(
+            "ni",
+            when(col("me").isNull || col("pos") > col("me") + 1, 1L).otherwise(0L))
+          .withColumn("island", sum(col("ni")).over(wDoc.rowsBetween(Long.MinValue, 0)))
+        marked
+          .groupBy(col("doc_id"), col("island"))
+          .agg(min(col("pos")).as("s"), max(col("e")).as("e"), max(col("n_chars")).as("n_chars"))
+          .groupBy(col("doc_id"))
+          .agg(
+            count(lit(1)).as("n_dup_spans"),
+            sum(col("e") - col("s") + 1).as("dup_chars"),
+            max(col("n_chars")).as("nc"))
+          .select(
+            col("doc_id"), col("n_dup_spans"), col("dup_chars"),
+            expr("dup_chars * 1000000 div nc").as("dup_ppm"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH p AS (
+          SELECT doc_id, n_chars, text,
+                 unnest(generate_series(1, CAST(n_chars - 19 AS BIGINT))) AS pos
+          FROM documents WHERE n_chars >= 20),
+        g AS (
+          SELECT doc_id, n_chars, pos,
+                 ${T.h60("substr(text, CAST(pos AS INT), 20)")} AS fp
+          FROM p),
+        a AS (
+          SELECT doc_id, n_chars, pos, fp,
+                 MIN(fp) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN 14 PRECEDING AND 14 FOLLOWING) AS wmin
+          FROM g),
+        anch AS (SELECT doc_id, n_chars, pos, fp FROM a WHERE fp = wmin),
+        rec AS (SELECT fp FROM anch GROUP BY fp HAVING COUNT(*) >= 2),
+        m AS (
+          SELECT doc_id, n_chars, pos, pos + 19 AS e,
+                 MAX(pos + 19) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS me
+          FROM anch WHERE fp IN (SELECT fp FROM rec)),
+        i AS (
+          SELECT *, CASE WHEN me IS NULL OR pos > me + 1 THEN 1 ELSE 0 END AS ni FROM m),
+        isl AS (
+          SELECT *, SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+          FROM i),
+        sp AS (
+          SELECT doc_id, island, MIN(pos) AS s, MAX(e) AS e, MAX(n_chars) AS n_chars
+          FROM isl GROUP BY 1, 2)
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+               CAST(SUM(e - s + 1) AS BIGINT) AS dup_chars,
+               CAST((CAST(SUM(e - s + 1) AS BIGINT) * 1000000) // MAX(n_chars) AS BIGINT) AS dup_ppm
+        FROM sp GROUP BY doc_id ORDER BY doc_id""")
     )
   )
 }

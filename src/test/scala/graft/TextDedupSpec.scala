@@ -161,4 +161,72 @@ class TextDedupSpec extends SparkSpec {
         s"probe hit $pair (inter=$inter, j=$j) missing or different in the one-shot scan")
     }
   }
+
+  /** Writes a documents.parquet fixture in the testdata layout. */
+  private def docsDir(rows: Seq[(Long, String)]): String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_spans").toString
+    rows.map { case (id, t) => (id, t, "en", "fix", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("q141 winnowing spans: a shared region is found at DIFFERENT offsets; unique docs stay clean") {
+    // the content-defined anchor selection must find the same region
+    // regardless of where it sits in each document — the exact failure
+    // mode of fixed-stride fingerprint sampling
+    // 123 chars — comfortably past the K+2(W-1)=48-char detection guarantee
+    val shared = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima mike november oscar papa quebec romeo sierra tango"
+    assert(shared.length >= 48)
+    // fillers must be aperiodic (a repeated short motif would create
+    // genuine intra-filler duplicate grams) and share no 20-gram with
+    // each other or the region — plain distinct prose
+    val fillA = "the first document opens with its own distinct introduction "
+    val fillB = "meanwhile a rather different preamble starts the second one here today "
+    val uniqueC = "this text shares no twenty character gram with anything else in the fixture corpus at all, honestly"
+    val dir = docsDir(Seq(
+      (1L, fillA + shared + " and then it ends"),
+      (2L, fillB + shared + " closing differently"),
+      (3L, uniqueC)))
+    val out = SparkEntry.queries("q141_dup_spans")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out.keySet == Set(1L, 2L), s"exactly the two region-sharing docs must report spans: $out")
+    // a recurring 20-gram can only lie fully inside the shared region
+    // (every filler gram is unique), so each doc's duplicated chars are
+    // bounded by the region length and land inside it
+    val spans = SparkEntry.queries("q141_dup_spans")(spark, dir)
+    out.foreach { case (id, (nSpans, dupChars, ppm)) =>
+      assert(nSpans >= 1 && dupChars >= 20 && dupChars <= shared.length,
+        s"doc $id span stats out of range: $nSpans spans, $dupChars chars")
+      assert(ppm > 0 && ppm <= 1000000)
+    }
+    // both copies must mark substantially the same content: the two
+    // docs' duplicated-char counts come from identical anchors
+    assert(out(1L)._2 == out(2L)._2,
+      s"same region, same anchors -> same dup_chars; got ${out(1L)._2} vs ${out(2L)._2}")
+  }
+
+  test("q141 catches INTRA-document repetition and reports sane per-doc stats on the corpus") {
+    val para = "every llm corpus carries boilerplate that repeats inside single pages far more than anyone expects! " // 100 chars
+    val dir = docsDir(Seq(
+      (1L, para + para), // same 100 chars twice
+      (2L, "nothing here repeats: just one short plain sentence with ordinary words and no copied content")))
+    val out = SparkEntry.queries("q141_dup_spans")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out.contains(1L) && !out.contains(2L),
+      s"self-repeating doc must report spans, clean doc must not: $out")
+    // anchors are content-sparse (~1/W of positions, each marking a
+    // 20-gram): both copies mark the same anchor set, covering a large
+    // minority of the doc (measured 400000 ppm on this fixture)
+    assert(out(1L) >= 300000, s"both copies of the paragraph should mark sizable spans: ${out(1L)} ppm")
+    // corpus-level sanity at sf0.001: every reported row respects the
+    // structural bounds (spans are >= gram length, ppm is a valid share)
+    val rows = SparkEntry.queries("q141_dup_spans")(spark, sf("sf0.001")).collect()
+    assert(rows.nonEmpty, "the synthetic corpus has near-dup docs; spans must surface")
+    rows.foreach { r =>
+      val (n, chars, ppm) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(n >= 1 && chars >= 20 * n && ppm >= 1 && ppm <= 1000000,
+        s"row out of bounds: $r")
+    }
+  }
 }
