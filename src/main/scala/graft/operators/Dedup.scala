@@ -386,6 +386,94 @@ object Dedup {
     (labels, rounds)
   }
 
+  /** Winnowing gram length / window (q141/q142): anchors are ~1/[[SpanW]]
+    * of positions; duplicated regions ≥ SpanK+2(SpanW-1) = 48 chars are
+    * guaranteed to share an anchor.
+    */
+  private val SpanK = 20
+  private val SpanW = 15
+
+  /** Merged duplicated-character islands per document — the shared core
+    * of q141 (report) and q142 (removal). One row per maximal span:
+    * (doc_id, island, s, e, n_chars), 1-based inclusive char bounds.
+    * See the q141 declaration for the full design commentary.
+    */
+  private def dupIslands(sp: SparkSession, d: String): DataFrame = {
+    val grams = Tables.documents(sp, d)
+      .select(col("doc_id"), col("text"), col("n_chars"))
+      .filter(col("n_chars") >= SpanK)
+      .repartition(col("doc_id"))
+      .select(
+        col("doc_id"), col("n_chars"), col("text"),
+        explode(sequence(lit(1L), col("n_chars") - (SpanK - 1))).as("pos"))
+      .select(
+        col("doc_id"), col("n_chars"), col("pos"),
+        TextFns.h60(expr(s"substring(text, pos, $SpanK)")).as("fp"))
+    val wSel = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(-(SpanW - 1), SpanW - 1)
+    // anchors feeds BOTH sides of the recurrence semi-join (the
+    // aggregate and the probe); without a cache the whole
+    // explode+md5+window pipeline would execute twice
+    val anchors = grams
+      .withColumn("wmin", min(col("fp")).over(wSel))
+      .filter(col("fp") === col("wmin"))
+      .select(col("doc_id"), col("n_chars"), col("pos"), col("fp"))
+      .cache()
+    val recurring = anchors
+      .groupBy(col("fp")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
+      .select(col("fp"))
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    anchors
+      .join(recurring, Seq("fp"), "left_semi")
+      .withColumn("e", col("pos") + (SpanK - 1))
+      .withColumn(
+        "me",
+        max(col("e")).over(wDoc.rowsBetween(Long.MinValue, -1)))
+      .withColumn(
+        "ni",
+        when(col("me").isNull || col("pos") > col("me") + 1, 1L).otherwise(0L))
+      .withColumn("island", sum(col("ni")).over(wDoc.rowsBetween(Long.MinValue, 0)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("s"), max(col("e")).as("e"), max(col("n_chars")).as("n_chars"))
+  }
+
+  /** Oracle CTE chain mirroring [[dupIslands]]: defines `sp(doc_id,
+    * island, s, e, n_chars)`. Interpolate inside `WITH $dupSpansSql, ...`.
+    */
+  private val dupSpansSql: String = s"""
+        p AS (
+          SELECT doc_id, n_chars, text,
+                 unnest(generate_series(1, CAST(n_chars - ${SpanK - 1} AS BIGINT))) AS pos
+          FROM documents WHERE n_chars >= $SpanK),
+        g AS (
+          SELECT doc_id, n_chars, pos,
+                 ${T.h60(s"substr(text, CAST(pos AS INT), $SpanK)")} AS fp
+          FROM p),
+        a AS (
+          SELECT doc_id, n_chars, pos, fp,
+                 MIN(fp) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN ${SpanW - 1} PRECEDING AND ${SpanW - 1} FOLLOWING) AS wmin
+          FROM g),
+        anch AS (SELECT doc_id, n_chars, pos, fp FROM a WHERE fp = wmin),
+        rec AS (SELECT fp FROM anch GROUP BY fp HAVING COUNT(*) >= 2),
+        m AS (
+          SELECT doc_id, n_chars, pos, pos + ${SpanK - 1} AS e,
+                 MAX(pos + ${SpanK - 1}) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS me
+          FROM anch WHERE fp IN (SELECT fp FROM rec)),
+        i AS (
+          SELECT *, CASE WHEN me IS NULL OR pos > me + 1 THEN 1 ELSE 0 END AS ni FROM m),
+        isl AS (
+          SELECT *, SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+          FROM i),
+        sp AS (
+          SELECT doc_id, island, MIN(pos) AS s, MAX(e) AS e, MAX(n_chars) AS n_chars
+          FROM isl GROUP BY 1, 2)"""
+
   val all: Seq[Q] = Seq(
     // exact dedup: one hash aggregate on the normalized-text fingerprint
     Q(
@@ -887,6 +975,7 @@ object Dedup {
         FROM assign ORDER BY doc_id""")
     ),
 
+    // (shared pipeline for q141/q142 lives in dupIslands / dupSpansSql below)
     // EXACT substring-duplication spans via winnowing fingerprints
     // (Schleimer/Wilkerson/Aiken 2003 — the MOSS selection; the span
     // view of dedup that Lee et al. 2022 get from suffix arrays, in
@@ -912,49 +1001,8 @@ object Dedup {
     // costs one aggregate row, not a million-squared join).
     Q(
       "q141_dup_spans",
-      (s, d) => {
-        val K = 20 // gram length
-        val W = 15 // winnow window (anchor density ~1/W)
-        val grams = Tables.documents(s, d)
-          .select(col("doc_id"), col("text"), col("n_chars"))
-          .filter(col("n_chars") >= K)
-          .repartition(col("doc_id"))
-          .select(
-            col("doc_id"), col("n_chars"), col("text"),
-            explode(sequence(lit(1L), col("n_chars") - (K - 1))).as("pos"))
-          .select(
-            col("doc_id"), col("n_chars"), col("pos"),
-            TextFns.h60(expr(s"substring(text, pos, $K)")).as("fp"))
-        val wSel = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("doc_id")).orderBy(col("pos"))
-          .rowsBetween(-(W - 1), W - 1)
-        // anchors feeds BOTH sides of the recurrence semi-join (the
-        // aggregate and the probe); without a cache the whole
-        // explode+md5+window pipeline would execute twice
-        val anchors = grams
-          .withColumn("wmin", min(col("fp")).over(wSel))
-          .filter(col("fp") === col("wmin"))
-          .select(col("doc_id"), col("n_chars"), col("pos"), col("fp"))
-          .cache()
-        val recurring = anchors
-          .groupBy(col("fp")).agg(count(lit(1)).as("n"))
-          .filter(col("n") >= 2)
-          .select(col("fp"))
-        val wDoc = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("doc_id")).orderBy(col("pos"))
-        val marked = anchors
-          .join(recurring, Seq("fp"), "left_semi")
-          .withColumn("e", col("pos") + (K - 1))
-          .withColumn(
-            "me",
-            max(col("e")).over(wDoc.rowsBetween(Long.MinValue, -1)))
-          .withColumn(
-            "ni",
-            when(col("me").isNull || col("pos") > col("me") + 1, 1L).otherwise(0L))
-          .withColumn("island", sum(col("ni")).over(wDoc.rowsBetween(Long.MinValue, 0)))
-        marked
-          .groupBy(col("doc_id"), col("island"))
-          .agg(min(col("pos")).as("s"), max(col("e")).as("e"), max(col("n_chars")).as("n_chars"))
+      (s, d) =>
+        dupIslands(s, d)
           .groupBy(col("doc_id"))
           .agg(
             count(lit(1)).as("n_dup_spans"),
@@ -963,43 +1011,113 @@ object Dedup {
           .select(
             col("doc_id"), col("n_dup_spans"), col("dup_chars"),
             expr("dup_chars * 1000000 div nc").as("dup_ppm"))
-          .orderBy(col("doc_id"))
-      },
+          .orderBy(col("doc_id")),
       Some(s"""
-        WITH p AS (
-          SELECT doc_id, n_chars, text,
-                 unnest(generate_series(1, CAST(n_chars - 19 AS BIGINT))) AS pos
-          FROM documents WHERE n_chars >= 20),
-        g AS (
-          SELECT doc_id, n_chars, pos,
-                 ${T.h60("substr(text, CAST(pos AS INT), 20)")} AS fp
-          FROM p),
-        a AS (
-          SELECT doc_id, n_chars, pos, fp,
-                 MIN(fp) OVER (PARTITION BY doc_id ORDER BY pos
-                   ROWS BETWEEN 14 PRECEDING AND 14 FOLLOWING) AS wmin
-          FROM g),
-        anch AS (SELECT doc_id, n_chars, pos, fp FROM a WHERE fp = wmin),
-        rec AS (SELECT fp FROM anch GROUP BY fp HAVING COUNT(*) >= 2),
-        m AS (
-          SELECT doc_id, n_chars, pos, pos + 19 AS e,
-                 MAX(pos + 19) OVER (PARTITION BY doc_id ORDER BY pos
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS me
-          FROM anch WHERE fp IN (SELECT fp FROM rec)),
-        i AS (
-          SELECT *, CASE WHEN me IS NULL OR pos > me + 1 THEN 1 ELSE 0 END AS ni FROM m),
-        isl AS (
-          SELECT *, SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
-          FROM i),
-        sp AS (
-          SELECT doc_id, island, MIN(pos) AS s, MAX(e) AS e, MAX(n_chars) AS n_chars
-          FROM isl GROUP BY 1, 2)
+        WITH $dupSpansSql
         SELECT doc_id,
                CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
                CAST(SUM(e - s + 1) AS BIGINT) AS dup_chars,
                CAST((CAST(SUM(e - s + 1) AS BIGINT) * 1000000) // MAX(n_chars) AS BIGINT) AS dup_ppm
         FROM sp GROUP BY doc_id ORDER BY doc_id""")
+    ),
+
+    // Duplicated-span REMOVAL — the consumer of q141's cut-list: emit
+    // the cleaned corpus with every duplicated span excised
+    // (conservative cleaning: both copies go; survivor-keeping is the
+    // doc-level q138 policy). The kept text is rebuilt from the
+    // COMPLEMENT of the merged islands as segment rows (head gap +
+    // inter-island gaps via lag, + tail) joined back to the doc text,
+    // then an ordered string-agg — no fold, so Spark (array_sort +
+    // array_join over collected (start, piece) structs) and DuckDB
+    // (string_agg ORDER BY) rebuild byte-identically; docs with no
+    // duplicated span pass through verbatim via the left join.
+    // Output is md5(clean_text) + exact char accounting, pinned by the
+    // invariant orig_chars = cut_chars + clean_chars for every row.
+    // Scale: islands are tiny next to the corpus (duplicated regions
+    // only); both joins are doc_id-keyed with a broadcast-size right
+    // side, the string-agg shuffles only span-carrying docs.
+    Q(
+      "q142_span_removal",
+      (s, d) => {
+        val islands = dupIslands(s, d).cache()
+        val wDoc = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("s"))
+        // complement segments: [prev_e+1, s-1] before each island (head
+        // gap when no predecessor), plus the per-doc tail [max_e+1, n]
+        val gaps = islands
+          .withColumn("gs", coalesce(lag(col("e"), 1).over(wDoc) + 1, lit(1L)))
+          .withColumn("ge", col("s") - 1)
+          .select(col("doc_id"), col("gs"), col("ge"))
+        val tails = islands
+          .groupBy(col("doc_id"))
+          .agg(max(col("e")).as("me"), max(col("n_chars")).as("nc"))
+          .select(col("doc_id"), (col("me") + 1).as("gs"), col("nc").as("ge"))
+        val segments = gaps.unionByName(tails).filter(col("ge") >= col("gs"))
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"), col("n_chars"))
+        val rebuilt = segments
+          .join(docs, Seq("doc_id"))
+          .select(
+            col("doc_id"), col("gs"),
+            expr("substring(text, gs, ge - gs + 1)").as("piece"))
+          .groupBy(col("doc_id"))
+          .agg(
+            array_join(
+              transform(
+                array_sort(collect_list(struct(col("gs"), col("piece")))),
+                x => x.getField("piece")),
+              "").as("clean_text"))
+        val cuts = islands
+          .groupBy(col("doc_id"))
+          .agg(sum(col("e") - col("s") + 1).as("cut_chars"))
+        docs
+          .join(cuts, Seq("doc_id"), "left")
+          .join(rebuilt, Seq("doc_id"), "left")
+          .withColumn("cut_chars", coalesce(col("cut_chars"), lit(0L)))
+          // a fully-duplicated doc has islands but zero kept segments
+          .withColumn(
+            "clean",
+            when(col("cut_chars") === 0, col("text"))
+              .otherwise(coalesce(col("clean_text"), lit(""))))
+          .select(
+            col("doc_id"),
+            col("n_chars").as("orig_chars"),
+            col("cut_chars"),
+            length(col("clean")).cast("long").as("clean_chars"),
+            md5(col("clean")).as("clean_md5"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH $dupSpansSql,
+        gaps AS (
+          SELECT doc_id,
+                 COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY s) + 1, 1) AS gs,
+                 s - 1 AS ge
+          FROM sp),
+        tails AS (
+          SELECT doc_id, MAX(e) + 1 AS gs, MAX(n_chars) AS ge FROM sp GROUP BY doc_id),
+        seg AS (
+          SELECT * FROM gaps WHERE ge >= gs
+          UNION ALL
+          SELECT * FROM tails WHERE ge >= gs),
+        rebuilt AS (
+          SELECT seg.doc_id,
+                 string_agg(substr(d.text, CAST(seg.gs AS INT), CAST(seg.ge - seg.gs + 1 AS INT)),
+                            '' ORDER BY seg.gs) AS clean_text
+          FROM seg JOIN documents d ON seg.doc_id = d.doc_id
+          GROUP BY seg.doc_id),
+        cuts AS (
+          SELECT doc_id, CAST(SUM(e - s + 1) AS BIGINT) AS cut_chars FROM sp GROUP BY doc_id)
+        SELECT d.doc_id,
+               d.n_chars AS orig_chars,
+               COALESCE(c.cut_chars, 0) AS cut_chars,
+               CAST(length(CASE WHEN COALESCE(c.cut_chars, 0) = 0 THEN d.text
+                                ELSE COALESCE(r.clean_text, '') END) AS BIGINT) AS clean_chars,
+               md5(CASE WHEN COALESCE(c.cut_chars, 0) = 0 THEN d.text
+                        ELSE COALESCE(r.clean_text, '') END) AS clean_md5
+        FROM documents d
+        LEFT JOIN cuts c ON d.doc_id = c.doc_id
+        LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+        ORDER BY d.doc_id""")
     )
   )
 }

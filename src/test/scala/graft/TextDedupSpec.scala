@@ -229,4 +229,39 @@ class TextDedupSpec extends SparkSpec {
         s"row out of bounds: $r")
     }
   }
+
+  test("q142 span removal: exact char accounting, agreement with q141, clean docs pass through verbatim") {
+    val para = "every llm corpus carries boilerplate that repeats inside single pages far more than anyone expects! " // repeated -> spans
+    val cleanText = "nothing here repeats: just one short plain sentence with ordinary words and no copied content"
+    val dir = docsDir(Seq((1L, para + para), (2L, cleanText)))
+    val out = SparkEntry.queries("q142_span_removal")(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    // EVERY doc appears exactly once, cut or not
+    assert(out.keySet == Set(1L, 2L))
+    // the clean doc passes through byte-identically
+    val (o2, c2, k2, m2) = out(2L)
+    assert(c2 == 0 && k2 == o2 && m2 == org.apache.commons.codec.digest.DigestUtils.md5Hex(cleanText))
+    // the repetitive doc was actually cut, and the accounting is exact
+    val (o1, c1, k1, _) = out(1L)
+    assert(c1 > 0 && o1 == c1 + k1, s"orig=$o1 cut=$c1 clean=$k1")
+    // corpus level: the invariant holds for every document at sf0.001,
+    // and q142's cut_chars equals q141's dup_chars doc-for-doc
+    val rows = SparkEntry.queries("q142_span_removal")(spark, sf("sf0.001")).collect()
+    assert(rows.length == spark.read.parquet(sf("sf0.001") + "/documents.parquet").count())
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2) + r.getLong(3), s"char accounting broken: $r")
+    }
+    val cutByDoc = rows.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val q141 = SparkEntry.queries("q141_dup_spans")(spark, sf("sf0.001")).collect()
+    assert(q141.nonEmpty)
+    q141.foreach { r =>
+      assert(cutByDoc(r.getLong(0)) == r.getLong(2),
+        s"q142 cut_chars must equal q141 dup_chars for doc ${r.getLong(0)}")
+    }
+    // docs q141 does NOT flag must be uncut
+    val flagged = q141.map(_.getLong(0)).toSet
+    cutByDoc.foreach { case (id, cut) =>
+      assert((cut > 0) == flagged(id), s"doc $id cut=$cut but flagged=${flagged(id)}")
+    }
+  }
 }
