@@ -825,6 +825,68 @@ object Text {
         FROM tot JOIN thr ON tot.lang = thr.lang
         JOIN kept ON tot.lang = kept.lang
         ORDER BY tot.lang""")
+    ),
+
+    // Corpus-LM quality score (the CCNet/perplexity-filter shape,
+    // self-trained): a bigram model is fit on the corpus ITSELF —
+    // c2(w1 w2) bigram counts, c1(w1) = total bigrams with prefix w1 —
+    // and each document is scored by the mean LAPLACE-SMOOTHED
+    // conditional probability of its own bigrams, integer-scaled:
+    // (c2+1)*1e6 div (c1+V) with V the prefix-vocabulary size. The
+    // smoothing is load-bearing, not cosmetic: unsmoothed self-trained
+    // conditionals hand globally-unique gibberish a PERFECT score
+    // (c2=1/c1=1), exactly inverting the filter; the +V denominator
+    // makes one-off contexts score ~1e6/V while common phrasing keeps
+    // c2/c1 mass. Integer ratios instead of log-probability because
+    // ln() differs between engines in final ulps while integer
+    // arithmetic is bitwise portable, and the RANKING the filter
+    // consumes is preserved (declared semantics).
+    // Scale: the bigram explode is the shingle cost class
+    // (repartitioned off the small-file scan); the model is two hash
+    // aggregates plus a one-row vocab frame cross-joined in (the q13
+    // share-of-total pattern — no driver-side vocab, no collect);
+    // scoring is ONE join of doc-bigram occurrences against the
+    // (deduplicated, far smaller) stats table — no per-doc state.
+    Q(
+      "q143_bigram_quality",
+      (s, d) => {
+        val big = docs(s, d)
+          .repartition(col("doc_id"))
+          .select(
+            col("doc_id"),
+            explode(TextFns.shingles(col("tok"), 2)).as("bg"))
+        val c2 = big.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+          .withColumn("w1", element_at(split(col("bg"), " "), 1))
+        val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+        val vocab = c1.agg(count(lit(1)).as("v"))
+        val stats = c2.join(c1, Seq("w1")).crossJoin(broadcast(vocab))
+          .select(col("bg"), expr("(c2 + 1) * 1000000 div (c1 + v)").as("p_scaled"))
+        big
+          .join(stats, Seq("bg"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"), sum(col("p_scaled")).as("sp"))
+          .select(
+            col("doc_id"), col("n_bigrams"),
+            expr("sp div n_bigrams").as("quality_scaled"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH t AS (SELECT doc_id, ${T.tokens} AS tok FROM documents),
+        big AS (
+          SELECT doc_id, unnest(${T.shingles("tok", 2)}) AS bg FROM t),
+        c2 AS (
+          SELECT bg, string_split(bg, ' ')[1] AS w1, CAST(COUNT(*) AS BIGINT) AS c2
+          FROM big GROUP BY bg),
+        c1 AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY w1),
+        stats AS (
+          SELECT c2.bg,
+                 ((c2.c2 + 1) * 1000000) // (c1.c1 + (SELECT COUNT(*) FROM c1)) AS p_scaled
+          FROM c2 JOIN c1 ON c2.w1 = c1.w1)
+        SELECT big.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(CAST(SUM(stats.p_scaled) AS BIGINT) // COUNT(*) AS BIGINT) AS quality_scaled
+        FROM big JOIN stats ON big.bg = stats.bg
+        GROUP BY big.doc_id ORDER BY big.doc_id""")
     )
   )
 }

@@ -270,4 +270,39 @@ class CorpusOpsSpec extends SparkSpec {
     assert(byTag.getOrElse("train", 0) > 0 && byTag.getOrElse("eval", 0) > 0, byTag.toString)
     assert(split.size == 500)
   }
+
+  test("q143 bigram quality: typical text outranks gibberish; scores are valid scaled probabilities") {
+    import spark.implicits._
+    // a corpus where one phrasing dominates: docs built from the common
+    // bigram inventory must outscore a doc of bigrams nobody else uses
+    val common = "the cat sat on the mat and the dog ran to the cat"
+    val fixDir = java.nio.file.Files.createTempDirectory("graft_bgq").toString
+    (Seq(
+      (1L, common), (2L, common), (3L, common),
+      (4L, "the cat ran to the mat"), // recombines common vocabulary
+      (5L, "zxq wvu tsr qpo nml kji")) // unique bigrams only
+      .map { case (id, t) => (id, t, "en", "fix", t.length.toLong) })
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$fixDir/documents.parquet")
+    val out = SparkEntry.queries("q143_bigram_quality")(spark, fixDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    // this ranking is exactly what the Laplace smoothing buys:
+    // UNSMOOTHED self-trained conditionals would hand doc 5 a perfect
+    // 1e6 (every bigram c2=1 over prefix c1=1) — the +V denominator
+    // is what makes one-off contexts score the floor instead
+    assert(out(1L) > out(5L) && out(4L) > out(5L),
+      s"common-phrase docs must outscore unique-bigram gibberish: $out")
+    // corpus-level scores are valid scaled means in (0, 1e6]
+    val rows = SparkEntry.queries("q143_bigram_quality")(spark, d).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, q) = (r.getLong(1), r.getLong(2))
+      assert(n >= 1 && q >= 1 && q <= 1000000, s"score out of range: $r")
+    }
+    // every doc with >= 2 tokens is scored (no silent drops)
+    val expected = Tables.documents(spark, d)
+      .filter(size(graft.functions.TextFns.tokens(col("text"))) >= 2).count()
+    assert(rows.length == expected, s"${rows.length} scored vs $expected eligible")
+  }
 }
