@@ -397,6 +397,14 @@ object Dedup {
     * of q141 (report) and q142 (removal). One row per maximal span:
     * (doc_id, island, s, e, n_chars), 1-based inclusive char bounds.
     * See the q141 declaration for the full design commentary.
+    *
+    * Long-doc bound: the anchor-selection window partitions by doc_id,
+    * so one document's grams are one task. Fine for web-page-scale docs
+    * (the corpus contract); a corpus of book-length outliers should be
+    * pre-chunked (the q93 context-chunking pass) before span detection,
+    * the same mitigation every per-doc window op in this library
+    * declares — the bounded 29-row frame keeps the per-task cost
+    * linear, it is the single-task residency that caps doc size.
     */
   private def dupIslands(sp: SparkSession, d: String): DataFrame = {
     val grams = Tables.documents(sp, d)

@@ -360,4 +360,40 @@ class PlanSpec extends SparkSpec {
       l.contains("Exchange") && !l.contains("Reused") && !l.contains("Broadcast"))
     assert(exchanges <= 3, s"expected <=3 data exchanges, found $exchanges:\n$p")
   }
+
+  test("winnowing spans: docs never meet docs — broadcast recurrence probe, no Expand, windows doc-keyed (q141)") {
+    // the whole scale story is that candidate discovery is ONE hash
+    // aggregate on the anchor fingerprint plus a broadcast semi-probe
+    // back — never a doc×doc join — and every window runs under a
+    // doc_id partitioning (no unpartitioned window over the corpus)
+    val p = plan("q141_dup_spans")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"recurrence probe must be a broadcast left-semi:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"docs must never meet docs:\n$p")
+    assert(!p.contains("Expand"), s"no Expand in the gram fan-out:\n$p")
+    assert(!p.linesIterator.exists(l => l.contains("Window") && l.contains("partitionBy=[]")),
+      s"every window must be doc-keyed:\n$p")
+  }
+
+  test("span removal joins stay key-local: no cartesian or nested-loop anywhere (q142)") {
+    val p = plan("q142_span_removal")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"segment/doc joins must stay equi-joins:\n$p")
+    assert(!p.linesIterator.exists(l => l.contains("Window") && l.contains("partitionBy=[]")),
+      s"every window must be doc-keyed:\n$p")
+  }
+
+  test("bigram quality: one-row vocab broadcasts, no single-partition exchange (q143)") {
+    // the Laplace V denominator must arrive as a broadcast one-row
+    // frame, never by collapsing the stats pipeline to one partition
+    val p = plan("q143_bigram_quality")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"vocab scalar must broadcast:\n$p")
+    // exactly the one-row vocab count may collapse to a single
+    // partition (the AQE-scalar cost class); the scoring path must not
+    val single = p.linesIterator.count(_.contains("Exchange SinglePartition"))
+    assert(single <= 1, s"only the vocab scalar may be single-partition, found $single:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
 }
