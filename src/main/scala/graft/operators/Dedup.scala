@@ -393,10 +393,12 @@ object Dedup {
   private val SpanK = 20
   private val SpanW = 15
 
-  /** Merged duplicated-character islands per document — the shared core
-    * of q141 (report) and q142 (removal). One row per maximal span:
-    * (doc_id, island, s, e, n_chars), 1-based inclusive char bounds.
-    * See the q141 declaration for the full design commentary.
+  /** Winnowing anchors over the corpus: (doc_id, n_chars, pos, fp),
+    * one row per selected fingerprint. Cached — every consumer uses it
+    * on at least two sides of a self-join-shaped reuse. Shared core of
+    * q141 (corpus-recurrence report), q142 (removal) and q144
+    * (incremental probe); see the q141 declaration for the full design
+    * commentary.
     *
     * Long-doc bound: the anchor-selection window partitions by doc_id,
     * so one document's grams are one task. Fine for web-page-scale docs
@@ -406,7 +408,7 @@ object Dedup {
     * declares — the bounded 29-row frame keeps the per-task cost
     * linear, it is the single-task residency that caps doc size.
     */
-  private def dupIslands(sp: SparkSession, d: String): DataFrame = {
+  private def spanAnchors(sp: SparkSession, d: String): DataFrame = {
     val grams = Tables.documents(sp, d)
       .select(col("doc_id"), col("text"), col("n_chars"))
       .filter(col("n_chars") >= SpanK)
@@ -420,22 +422,20 @@ object Dedup {
     val wSel = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(-(SpanW - 1), SpanW - 1)
-    // anchors feeds BOTH sides of the recurrence semi-join (the
-    // aggregate and the probe); without a cache the whole
-    // explode+md5+window pipeline would execute twice
-    val anchors = grams
+    grams
       .withColumn("wmin", min(col("fp")).over(wSel))
       .filter(col("fp") === col("wmin"))
       .select(col("doc_id"), col("n_chars"), col("pos"), col("fp"))
       .cache()
-    val recurring = anchors
-      .groupBy(col("fp")).agg(count(lit(1)).as("n"))
-      .filter(col("n") >= 2)
-      .select(col("fp"))
+  }
+
+  /** Merge marked anchors into maximal per-doc islands:
+    * (doc_id, island, s, e, n_chars), 1-based inclusive char bounds.
+    */
+  private def islandize(marked: DataFrame): DataFrame = {
     val wDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
-    anchors
-      .join(recurring, Seq("fp"), "left_semi")
+    marked
       .withColumn("e", col("pos") + (SpanK - 1))
       .withColumn(
         "me",
@@ -448,10 +448,21 @@ object Dedup {
       .agg(min(col("pos")).as("s"), max(col("e")).as("e"), max(col("n_chars")).as("n_chars"))
   }
 
-  /** Oracle CTE chain mirroring [[dupIslands]]: defines `sp(doc_id,
-    * island, s, e, n_chars)`. Interpolate inside `WITH $dupSpansSql, ...`.
+  private def dupIslands(sp: SparkSession, d: String): DataFrame = {
+    // anchors feeds BOTH sides of the recurrence semi-join (the
+    // aggregate and the probe) — the spanAnchors cache covers it
+    val anchors = spanAnchors(sp, d)
+    val recurring = anchors
+      .groupBy(col("fp")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
+      .select(col("fp"))
+    islandize(anchors.join(recurring, Seq("fp"), "left_semi"))
+  }
+
+  /** Oracle CTE chain mirroring [[spanAnchors]]: defines
+    * `anch(doc_id, n_chars, pos, fp)`.
     */
-  private val dupSpansSql: String = s"""
+  private val anchorsSql: String = s"""
         p AS (
           SELECT doc_id, n_chars, text,
                  unnest(generate_series(1, CAST(n_chars - ${SpanK - 1} AS BIGINT))) AS pos
@@ -465,13 +476,17 @@ object Dedup {
                  MIN(fp) OVER (PARTITION BY doc_id ORDER BY pos
                    ROWS BETWEEN ${SpanW - 1} PRECEDING AND ${SpanW - 1} FOLLOWING) AS wmin
           FROM g),
-        anch AS (SELECT doc_id, n_chars, pos, fp FROM a WHERE fp = wmin),
-        rec AS (SELECT fp FROM anch GROUP BY fp HAVING COUNT(*) >= 2),
+        anch AS (SELECT doc_id, n_chars, pos, fp FROM a WHERE fp = wmin)"""
+
+  /** Oracle CTE chain mirroring [[islandize]] over `anch` rows matching
+    * `where`: defines `sp(doc_id, island, s, e, n_chars)`.
+    */
+  private def islandsSql(where: String): String = s"""
         m AS (
           SELECT doc_id, n_chars, pos, pos + ${SpanK - 1} AS e,
                  MAX(pos + ${SpanK - 1}) OVER (PARTITION BY doc_id ORDER BY pos
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS me
-          FROM anch WHERE fp IN (SELECT fp FROM rec)),
+          FROM anch WHERE $where),
         i AS (
           SELECT *, CASE WHEN me IS NULL OR pos > me + 1 THEN 1 ELSE 0 END AS ni FROM m),
         isl AS (
@@ -481,6 +496,11 @@ object Dedup {
         sp AS (
           SELECT doc_id, island, MIN(pos) AS s, MAX(e) AS e, MAX(n_chars) AS n_chars
           FROM isl GROUP BY 1, 2)"""
+
+  /** Full chain for the corpus-recurrence variant (q141/q142). */
+  private val dupSpansSql: String = s"""$anchorsSql,
+        rec AS (SELECT fp FROM anch GROUP BY fp HAVING COUNT(*) >= 2),
+        ${islandsSql("fp IN (SELECT fp FROM rec)")}"""
 
   val all: Seq[Q] = Seq(
     // exact dedup: one hash aggregate on the normalized-text fingerprint
@@ -1126,6 +1146,49 @@ object Dedup {
         LEFT JOIN cuts c ON d.doc_id = c.doc_id
         LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
         ORDER BY d.doc_id""")
+    ),
+
+    // INCREMENTAL span detection — q141's verb at delivery time,
+    // completing the incremental family (exact q119, near-dup q130,
+    // spans q144): the new batch's anchors (doc_id >= 400, the q119
+    // split convention) probe the EXISTING corpus's anchor index
+    // (doc_id < 400) and only index-matching anchors mark spans — the
+    // question a nightly crawl asks ("which ranges of the new docs
+    // duplicate what we already hold"), not q141's corpus-wide
+    // recurrence (within-batch repeats are the NEXT full pass's job;
+    // declared semantics). At warehouse scale the index is a persisted
+    // fp table bucketed on fp — the q119 posture: only the incoming
+    // batch's anchors shuffle per delivery, the index side never
+    // re-exchanges. Here both sides derive from one cached anchor pass
+    // (the cache standing in for the materialized index).
+    Q(
+      "q144_incremental_spans",
+      (s, d) => {
+        val anchors = spanAnchors(s, d)
+        val idx = anchors.filter(col("doc_id") < 400).select(col("fp")).distinct()
+        val marked = anchors
+          .filter(col("doc_id") >= 400)
+          .join(idx, Seq("fp"), "left_semi")
+        islandize(marked)
+          .groupBy(col("doc_id"))
+          .agg(
+            count(lit(1)).as("n_dup_spans"),
+            sum(col("e") - col("s") + 1).as("dup_chars"),
+            max(col("n_chars")).as("nc"))
+          .select(
+            col("doc_id"), col("n_dup_spans"), col("dup_chars"),
+            expr("dup_chars * 1000000 div nc").as("dup_ppm"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH $anchorsSql,
+        idx AS (SELECT DISTINCT fp FROM anch WHERE doc_id < 400),
+        ${islandsSql("doc_id >= 400 AND fp IN (SELECT fp FROM idx)")}
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+               CAST(SUM(e - s + 1) AS BIGINT) AS dup_chars,
+               CAST((CAST(SUM(e - s + 1) AS BIGINT) * 1000000) // MAX(n_chars) AS BIGINT) AS dup_ppm
+        FROM sp GROUP BY doc_id ORDER BY doc_id""")
     )
   )
 }

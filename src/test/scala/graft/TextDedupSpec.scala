@@ -230,6 +230,41 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("q144 incremental spans: only index-matching content flags; within-batch repeats wait for the full pass") {
+    val shared = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima mike november oscar papa quebec romeo sierra tango"
+    val batchOnly = "widget sprocket flange gimbal rotor stator plenum manifold gasket spindle crank journal bearing race cage seal housing shaft key"
+    val dir = docsDir(Seq(
+      (10L, "an indexed page that established this content first " + shared),
+      (400L, "a fresh crawl result that copies the indexed page " + shared),
+      (401L, "first fresh page sharing only with its own batch " + batchOnly),
+      (402L, "second fresh page sharing only with its own batch too " + batchOnly),
+      (403L, "a genuinely novel page with nothing copied from anywhere at all")))
+    val out = SparkEntry.queries("q144_incremental_spans")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // index-matching content flags; batch-only and novel do not; the
+    // index side never appears in a delivery report
+    assert(out.keySet == Set(400L),
+      s"only the doc duplicating INDEXED content may flag: $out")
+    assert(out(400L) >= 20 && out(400L) <= shared.length)
+    // but the corpus-wide pass (q141) does see the within-batch pair
+    val full = SparkEntry.queries("q141_dup_spans")(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    assert(Set(401L, 402L).subsetOf(full),
+      "the full pass must still catch within-batch recurrence q144 defers")
+    // corpus-level: every q144 mark is a subset of q141's (an
+    // index-matched anchor is corpus-recurring by definition)
+    val incCut = SparkEntry.queries("q144_incremental_spans")(spark, sf("sf0.001"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val fullCut = SparkEntry.queries("q141_dup_spans")(spark, sf("sf0.001"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(incCut.nonEmpty, "sf0.001 must have cross-split duplicate content")
+    incCut.foreach { case (id, c) =>
+      assert(id >= 400, s"index doc $id leaked into the delivery report")
+      assert(fullCut.contains(id) && c <= fullCut(id),
+        s"doc $id: incremental marks $c must be within the full pass's ${fullCut.get(id)}")
+    }
+  }
+
   test("q142 span removal: exact char accounting, agreement with q141, clean docs pass through verbatim") {
     val para = "every llm corpus carries boilerplate that repeats inside single pages far more than anyone expects! " // repeated -> spans
     val cleanText = "nothing here repeats: just one short plain sentence with ordinary words and no copied content"
