@@ -408,7 +408,7 @@ object Dedup {
     * declares — the bounded 29-row frame keeps the per-task cost
     * linear, it is the single-task residency that caps doc size.
     */
-  private def spanAnchors(sp: SparkSession, d: String): DataFrame = {
+  private[graft] def spanAnchors(sp: SparkSession, d: String): DataFrame = {
     val grams = Tables.documents(sp, d)
       .select(col("doc_id"), col("text"), col("n_chars"))
       .filter(col("n_chars") >= SpanK)

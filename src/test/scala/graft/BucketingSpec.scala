@@ -74,4 +74,36 @@ class BucketingSpec extends SparkSpec {
       assert(novel.count() == expected)
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
+
+  test("bucketed ANCHOR index probes without re-shuffling (q144 scale path)") {
+    // pins q144's comment: with the corpus's winnowing-anchor
+    // fingerprints persisted bucketed by fp, the delivery probe
+    // shuffles ONLY the incoming batch's anchors into the bucket
+    // layout — the index, however large the held corpus, never
+    // exchanges; per-delivery cost is O(batch), not O(corpus)
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_bkt")
+    val anchors = operators.Dedup.spanAnchors(spark, sf("sf0.001"))
+    anchors.filter(col("doc_id") < 400).select(col("fp")).distinct()
+      .write.mode("overwrite")
+      .bucketBy(8, "fp").sortBy("fp")
+      .saveAsTable("graft_bkt.anchor_index")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val incoming = anchors.filter(col("doc_id") >= 400)
+      val marked = incoming.join(spark.table("graft_bkt.anchor_index"), Seq("fp"), "left_semi")
+      val plan = marked.queryExecution.executedPlan.toString
+      val fpExchanges = plan.linesIterator
+        .count(l => l.contains("Exchange hashpartitioning") && l.contains("fp"))
+      assert(fpExchanges == 1,
+        s"only the incoming batch may shuffle; anchor index must stay in place:\n$plan")
+      assert(plan.contains("Bucketed: true"),
+        s"index scan must use the bucketed layout:\n$plan")
+      // and the persisted-index probe marks exactly what q144's
+      // derived-index formulation marks
+      val expected = incoming.join(
+        anchors.filter(col("doc_id") < 400).select(col("fp")).distinct(),
+        Seq("fp"), "left_semi").count()
+      assert(marked.count() == expected && expected > 0)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
 }
