@@ -97,7 +97,7 @@ object AsOf {
     val rAligned = leftCols.foldLeft(r) { (df, c) =>
       if (df.columns.contains(c)) df
       else df.withColumn(c, lit(null).cast(left.schema(c).dataType))
-    }.select(l.columns.map(col): _*)
+    }.select(l.columns.toIndexedSeq.map(col): _*)
 
     // rights sort before lefts at equal __t so "<=" matches; __payload
     // as the final key makes the winner among DUPLICATE-time right rows
@@ -183,7 +183,7 @@ object AsOf {
     val chooseF = col(rightTime).isNull ||
       (col(s"__f_$rightTime").isNotNull && distF < distB)
     b.join(f, leftKey)
-      .select(left.columns.map(col) ++
+      .select(left.columns.toIndexedSeq.map(col) ++
         rightPayload.map(p => when(chooseF, col(s"__f_$p")).otherwise(col(p)).as(p)): _*)
   }
 
@@ -215,6 +215,6 @@ object AsOf {
       (r("__next").isNull || left(leftTime) < r("__next"))
     left
       .join(broadcast(r), cond, "left")
-      .select(left.columns.map(left(_)) ++ rightPayload.map(p => r(p).as(p)): _*)
+      .select(left.columns.toIndexedSeq.map(left(_)) ++ rightPayload.map(p => r(p).as(p)): _*)
   }
 }

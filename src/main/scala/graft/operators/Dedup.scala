@@ -360,7 +360,7 @@ object Dedup {
       .withColumn("lbl", col("node"))
     def certificate(df: DataFrame): BigDecimal =
       Option(
-        df.agg(sum(col("lbl").cast(DecimalType(38, 0)))).head.getDecimal(0))
+        df.agg(sum(col("lbl").cast(DecimalType(38, 0)))).head().getDecimal(0))
         .map(BigDecimal(_)).getOrElse(BigDecimal(0))
     var cur = certificate(labels)
     var converged = false

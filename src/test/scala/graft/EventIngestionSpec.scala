@@ -69,7 +69,7 @@ class EventIngestionSpec extends SparkSpec {
     assert(fromNanos.schema("ts_us") == fromMicros.schema("ts_us"))
     assert(canon(fromNanos) == canon(fromMicros))
     // and the values are the literal micros we wrote, not 1000x off
-    assert(fromNanos.filter(col("event_id") === 1L).head.getLong(1) == 1700000000000000L)
+    assert(fromNanos.filter(col("event_id") === 1L).head().getLong(1) == 1700000000000000L)
   }
 
   test("streaming readEvents adapts to both vintages and equals the batch read") {

@@ -100,7 +100,7 @@ class SnapshotSpec extends SparkSpec {
     Snapshots.commit((1 to 1000).toDF("id").repartition(8), dir)
     Snapshots.commit((1001 to 2000).toDF("id").repartition(8), dir)
     def sumAt(v: Option[Int]) =
-      Snapshots.read(spark, dir, v).agg(sum(col("id"))).head.getLong(0)
+      Snapshots.read(spark, dir, v).agg(sum(col("id"))).head().getLong(0)
     val fullSum = sumAt(None)
     val v2Files = Snapshots.files(spark, dir, Some(2)).map(_.toString)
     assert(v2Files.size >= 16, "fixture must actually be fragmented")

@@ -22,7 +22,7 @@ class StreamingSpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     val raw = Tables.events(spark, sf("sf0.001"))
       .withColumn("ts_us", unix_micros(col("ts")))
-    val Array(lo, hi) = raw.agg(min(col("ts_us")), max(col("ts_us"))).head
+    val Array(lo, hi) = raw.agg(min(col("ts_us")), max(col("ts_us"))).head()
       .toSeq.map(_.asInstanceOf[Long]).toArray
     val dir = java.nio.file.Files.createTempDirectory(tag)
     (0 until n).foreach { i =>
@@ -259,7 +259,7 @@ class StreamingSpec extends SparkSpec {
     assert(canon(streamed) == canon(batch.select("d", "cell", "c")),
       "multi-batch sketch must equal the single-pass sketch")
     assert(streamed.count() <= 4 * 256, "state exceeded the declared bound")
-    assert(streamed.agg(sum(col("c"))).head.getLong(0) == 4 * raw.count(),
+    assert(streamed.agg(sum(col("c"))).head().getLong(0) == 4 * raw.count(),
       "every (event, depth) increment must be counted exactly once")
   }
 }

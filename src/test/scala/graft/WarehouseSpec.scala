@@ -151,7 +151,7 @@ class WarehouseSpec extends SparkSpec {
   }
 
   test("hopping windows cover each event exactly twice (q107)") {
-    val total = q("q107_hopping_windows").agg(sum("n")).head.getLong(0)
+    val total = q("q107_hopping_windows").agg(sum("n")).head().getLong(0)
     val events = Tables.events(spark, sf("sf0.001")).count()
     assert(total == 2 * events, s"width/slide=2 windows per event: $total vs 2*$events")
   }
@@ -261,7 +261,7 @@ class WarehouseSpec extends SparkSpec {
   test("histogram bins partition the rows and tile the range (q112)") {
     val h = q("q112_price_histogram").cache()
     try {
-      assert(h.agg(sum("n")).head.getLong(0) ==
+      assert(h.agg(sum("n")).head().getLong(0) ==
         Tables.orders(spark, sf("sf0.001")).count())
       assert(h.select("bin").distinct().count() == h.count())
       // consecutive bins abut: bin_hi(b) == bin_lo(b+1)
@@ -340,7 +340,7 @@ class WarehouseSpec extends SparkSpec {
     // decimal sum: order-independent, so partitioning changes can't
     // drift the content check
     def contentSum(df: org.apache.spark.sql.DataFrame) =
-      df.agg(sum(col("o_totalprice").cast(Det.Money))).head.getDecimal(0)
+      df.agg(sum(col("o_totalprice").cast(Det.Money))).head().getDecimal(0)
     val sumBefore = contentSum(spark.read.parquet(dir))
     val n = operators.Warehouse.compact(spark, dir, targetBytes = total / 4)
     assert(files.size == n && n >= 4 && n <= 6,
