@@ -234,12 +234,16 @@ object Bench {
             case _     => ()
           }
         (err, runs) match {
-          case (Some(m), _) =>
-            errs :+= (q.name -> m)
-          case (None, rs) if rs.nonEmpty =>
+          // a completed measurement always beats an error report: a
+          // transient failure on the SECOND run must not discard the
+          // valid first-run time (which would silently shrink the
+          // suite total); err is recorded only when nothing ran
+          case (_, rs) if rs.nonEmpty =>
             done :+= (q.name -> rs)
             System.err.println(
               f"[bench] ${q.name}%-28s ${rs.min}%8.2fs  (runs: ${rs.map(r => f"$r%.2f").mkString(", ")})")
+          case (Some(m), _) =>
+            errs :+= (q.name -> m)
           case _ =>
             dnf :+= q.name
             done :+= (q.name -> Vector(cap.toDouble)) // cap charged so totals stay comparable

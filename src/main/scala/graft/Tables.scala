@@ -35,7 +35,12 @@ object Tables {
     * timestamp whatever the file stored:
     *  - int64 (legacy nanos files read under `nanosAsLong`): truncate
     *    `div 1000` — the same truncation DuckDB applies casting
-    *    TIMESTAMP_NS → TIMESTAMP, so oracles align;
+    *    TIMESTAMP_NS → TIMESTAMP, so oracles align. DECLARED
+    *    ASSUMPTION: a bare int64 ts is nanos — the only int64 vintage
+    *    ever shipped. An int64-MICROS file would be indistinguishable
+    *    by dtype and silently land 1000× off; micros data must carry
+    *    the parquet TIMESTAMP(MICROS) annotation (→ TIMESTAMP_NTZ
+    *    branch below), which every tool that writes micros does;
     *  - TIMESTAMP_NTZ (micros files, isAdjustedToUTC=false): reinterpret
     *    in the session time zone — pinned to UTC everywhere, so the
     *    field values are preserved and DuckDB's naive read matches;

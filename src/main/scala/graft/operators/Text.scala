@@ -850,13 +850,19 @@ object Text {
     Q(
       "q143_bigram_quality",
       (s, d) => {
+        // big feeds BOTH the model build and the scoring join; c2
+        // feeds c1, the vocab scalar, and stats — cache both or the
+        // dominant explode/aggregate re-executes per plan branch
+        // (the CLAUDE.md self-join-shaped-reuse rule)
         val big = docs(s, d)
           .repartition(col("doc_id"))
           .select(
             col("doc_id"),
             explode(TextFns.shingles(col("tok"), 2)).as("bg"))
+          .cache()
         val c2 = big.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
           .withColumn("w1", element_at(split(col("bg"), " "), 1))
+          .cache()
         val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
         val vocab = c1.agg(count(lit(1)).as("v"))
         val stats = c2.join(c1, Seq("w1")).crossJoin(broadcast(vocab))

@@ -87,6 +87,10 @@ object EventStream {
       mode: String,
       expectedInput: Option[Long] = None): DataFrame = {
     val name = s"graft_stream_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+    // recentProgress is a bounded ring (default 100 entries) — a run
+    // with more micro-batches than that would undercount and trip the
+    // invariant spuriously; raise retention past any bounded-input run
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "100000")
     val q = df.writeStream
       .format("memory")
       .queryName(name)

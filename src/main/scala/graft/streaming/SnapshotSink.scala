@@ -32,17 +32,35 @@ object SnapshotSink {
   private val BatchKey = "stream_batch_id"
 
   /** Largest stream batch id recorded in the table's manifest chain,
-    * scanning newest-first. Maintenance commits (compaction,
-    * clustering) carry no batch id and are skipped, so interleaved
-    * maintenance never resets delivery; a rollback DOES reposition the
-    * stream (manifest metadata travels with the restored version — see
-    * the note on `Snapshots.MetaPrefix`).
+    * scanning newest-first. The id is STICKY manifest metadata
+    * (`Snapshots.StickyMeta`): maintenance commits — compaction,
+    * clustering, merge — carry the newest mark forward onto their own
+    * manifests, so interleaved maintenance never resets delivery AND a
+    * vacuum that drops every sink-written manifest still finds the
+    * mark on the kept ones. A rollback DOES reposition the stream
+    * (manifest metadata travels with the restored version). An empty
+    * recorded value means the mark was explicitly cleared
+    * ([[resetDelivery]]) and reads as no-mark.
     */
   def lastBatchId(spark: SparkSession, tableDir: String): Option[Long] =
     Snapshots.versions(spark, tableDir).reverseIterator
       .flatMap(v => Snapshots.meta(spark, tableDir, v).get(BatchKey))
-      .map(_.toLong)
       .nextOption()
+      .filter(_.nonEmpty)
+      .map(_.toLong)
+
+  /** Clear the delivery mark: commit a zero-row append whose EXPLICIT
+    * empty batch-id overrides the sticky carry, so [[lastBatchId]]
+    * reads None afterwards. Needed when a table is repurposed for a
+    * NEW stream with a fresh checkpoint (batch ids restart at 0) —
+    * without this the carried high-water mark would silently swallow
+    * the new stream's first batches as "re-deliveries". History stays
+    * intact; rollback before the reset restores the old mark.
+    */
+  def resetDelivery(spark: SparkSession, tableDir: String): Int =
+    Snapshots.commit(
+      Snapshots.read(spark, tableDir).limit(0), tableDir,
+      meta = Map(BatchKey -> ""))
 
   /** Idempotent micro-batch append: commits once per batch id, no-op on
     * re-delivery. Returns true when the batch was committed, false when

@@ -286,6 +286,20 @@ class SnapshotSpec extends SparkSpec {
     // a NEW batch advances the mark as before
     assert(SnapshotSink.appendOnce(Seq((3L, "c")).toDF("id", "tag"), dir, 2L))
     assert(SnapshotSink.lastBatchId(spark, dir).contains(2L))
+    // repurposing the table for a NEW stream (fresh checkpoint, ids
+    // restart at 0): without an explicit reset the sticky mark would
+    // swallow the new stream's first batches as re-deliveries
+    assert(!SnapshotSink.appendOnce(Seq((9L, "z")).toDF("id", "tag"), dir, 0L),
+      "fixture: a fresh stream's batch 0 is rejected pre-reset")
+    SnapshotSink.resetDelivery(spark, dir)
+    assert(SnapshotSink.lastBatchId(spark, dir).isEmpty, "reset must clear the mark")
+    // the cleared mark is itself sticky: maintenance after the reset
+    // must not resurrect the old high-water value
+    Snapshots.commit(Snapshots.read(spark, dir).repartition(1), dir, replace = true)
+    assert(SnapshotSink.lastBatchId(spark, dir).isEmpty)
+    assert(SnapshotSink.appendOnce(Seq((9L, "z")).toDF("id", "tag"), dir, 0L),
+      "the new stream's batch 0 must land after the reset")
+    assert(SnapshotSink.lastBatchId(spark, dir).contains(0L))
   }
 
   test("orphan sweep deletes only aged unreferenced files; live data and young writes survive") {
