@@ -117,6 +117,7 @@ object Bench {
       done: Seq[(String, Seq[Double])],
       dnf: Seq[String],
       errs: Seq[(String, String)],
+      flaky: Seq[(String, String)],
       skipped: Seq[String]): String = {
     val qs = done.map { case (k, rs) => "\"" + k + "\":" + f"${rs.min}%.3f" }.mkString("{", ",", "}")
     val runs = done.map { case (k, rs) =>
@@ -129,8 +130,13 @@ object Bench {
     // first line of the cause so the driver can separate the two
     val errJson = errs.map { case (k, m) => "\"" + k + "\":" + jstr(m.take(200)) }
       .mkString("{", ",", "}")
+    // flaky = measured fine at least once, then errored on a later run
+    // of the SAME binary/data — the measurement stands in queries/total
+    // but the failure is preserved for the consumer to flag
+    val flakyJson = flaky.map { case (k, m) => "\"" + k + "\":" + jstr(m.take(200)) }
+      .mkString("{", ",", "}")
     val skips = skipped.map("\"" + _ + "\"").mkString("[", ",", "]")
-    f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"runs":$runs,"dnf":$dnfs,"err":$errJson,"skipped":$skips,"sf":"$sfDir"}"""
+    f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"runs":$runs,"dnf":$dnfs,"err":$errJson,"flaky":$flakyJson,"skipped":$skips,"sf":"$sfDir"}"""
   }
 
   /** Every remaining unpartitioned window in the library sits on a
@@ -203,6 +209,7 @@ object Bench {
     var done = Vector.empty[(String, Seq[Double])]
     var dnf = Vector.empty[String]
     var errs = Vector.empty[(String, String)]
+    var flaky = Vector.empty[(String, String)]
     var skipped = Vector.empty[String]
     queries.foreach { q =>
       if (remainingSec <= 5) {
@@ -234,12 +241,17 @@ object Bench {
             case _     => ()
           }
         (err, runs) match {
-          // a completed measurement always beats an error report: a
-          // transient failure on the SECOND run must not discard the
-          // valid first-run time (which would silently shrink the
-          // suite total); err is recorded only when nothing ran
-          case (_, rs) if rs.nonEmpty =>
+          // a completed measurement still counts when a LATER run of
+          // the same query errors — but the error must not vanish: it
+          // lands in the flaky map so a worked-then-crashed query is
+          // visible to any consumer comparing totals, instead of
+          // silently shrinking the suite into a phantom speedup
+          case (e, rs) if rs.nonEmpty =>
             done :+= (q.name -> rs)
+            e.foreach { m =>
+              flaky :+= (q.name -> m)
+              System.err.println(s"[bench] ${q.name} FLAKY after a valid run: ${m.take(120)}")
+            }
             System.err.println(
               f"[bench] ${q.name}%-28s ${rs.min}%8.2fs  (runs: ${rs.map(r => f"$r%.2f").mkString(", ")})")
           case (Some(m), _) =>
@@ -251,12 +263,12 @@ object Bench {
         // caches are per-query scoped (self-join sharing); never let them
         // accumulate across the suite
         spark.catalog.clearCache()
-        emit(jsonLine(sfDir, done, dnf, errs, skipped))
+        emit(jsonLine(sfDir, done, dnf, errs, flaky, skipped))
       }
     }
     if (skipped.nonEmpty) {
       System.err.println(s"[bench] budget exhausted; skipped: ${skipped.mkString(", ")}")
-      emit(jsonLine(sfDir, done, dnf, errs, skipped))
+      emit(jsonLine(sfDir, done, dnf, errs, flaky, skipped))
     }
     spark.stop()
   }

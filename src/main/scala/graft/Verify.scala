@@ -49,6 +49,10 @@ object Verify {
         case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${Option(e.getCause).getOrElse(e).getMessage}")
       }
+      // operators cache per-query frames (self-join sharing); a full
+      // ~145-query dump must not accumulate every query's corpus-scale
+      // caches in one JVM — same rule Bench applies after every query
+      spark.catalog.clearCache()
     }
     spark.stop()
   }

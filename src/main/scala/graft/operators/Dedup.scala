@@ -4,7 +4,7 @@ import graft.{Q, Tables}
 import graft.functions.TextFns
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, IntegerType}
+import org.apache.spark.sql.types.{DecimalType, IntegerType, LongType}
 
 /** Deduplication operators over `documents`: exact (hash groupBy),
   * MinHash+LSH banding, SimHash, and n-gram Jaccard. All hashing goes
@@ -386,9 +386,18 @@ object Dedup {
     (labels, rounds)
   }
 
-  /** Winnowing gram length / window (q141/q142): anchors are ~1/[[SpanW]]
-    * of positions; duplicated regions ≥ SpanK+2(SpanW-1) = 48 chars are
-    * guaranteed to share an anchor.
+  /** Winnowing gram length / window (q141/q142): true per-window
+    * winnowing (Schleimer/Wilkerson/Aiken) — every window of [[SpanW]]
+    * consecutive grams selects its minimum fingerprint, rightmost on
+    * ties. Rightmost-in-window is a function of the window's own
+    * fingerprint sequence only, so two copies of a region select the
+    * SAME gram from their shared windows regardless of surrounding
+    * context: any duplicated region ≥ SpanK+SpanW-1 = 34 chars contains
+    * a full window and is therefore GUARANTEED to share an anchor —
+    * the hard worst-case bound a symmetric local-min filter cannot
+    * give (a smaller fingerprint just outside one copy can suppress a
+    * local-min anchor inside it). Expected density ~2/(SpanW+1) of
+    * positions.
     */
   private val SpanK = 20
   private val SpanW = 15
@@ -405,7 +414,7 @@ object Dedup {
     * (the corpus contract); a corpus of book-length outliers should be
     * pre-chunked (the q93 context-chunking pass) before span detection,
     * the same mitigation every per-doc window op in this library
-    * declares — the bounded 29-row frame keeps the per-task cost
+    * declares — the bounded [[SpanW]]-row frame keeps the per-task cost
     * linear, it is the single-task residency that caps doc size.
     */
   private[graft] def spanAnchors(sp: SparkSession, d: String): DataFrame = {
@@ -419,13 +428,32 @@ object Dedup {
       .select(
         col("doc_id"), col("n_chars"), col("pos"),
         TextFns.h60(expr(s"substring(text, pos, $SpanK)")).as("fp"))
-    val wSel = org.apache.spark.sql.expressions.Window
+    // per-window rightmost-min selection: each window START row carries
+    // min(struct(fp, -pos)) over the W grams ahead of it (struct order =
+    // fp first, then -pos, so fp ties resolve to the RIGHTMOST gram —
+    // the window-local tie-break the detection guarantee needs); rows
+    // past the last full-window start are dropped (a doc shorter than
+    // W grams keeps its single truncated window so short docs still
+    // anchor their global min), and consecutive windows selecting the
+    // same gram collapse via a lag over the same doc-keyed ordering —
+    // the selected-by window set of one gram is contiguous, so a
+    // one-row lag is exact dedup with no extra shuffle or sort
+    val wFwd = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
-      .rowsBetween(-(SpanW - 1), SpanW - 1)
+      .rowsBetween(0, SpanW - 1)
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
     grams
-      .withColumn("wmin", min(col("fp")).over(wSel))
-      .filter(col("fp") === col("wmin"))
-      .select(col("doc_id"), col("n_chars"), col("pos"), col("fp"))
+      .withColumn("w", min(struct(col("fp"), (-col("pos")).as("np"))).over(wFwd))
+      .filter(
+        col("pos") <= greatest(
+          lit(1L),
+          (col("n_chars") - lit(SpanK + SpanW - 2)).cast(LongType)))
+      .withColumn("pw", lag(col("w"), 1).over(wDoc))
+      .filter(col("pw").isNull || col("pw") =!= col("w"))
+      .select(
+        col("doc_id"), col("n_chars"),
+        (-col("w.np")).as("pos"), col("w.fp").as("fp"))
       .cache()
   }
 
@@ -472,11 +500,17 @@ object Dedup {
                  ${T.h60(s"substr(text, CAST(pos AS INT), $SpanK)")} AS fp
           FROM p),
         a AS (
-          SELECT doc_id, n_chars, pos, fp,
-                 MIN(fp) OVER (PARTITION BY doc_id ORDER BY pos
-                   ROWS BETWEEN ${SpanW - 1} PRECEDING AND ${SpanW - 1} FOLLOWING) AS wmin
+          SELECT doc_id, n_chars, pos,
+                 MIN(fp * 1099511627776::HUGEINT + (1099511627776 - pos)) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN CURRENT ROW AND ${SpanW - 1} FOLLOWING) AS wkey
           FROM g),
-        anch AS (SELECT doc_id, n_chars, pos, fp FROM a WHERE fp = wmin)"""
+        anch AS (
+          SELECT DISTINCT doc_id, n_chars,
+                 CAST(1099511627776 - (wkey % 1099511627776) AS BIGINT) AS pos,
+                 CAST(wkey // 1099511627776 AS BIGINT) AS fp
+          FROM a
+          WHERE pos <= greatest(1, n_chars - ${SpanK + SpanW - 2}))"""
 
   /** Oracle CTE chain mirroring [[islandize]] over `anch` rows matching
     * `where`: defines `sp(doc_id, island, s, e, n_chars)`.

@@ -3,7 +3,7 @@ package graft.streaming
 import graft.{Det, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{StreamingQueryListener, Trigger}
 
 /** Structured Streaming over the events table: the same aggregations
   * the batch operators declare (q36 hourly windows, q37 sessions), run
@@ -87,24 +87,52 @@ object EventStream {
       mode: String,
       expectedInput: Option[Long] = None): DataFrame = {
     val name = s"graft_stream_${java.util.UUID.randomUUID.toString.replace("-", "")}"
-    // recentProgress is a bounded ring (default 100 entries) — a run
-    // with more micro-batches than that would undercount and trip the
-    // invariant spuriously; raise retention past any bounded-input run
-    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "100000")
-    val q = df.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(mode)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    expectedInput.foreach { exp =>
-      val got = q.recentProgress.iterator.flatMap(_.sources).map(_.numInputRows).sum
-      require(got == exp,
-        s"stream ingested $got input rows but the static files hold $exp — " +
-          "schema drift or dropped data; refusing to emit a result")
+    // input accounting via a StreamingQueryListener keyed on the
+    // per-call-unique query name — exact for ANY number of
+    // micro-batches, unlike summing the bounded recentProgress ring
+    // (and with no session-global retention-conf side effect a caller
+    // could reset). Progress events match on name; termination is
+    // recorded for every runId and checked by membership afterwards,
+    // so the async listener bus can deliver in any interleaving with
+    // our q.runId read without a race. The bus delivers in order, so
+    // once our runId is in `terminatedRuns` every progress event of
+    // this query has been counted.
+    val inputRows = new java.util.concurrent.atomic.AtomicLong(0L)
+    val terminatedRuns =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[java.util.UUID]()
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(
+          e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: StreamingQueryListener.QueryProgressEvent): Unit =
+        if (e.progress.name == name)
+          inputRows.addAndGet(e.progress.sources.iterator.map(_.numInputRows).sum)
+      override def onQueryTerminated(
+          e: StreamingQueryListener.QueryTerminatedEvent): Unit =
+        terminatedRuns.add(e.runId)
     }
-    spark.table(name)
+    spark.streams.addListener(listener)
+    try {
+      val q = df.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      expectedInput.foreach { exp =>
+        val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+        while (!terminatedRuns.contains(q.runId) && System.nanoTime() < deadline)
+          Thread.sleep(10)
+        require(terminatedRuns.contains(q.runId),
+          "listener bus never delivered this query's termination event")
+        val got = inputRows.get()
+        require(got == exp,
+          s"stream ingested $got input rows but the static files hold $exp — " +
+            "schema drift or dropped data; refusing to emit a result")
+      }
+      spark.table(name)
+    } finally spark.streams.removeListener(listener)
   }
 
   /** Tumbling 1h windows per event type — streaming twin of q36. The

@@ -175,9 +175,9 @@ class TextDedupSpec extends SparkSpec {
     // the content-defined anchor selection must find the same region
     // regardless of where it sits in each document — the exact failure
     // mode of fixed-stride fingerprint sampling
-    // 123 chars — comfortably past the K+2(W-1)=48-char detection guarantee
+    // 123 chars — comfortably past the K+W-1=34-char detection guarantee
     val shared = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima mike november oscar papa quebec romeo sierra tango"
-    assert(shared.length >= 48)
+    assert(shared.length >= 34)
     // fillers must be aperiodic (a repeated short motif would create
     // genuine intra-filler duplicate grams) and share no 20-gram with
     // each other or the region — plain distinct prose
@@ -204,6 +204,28 @@ class TextDedupSpec extends SparkSpec {
     // docs' duplicated-char counts come from identical anchors
     assert(out(1L)._2 == out(2L)._2,
       s"same region, same anchors -> same dup_chars; got ${out(1L)._2} vs ${out(2L)._2}")
+  }
+
+  test("q141 hard guarantee: a minimum-length (34-char) region is detected under EVERY random surrounding context") {
+    // true winnowing's worst-case bound: a duplicated region of
+    // K+W-1 = 34 chars contains one full W-gram window, and
+    // rightmost-min selection is window-LOCAL, so every copy anchors
+    // the same gram no matter what fingerprints surround it. The
+    // pre-fix symmetric local-min filter had no such bound — a smaller
+    // fingerprint just outside one copy could suppress its in-region
+    // anchor, and across 80 random contexts it missed with near
+    // certainty. 80 docs, each = random filler + R + random filler.
+    val R = "zzqjvkxw marble lantern quince bz" + "q" // exactly 34 chars
+    assert(R.length == 34)
+    val rnd = new scala.util.Random(7)
+    def filler(): String =
+      (0 until (rnd.nextInt(81))).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val docs = (0L until 80L).map(i => (i, filler() + R + filler()))
+    val dir = docsDir(docs)
+    val out = SparkEntry.queries("q141_dup_spans")(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    assert(out == docs.map(_._1).toSet,
+      s"every doc embeds the same 34-char region; missing from spans: ${docs.map(_._1).toSet -- out}")
   }
 
   test("q141 catches INTRA-document repetition and reports sane per-doc stats on the corpus") {

@@ -273,7 +273,7 @@ class WarehouseSpec extends SparkSpec {
   }
 
   test("skew profile matches a local exact recomputation (q131)") {
-    val row = q("q131_key_skew_profile").head
+    val row = q("q131_key_skew_profile").head()
     // ground truth computed test-side from the same table
     val counts = Tables.events(spark, sf("sf0.001"))
       .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
