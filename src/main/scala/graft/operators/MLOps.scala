@@ -217,28 +217,37 @@ object MLOps {
     Map("average_unit_price" -> 2.0, "avg_quantity_sold" -> -1.0) // premium niche
   )
 
-  /** (part_id, cluster) via argmin of squared z-space distance to the
-    * four [[Centroids]]. Ties break to the lowest cluster id (CASE
-    * first-match, identical in Spark and DuckDB).
+  /** [[centroidLabels]] with the z columns retained alongside the
+    * cluster id — the silhouette query needs both the assignment and
+    * the coordinates; Catalyst prunes the extra columns for consumers
+    * (q74) that only read (part_id, cluster).
     */
-  private[graft] def centroidLabels(s: SparkSession, d: String): DataFrame = {
+  private[graft] def centroidLabeled(s: SparkSession, d: String): DataFrame = {
     def dist(c: Map[String, Double]): Column =
       MatrixFeatures.map { f =>
         val dz = col(s"z_$f") - lit(c.getOrElse(f, 0.0))
         dz * dz
       }.reduceLeft(_ + _)
     val ds = Centroids.indices.map(i => dist(Centroids(i)).as(s"d$i"))
+    val zCols = MatrixFeatures.map(f => col(s"z_$f"))
     zscored(s, d)
-      .select(col("part_id") +: ds: _*)
+      .select(col("part_id") +: (zCols ++ ds): _*)
       .select(
-        col("part_id"),
-        when(col("d0") <= col("d1") && col("d0") <= col("d2") && col("d0") <= col("d3"), 0)
-          .when(col("d1") <= col("d2") && col("d1") <= col("d3"), 1)
-          .when(col("d2") <= col("d3"), 2)
-          .otherwise(3)
-          .cast(IntegerType)
-          .as("cluster"))
+        col("part_id") +: zCols :+
+          when(col("d0") <= col("d1") && col("d0") <= col("d2") && col("d0") <= col("d3"), 0)
+            .when(col("d1") <= col("d2") && col("d1") <= col("d3"), 1)
+            .when(col("d2") <= col("d3"), 2)
+            .otherwise(3)
+            .cast(IntegerType)
+            .as("cluster"): _*)
   }
+
+  /** (part_id, cluster) via argmin of squared z-space distance to the
+    * four [[Centroids]]. Ties break to the lowest cluster id (CASE
+    * first-match, identical in Spark and DuckDB).
+    */
+  private[graft] def centroidLabels(s: SparkSession, d: String): DataFrame =
+    centroidLabeled(s, d).select(col("part_id"), col("cluster"))
 
   private val centroidLabelsSql: String = {
     def dist(c: Map[String, Double]): String =
@@ -258,6 +267,151 @@ object MLOps {
                        WHEN d2 <= d3 THEN 2
                        ELSE 3 END AS INT) AS cluster
       FROM dists)"""
+  }
+
+  private val Dec0 = org.apache.spark.sql.types.DecimalType(38, 0)
+  private val Acc12 = org.apache.spark.sql.types.DecimalType(38, 12)
+  private def dsum12(c: Column): Column = sum(c.cast(Acc12)).cast("double")
+
+  /** M4 as an ORACLE-GATED query: the exact mean silhouette (squared
+    * euclidean, the classic a/b definition with the own-cluster
+    * n/(n−1) correction and s=0 for singletons — the same formula the
+    * MLGateSpec recomputation pins against MLlib's evaluator) of the
+    * deterministic fixed-centroid clustering ([[centroidLabels]], the
+    * SQL-expressible model-application path the trajectory q74 rides).
+    *
+    * Exactness recipe (the q140 playbook): z-scores are 6-dp doubles,
+    * so `floor(z·1e6 + 0.5)` recovers their exact micro-integer in both
+    * engines; every per-cluster sufficient statistic (n, Σz, Σ‖z‖²) is
+    * then an order-free exact integer aggregate (decimal(38,0) /
+    * HUGEINT), and the per-point silhouette is a short fixed-order
+    * chain of IEEE double ops both engines compute bit-identically:
+    *   Σ_{y∈C}‖x−y‖² = n_C·‖x‖² + Σ_{y∈C}‖y‖² − 2·x·S_C.
+    *
+    * Scale shape: O(n·k) — one pass for the k·(dim+2) sufficient
+    * statistics (a single 1-row aggregate, broadcast back), one
+    * map-side pass for the per-point scores, one tiny aggregate for the
+    * means. No pairwise join anywhere (the naive silhouette is O(n²)).
+    * Output: per-cluster mean silhouette + the overall row (cluster
+    * −1), unrounded (identical bits need no rounding).
+    */
+  private[graft] def silhouetteDet(s: SparkSession, d: String): DataFrame = {
+    val k = Centroids.length
+    val zmCols = MatrixFeatures.map(f =>
+      floor(col(s"z_$f") * 1000000.0 + 0.5).cast(org.apache.spark.sql.types.LongType).as(s"m_$f"))
+    val pts = centroidLabeled(s, d)
+      .select(col("part_id") +: col("cluster") +: zmCols: _*)
+      .withColumn(
+        "xx",
+        MatrixFeatures.map(f => col(s"m_$f") * col(s"m_$f")).reduceLeft(_ + _))
+      .cache()
+    val statAggs = (0 until k).flatMap { c =>
+      val in = col("cluster") === c
+      Seq(
+        count(when(in, lit(1))).as(s"n$c"),
+        sum(when(in, col("xx")).cast(Dec0)).cast("double").as(s"q$c")) ++
+        MatrixFeatures.map(f => sum(when(in, col(s"m_$f"))).as(s"s${c}_$f"))
+    }
+    val stats = pts.agg(statAggs.head, statAggs.tail: _*)
+    // fixed-order scalar math: num_c = (n_c·xx + q_c) − 2·(x·S_c)
+    def num(c: Int): Column = {
+      val dot = MatrixFeatures
+        .map(f => col(s"m_$f").cast("double") * col(s"s${c}_$f").cast("double"))
+        .reduceLeft(_ + _)
+      col(s"n$c").cast("double") * col("xx").cast("double") + col(s"q$c") - lit(2.0) * dot
+    }
+    val dCols = (0 until k).map(c =>
+      when(col(s"n$c") === 0L, lit(1e300))
+        .otherwise(num(c) / col(s"n$c").cast("double")).as(s"d$c"))
+    val aCols = (0 until k).map(c =>
+      when(col(s"n$c") <= 1L, lit(0.0))
+        .otherwise(num(c) / (col(s"n$c") - 1L).cast("double")).as(s"a$c"))
+    val nCols = (0 until k).map(c => col(s"n$c"))
+    val wide = pts.crossJoin(broadcast(stats))
+      .select(col("cluster") +: (nCols ++ dCols ++ aCols): _*)
+    def pick(f: Int => Column): Column =
+      (1 until k).foldLeft(when(col("cluster") === 0, f(0))) { (acc, c) =>
+        acc.when(col("cluster") === c, f(c))
+      }
+    val nOwn = pick(c => col(s"n$c"))
+    val aOwn = pick(c => col(s"a$c"))
+    val bOwn = pick { c =>
+      val os = (0 until k).filterNot(_ == c).map(o => col(s"d$o"))
+      least(os: _*)
+    }
+    val sil = when(nOwn <= 1L, lit(0.0))
+      .when(greatest(aOwn, bOwn) === 0.0, lit(0.0))
+      .otherwise((bOwn - aOwn) / greatest(aOwn, bOwn))
+    val scored = wide.select(col("cluster"), sil.as("sil"))
+    val perCluster = scored
+      .groupBy(col("cluster"))
+      .agg(
+        count(lit(1)).as("n_pts"),
+        (dsum12(col("sil")) / count(lit(1)).cast("double")).as("mean_sil"))
+    val overall = scored
+      .agg(
+        count(lit(1)).as("n_pts"),
+        (dsum12(col("sil")) / count(lit(1)).cast("double")).as("mean_sil"))
+      .select(lit(-1).cast(IntegerType).as("cluster"), col("n_pts"), col("mean_sil"))
+    perCluster.unionByName(overall).orderBy(col("cluster"))
+  }
+
+  /** CTE-for-CTE DuckDB replay of [[silhouetteDet]]. */
+  private[graft] val silhouetteSql: String = {
+    val k = Centroids.length
+    val zm = MatrixFeatures
+      .map(f => s"CAST(floor(zs.z_$f * 1000000.0 + 0.5) AS BIGINT) AS m_$f")
+      .mkString(",\n             ")
+    val xx = MatrixFeatures.map(f => s"m_$f * m_$f").mkString(" + ")
+    val statCols = (0 until k).flatMap { c =>
+      Seq(
+        s"COUNT(CASE WHEN cluster = $c THEN 1 END) AS n$c",
+        s"CAST(SUM(CASE WHEN cluster = $c THEN xx END) AS DOUBLE) AS q$c") ++
+        MatrixFeatures.map(f => s"SUM(CASE WHEN cluster = $c THEN m_$f END) AS s${c}_$f")
+    }.mkString(",\n             ")
+    def num(c: Int): String = {
+      val dot = MatrixFeatures
+        .map(f => s"CAST(m_$f AS DOUBLE) * CAST(s${c}_$f AS DOUBLE)")
+        .mkString(" + ")
+      s"CAST(n$c AS DOUBLE) * CAST(xx AS DOUBLE) + q$c - 2.0 * ($dot)"
+    }
+    val dCols = (0 until k).map(c =>
+      s"CASE WHEN n$c = 0 THEN 1e300 ELSE (${num(c)}) / CAST(n$c AS DOUBLE) END AS d$c")
+    val aCols = (0 until k).map(c =>
+      s"CASE WHEN n$c <= 1 THEN 0.0 ELSE (${num(c)}) / CAST(n$c - 1 AS DOUBLE) END AS a$c")
+    val nCols = (0 until k).map(c => s"n$c")
+    def pick(f: Int => String): String =
+      (0 until k).map(c => s"WHEN p.cluster = $c THEN ${f(c)}").mkString("CASE ", " ", " END")
+    val nOwn = pick(c => s"n$c")
+    val aOwn = pick(c => s"a$c")
+    val bOwn = pick { c =>
+      val os = (0 until k).filterNot(_ == c).map(o => s"d$o")
+      s"least(${os.mkString(", ")})"
+    }
+    s"""
+    mz AS (SELECT lb.cluster, zs.part_id,
+             $zm
+           FROM zs JOIN labels lb ON zs.part_id = lb.part_id),
+    mpts AS (SELECT *, $xx AS xx FROM mz),
+    sst AS (SELECT $statCols
+            FROM mpts),
+    swide AS (SELECT p.cluster,
+             ${(nCols ++ dCols ++ aCols).mkString(",\n             ")}
+           FROM mpts p CROSS JOIN sst),
+    ssc AS (SELECT p.cluster,
+             CASE WHEN $nOwn <= 1 THEN 0.0
+                  WHEN greatest($aOwn, $bOwn) = 0.0 THEN 0.0
+                  ELSE (($bOwn) - ($aOwn)) / greatest($aOwn, $bOwn) END AS sil
+           FROM swide p)
+    SELECT cluster, n_pts, mean_sil FROM (
+      SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_pts,
+             CAST(SUM(CAST(sil AS DECIMAL(38,12))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_sil
+      FROM ssc GROUP BY cluster
+      UNION ALL
+      SELECT CAST(-1 AS INT), CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CAST(sil AS DECIMAL(38,12))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+      FROM ssc)
+    ORDER BY cluster"""
   }
 
   /** A12 core: per-(cluster, quarter) mean/std trajectory of quarterly
@@ -674,27 +828,21 @@ object MLOps {
       bench = true
     ),
 
-    // M4: silhouette score of the k=4 product clustering (squared
-    // euclidean, the MLlib default — the reference imports sklearn's
-    // silhouette_score in the LSTM notebook, cell 24)
+    // M4: silhouette of the k=4 product clustering (squared euclidean —
+    // the reference imports sklearn's silhouette_score in the LSTM
+    // notebook, cell 24), ORACLE-GATED: scored over the deterministic
+    // fixed-centroid assignment via exact sufficient statistics (see
+    // [[silhouetteDet]]); the MLlib ClusteringEvaluator twin over the
+    // seed-dependent MLlib fit is pinned in MLGateSpec against the
+    // identical formula
     Q(
       "q67_silhouette",
-      (s, d) => {
-        val z = zscored(s, d)
-        val zCols = MatrixFeatures.map(c => s"z_$c")
-        val vec = new VectorAssembler().setInputCols(zCols.toArray).setOutputCol("fv")
-        val assembled = vec.transform(z.na.drop())
-        val km = new KMeans().setK(4).setSeed(42L).setFeaturesCol("fv").setPredictionCol("cluster")
-        val fitted = km.fit(assembled).transform(assembled)
-        val sil = new ClusteringEvaluator()
-          .setFeaturesCol("fv").setPredictionCol("cluster").setMetricName("silhouette")
-          .evaluate(fitted)
-        val spark = s
-        import spark.implicits._
-        Seq(("silhouette_sq_euclidean", math.rint(sil * 1e4) / 1e4)).toDF("metric", "value")
-      },
-      None,
-      bench = true
+      (s, d) => silhouetteDet(s, d),
+      Some(s"""
+        WITH $featuresSql,
+        $zscoredSql,
+        $centroidLabelsSql,
+        $silhouetteSql""")
     ),
 
     // M5 data prep: per-product quarterly revenue sequences as sorted

@@ -94,23 +94,11 @@ class MLGateSpec extends SparkSpec {
     assert(rows.sameElements(again), "trajectory must be run-to-run deterministic")
   }
 
-  test("q67: evaluator silhouette matches an exact squared-euclidean recomputation") {
-    val reported = SparkEntry.queries("q67_silhouette")(spark, sf("sf0.001"))
-      .collect().head.getDouble(1)
-
-    // refit the identical pipeline (same session, same seed) to get the
-    // assignments q67's evaluator scored
-    val zCols = MLOps.MatrixFeatures.map(c => s"z_$c")
-    val assembled = new VectorAssembler()
-      .setInputCols(zCols.toArray).setOutputCol("fv")
-      .transform(MLOps.zscored(spark, sf("sf0.001")).na.drop())
-    val fitted = new KMeans()
-      .setK(4).setSeed(42L).setFeaturesCol("fv").setPredictionCol("cluster")
-      .fit(assembled).transform(assembled)
-
-    val pts = fitted.select(col("cluster"), col("fv")).collect().map { r =>
-      (r.getInt(0), r.getAs[org.apache.spark.ml.linalg.Vector](1).toArray)
-    }
+  /** Exact classic silhouette (squared euclidean, own-cluster n/(n−1)
+    * correction, singletons → 0) from collected (cluster, coords)
+    * points via per-cluster sufficient statistics.
+    */
+  private def exactSilhouette(pts: Array[(Int, Array[Double])]): Double = {
     // exact mean squared distance from x to cluster C:
     //   avg_{y in C} ||x-y||^2 = ||x||^2 + (sum_{y} ||y||^2)/|C| - 2 (x . sum_y y)/|C|
     // own-cluster dissimilarity rescales by n/(n-1) (the ||x-x||^2 = 0
@@ -142,9 +130,50 @@ class MLGateSpec extends SparkSpec {
         (b - a) / math.max(a, b)
       }
     }
-    val exact = sils.sum / sils.length
-    // q67 rounds to 4 decimals; recomputation order differences are ~1e-12
+    sils.sum / sils.length
+  }
+
+  test("MLlib evaluator silhouette matches an exact squared-euclidean recomputation") {
+    // fit the MLlib pipeline and score it with ClusteringEvaluator,
+    // then recompute the same definition from scratch — pins that the
+    // library surface agrees with the formula q67's oracle-gated
+    // deterministic variant implements
+    val zCols = MLOps.MatrixFeatures.map(c => s"z_$c")
+    val assembled = new VectorAssembler()
+      .setInputCols(zCols.toArray).setOutputCol("fv")
+      .transform(MLOps.zscored(spark, sf("sf0.001")).na.drop())
+    val fitted = new KMeans()
+      .setK(4).setSeed(42L).setFeaturesCol("fv").setPredictionCol("cluster")
+      .fit(assembled).transform(assembled)
+    val reported = new org.apache.spark.ml.evaluation.ClusteringEvaluator()
+      .setFeaturesCol("fv").setPredictionCol("cluster").setMetricName("silhouette")
+      .evaluate(fitted)
+    val pts = fitted.select(col("cluster"), col("fv")).collect().map { r =>
+      (r.getInt(0), r.getAs[org.apache.spark.ml.linalg.Vector](1).toArray)
+    }
+    val exact = exactSilhouette(pts)
     assert(math.abs(exact - reported) <= 5e-5 + 1e-9,
       s"evaluator silhouette $reported drifts from exact recomputation $exact")
+  }
+
+  test("q67: deterministic silhouette equals the exact recomputation over its own labels") {
+    val rows = SparkEntry.queries("q67_silhouette")(spark, sf("sf0.001")).collect()
+    assert(rows.map(_.getInt(0)).toSeq.sorted.head == -1, "overall row (cluster -1) must exist")
+    val overall = rows.find(_.getInt(0) == -1).get.getDouble(2)
+    assert(overall >= -1.0 && overall <= 1.0, s"silhouette out of range: $overall")
+    // recompute from the micro-integer coordinates q67 scores (the 6-dp
+    // z-scores), over the same fixed-centroid assignment
+    val pts = MLOps.centroidLabeled(spark, sf("sf0.001"))
+      .select(col("cluster") +: MLOps.MatrixFeatures.map(f => col(s"z_$f")): _*)
+      .collect().map { r =>
+        (r.getInt(0), (1 to MLOps.MatrixFeatures.length)
+          .map(i => math.floor(r.getDouble(i) * 1000000.0 + 0.5)).toArray)
+      }
+    val exact = exactSilhouette(pts)
+    assert(math.abs(exact - overall) <= 1e-9,
+      s"q67 overall silhouette $overall drifts from exact recomputation $exact")
+    // per-cluster rows: n_pts sums to the corpus, clusters 0..3 present or absent consistently
+    val per = rows.filter(_.getInt(0) >= 0)
+    assert(per.map(_.getLong(1)).sum == pts.length, "per-cluster counts must cover every part")
   }
 }
