@@ -414,6 +414,146 @@ object MLOps {
     ORDER BY cluster"""
   }
 
+  /** Fixed iteration count of the oracle-replayed Lloyd clustering
+    * (q56). Five assignment/update rounds from the deterministic
+    * [[Centroids]] init — near-converged for k=4 on the z-matrix, and
+    * every round is exact-or-fixed-order arithmetic both engines
+    * replay bit-identically.
+    */
+  private[graft] val LloydIters = 5
+
+  /** M2 as an ORACLE-GATED query: k=4 Lloyd k-means on the z-scored
+    * feature matrix with deterministic init (the fixed [[Centroids]])
+    * and a FIXED iteration count — the q140 recipe (replay
+    * deterministic training in SQL) applied to clustering, closing the
+    * "k-means labels are library-specific" oracle gap. Each round:
+    *  - assignment: argmin of squared z-distance to the 4 centroid
+    *    columns, ties to the lowest id (the [[centroidLabeled]] CASE) —
+    *    fixed-order IEEE double sums, identical in both engines;
+    *  - update: per-(cluster, feature) decimal(38,12)-exact sums of the
+    *    6-dp z values divided by the cluster count (one double op);
+    *    empty clusters keep their previous centroid.
+    * The MLlib KMeans surface (k-means|| init, convergence-driven) stays
+    * exercised by q57/[[kmeansCanonical]] and partition-pinned in
+    * KMeansSpec; KMeansSpec also pins that this Lloyd variant agrees
+    * with MLlib on a well-separated partition.
+    *
+    * Scale shape: [[LloydIters]]+1 passes over the (tiny, one row per
+    * part) z-matrix, each a map-side labeled aggregate against a
+    * broadcast 1-row centroid frame — exactly how distributed Lloyd
+    * scales to 100 TB (centroids are k·dim doubles however large the
+    * corpus; the per-pass shuffle carries k·(dim+1) partial sums).
+    */
+  /** The generic fixed-iteration Lloyd loop behind [[lloydKMeans]]:
+    * label every row of `zs` (all its columns are carried through, plus
+    * `cluster`) after `iters` deterministic assignment/update rounds
+    * from the `inits` centroids (maps feature → coordinate, absent =
+    * 0.0). Exposed so KMeansSpec can pin partition agreement with MLlib
+    * on the well-separated blobs fixture.
+    */
+  private[graft] def lloydAssign(
+      s: SparkSession,
+      zs: DataFrame,
+      feats: Seq[String],
+      inits: Seq[Map[String, Double]],
+      iters: Int): DataFrame = {
+    val k = inits.length
+    val zsCols = zs.columns.toSeq.map(col)
+    def distC(c: Int): Column =
+      feats.map { f =>
+        val dz = col(f) - col(s"c${c}_$f")
+        dz * dz
+      }.reduceLeft(_ + _)
+    val labExpr = {
+      def winsRest(c: Int): Column =
+        (c + 1 until k).map(o => col(s"d$c") <= col(s"d$o")).reduceLeft(_ && _)
+      (1 until k - 1)
+        .foldLeft(when(winsRest(0), 0))((acc, c) => acc.when(winsRest(c), c))
+        .otherwise(k - 1)
+        .cast(IntegerType)
+        .as("cluster")
+    }
+    def labelWith(cent: DataFrame): DataFrame =
+      zs.crossJoin(broadcast(cent))
+        .select(zsCols ++ (0 until k).map(c => distC(c).as(s"d$c")): _*)
+        .select(zsCols :+ labExpr: _*)
+    var cent: DataFrame = s.range(1).select(
+      (0 until k).flatMap(c =>
+        feats.map(f => lit(inits(c).getOrElse(f, 0.0)).as(s"c${c}_$f"))): _*)
+    for (_ <- 1 to iters) {
+      val labeled = labelWith(cent)
+      val aggs = (0 until k).flatMap { c =>
+        val in = col("cluster") === c
+        count(when(in, lit(1))).as(s"n$c") +:
+          feats.map(f =>
+            sum(when(in, col(f)).cast(Acc12)).cast("double").as(s"s${c}_$f"))
+      }
+      val st = labeled.agg(aggs.head, aggs.tail: _*)
+      cent = st.crossJoin(cent)
+        .select((0 until k).flatMap(c => feats.map(f =>
+          when(col(s"n$c") > 0, col(s"s${c}_$f") / col(s"n$c").cast("double"))
+            .otherwise(col(s"c${c}_$f")).as(s"c${c}_$f"))): _*)
+        .localCheckpoint(true)
+    }
+    labelWith(cent)
+  }
+
+  private[graft] def lloydKMeans(s: SparkSession, d: String): DataFrame = {
+    val zs = zscored(s, d).localCheckpoint(true)
+    val zInits = Centroids.map(_.map { case (f, v) => s"z_$f" -> v })
+    lloydAssign(s, zs, MatrixFeatures.map(f => s"z_$f"), zInits, LloydIters)
+      .groupBy(col("cluster"))
+      .agg(
+        count(lit(1)).as("n_parts"),
+        (dsum12(col("z_profit")) / count(lit(1)).cast("double")).as("avg_z_profit"),
+        (dsum12(col("z_customer_loyalty")) / count(lit(1)).cast("double")).as("avg_z_loyalty"))
+      .orderBy(col("cluster"))
+  }
+
+  /** CTE-for-CTE DuckDB replay of [[lloydKMeans]]'s training rounds. */
+  private[graft] val lloydSql: String = {
+    val k = Centroids.length
+    val zStar = MatrixFeatures.map(f => s"z.z_$f").mkString(", ")
+    def distC(c: Int): String =
+      MatrixFeatures.map(f => s"(z_$f - c${c}_$f) * (z_$f - c${c}_$f)").mkString(" + ")
+    val labCase =
+      """CAST(CASE WHEN d0 <= d1 AND d0 <= d2 AND d0 <= d3 THEN 0
+        |                 WHEN d1 <= d2 AND d1 <= d3 THEN 1
+        |                 WHEN d2 <= d3 THEN 2
+        |                 ELSE 3 END AS INT) AS cluster""".stripMargin
+    val ctes = scala.collection.mutable.ArrayBuffer[String](
+      (0 until k).flatMap(c => MatrixFeatures.map(f =>
+        s"CAST(${Centroids(c).getOrElse(f, 0.0)} AS DOUBLE) AS c${c}_$f"))
+        .mkString("kc0 AS (SELECT ", ",\n             ", ")"))
+    for (i <- 1 to LloydIters) {
+      ctes += s"""kld$i AS (SELECT $zStar,
+             ${(0 until k).map(c => s"${distC(c)} AS d$c").mkString(",\n             ")}
+           FROM zs z CROSS JOIN kc${i - 1})"""
+      ctes += s"""klab$i AS (SELECT *, $labCase FROM kld$i)"""
+      val statCols = (0 until k).flatMap { c =>
+        s"COUNT(CASE WHEN cluster = $c THEN 1 END) AS n$c" +:
+          MatrixFeatures.map(f =>
+            s"CAST(SUM(CASE WHEN cluster = $c THEN CAST(z_$f AS DECIMAL(38,12)) END) AS DOUBLE) AS s${c}_$f")
+      }.mkString(",\n             ")
+      ctes += s"kst$i AS (SELECT $statCols FROM klab$i)"
+      val newCent = (0 until k).flatMap(c => MatrixFeatures.map(f =>
+        s"CASE WHEN st.n$c > 0 THEN st.s${c}_$f / CAST(st.n$c AS DOUBLE) ELSE p.c${c}_$f END AS c${c}_$f"))
+        .mkString(",\n             ")
+      ctes += s"kc$i AS (SELECT $newCent FROM kst$i st CROSS JOIN kc${i - 1} p)"
+    }
+    ctes += s"""kldF AS (SELECT $zStar,
+             ${(0 until k).map(c => s"${distC(c)} AS d$c").mkString(",\n             ")}
+           FROM zs z CROSS JOIN kc$LloydIters)"""
+    ctes += s"""klabF AS (SELECT *, $labCase FROM kldF)"""
+    s"""
+    ${ctes.mkString(",\n    ")}
+    SELECT cluster,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(CAST(z_profit AS DECIMAL(38,12))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_z_profit,
+           CAST(SUM(CAST(z_customer_loyalty AS DECIMAL(38,12))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_z_loyalty
+    FROM klabF GROUP BY cluster ORDER BY cluster"""
+  }
+
   /** A12 core: per-(cluster, quarter) mean/std trajectory of quarterly
     * revenue (LSTM_features_learning.ipynb cell 24 computes exactly
     * this per-cluster-per-quarter mean/std frame). `labels` is any
@@ -765,22 +905,17 @@ object MLOps {
         SELECT * FROM zs ORDER BY part_id""")
     ),
 
-    // KMeans k=4 on the scaled matrix → canonical cluster stats (M2+A6)
+    // KMeans k=4 on the scaled matrix → cluster stats (M2+A6),
+    // ORACLE-GATED: deterministic fixed-iteration Lloyd with the
+    // training replayed by the DuckDB oracle (see [[lloydKMeans]]); the
+    // MLlib KMeans surface stays exercised by q57 + KMeansSpec
     Q(
       "q56_kmeans_products",
-      (s, d) => {
-        val z = zscored(s, d)
-        kmeansCanonical(z, MatrixFeatures.map(c => s"z_$c"), "part_id", 4)
-          .groupBy(col("cluster"))
-          .agg(
-            count(lit(1)).as("n_parts"),
-            round(avg(col("z_profit")), 4).as("avg_z_profit"),
-            round(avg(col("z_customer_loyalty")), 4).as("avg_z_loyalty")
-          )
-          .orderBy(col("cluster"))
-      },
-      None,
-      bench = true
+      (s, d) => lloydKMeans(s, d),
+      Some(s"""
+        WITH $featuresSql,
+        $zscoredSql,
+        $lloydSql""")
     ),
 
     // The learned-embedding clustering path closed END TO END (M2/M5):

@@ -39,6 +39,27 @@ class KMeansSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("q56's Lloyd core agrees with MLlib on a well-separated partition") {
+    // the oracle-replayed fixed-iteration Lloyd (lloydAssign) and the
+    // MLlib fit must produce the SAME partition of the blobs — labels
+    // may differ, the grouping may not
+    val inits = Seq(
+      Map("f0" -> 10.0, "f1" -> 10.0),
+      Map("f0" -> 90.0, "f1" -> 10.0),
+      Map("f0" -> 10.0, "f1" -> 90.0))
+    val lloyd = MLOps.lloydAssign(spark, blobs, Seq("f0", "f1"), inits, MLOps.LloydIters)
+      .select("id", "cluster").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val mllib = MLOps.kmeansCanonical(blobs, Seq("f0", "f1"), "id", 3)
+      .select("id", "cluster").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val pairing = lloyd.keys.groupBy(lloyd).view.mapValues(_.map(mllib).toSet)
+    assert(pairing.values.forall(_.size == 1),
+      s"each Lloyd cluster must map to exactly one MLlib cluster: $pairing")
+    assert(pairing.values.flatten.toSet.size == 3, "the mapping must be a bijection")
+    val again = MLOps.lloydAssign(spark, blobs, Seq("f0", "f1"), inits, MLOps.LloydIters)
+      .select("id", "cluster").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(lloyd == again, "Lloyd assignment must be run-to-run deterministic")
+  }
+
   test("q57: sequence-embedding clustering is total, k-covering, deterministic") {
     // the M5 path end to end — q127's deterministic projection feeding
     // kmeansCanonical; labels are library-specific (rows-only for the
