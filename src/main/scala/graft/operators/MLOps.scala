@@ -2,8 +2,7 @@ package graft.operators
 
 import graft.{Det, Q, Tables}
 import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.evaluation.ClusteringEvaluator
-import org.apache.spark.ml.feature.{PCA, VectorAssembler}
+import org.apache.spark.ml.feature.VectorAssembler
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -833,6 +832,155 @@ object MLOps {
         GROUP BY part_id ORDER BY part_id"""
   }
 
+  /** M3 as an ORACLE-GATED query: PCA explained-variance spectrum of
+    * the z-scored feature matrix via [[LearnIters]] rounds of subspace
+    * iteration on the TRACE-NORMALIZED feature Gram matrix — the q140
+    * replay recipe applied to the reference's PCA step
+    * (`/root/reference/src/utils/pca.py:3-9` fits sklearn PCA(4); the
+    * variance ratios are the part of its output the notebook consumes).
+    *
+    * Exactness: 6-dp z-scores become exact micro-integers, so the Gram
+    * matrix and its trace are exact HUGEINT/decimal sums; dividing G by
+    * its trace puts EVERY downstream value in O(1e-2..1) — inside the
+    * 17-significant-digit window where Spark's shortest-repr and
+    * DuckDB's binary-expansion double→decimal(38,12) roundings agree —
+    * and makes the Rayleigh quotient vᵀ(G/tr)v the explained-variance
+    * ratio directly. The md5-sign init and modified Gram-Schmidt rounds
+    * are q140's, replayed CTE-for-CTE by the oracle.
+    *
+    * Scale shape: one pass builds the (parts × 8) micro matrix, one
+    * self-join keyed on part_id builds the 8×8 Gram; training then
+    * runs on constant-size (8×4) frames regardless of corpus size —
+    * exactly how a D×D covariance eigensolve distributes. The MLlib
+    * PCA surface is pinned against this spectrum in MLGateSpec.
+    */
+  private[graft] def pcaVarianceDet(s: SparkSession, d: String): DataFrame = {
+    val nf = MatrixFeatures.length
+    val arr = array(MatrixFeatures.map(f =>
+      floor(col(s"z_$f") * 1000000.0 + 0.5).cast(org.apache.spark.sql.types.LongType)): _*)
+    val zm = zscored(s, d)
+      .select(col("part_id"), posexplode(arr))
+      .select(
+        col("part_id"),
+        (col("pos") + 1).cast(IntegerType).as("t"),
+        col("col").as("m"))
+      .localCheckpoint(true)
+    val tr = zm.agg(sum((col("m") * col("m")).cast(Dec0)).cast("double").as("tr"))
+    val g = zm.as("a").join(zm.as("b"), "part_id")
+      .groupBy(col("a.t").as("t1"), col("b.t").as("t2"))
+      .agg(sum(col("a.m").cast(Dec0) * col("b.m")).cast("double").as("graw"))
+      .crossJoin(broadcast(tr))
+      .select(col("t1"), col("t2"), (col("graw") / col("tr")).as("g"))
+      .coalesce(1)
+      .localCheckpoint(true)
+    var v: DataFrame = s.range(1, nf + 1).select(col("id").cast(IntegerType).as("t"))
+      .crossJoin(s.range(1, LearnDim + 1).select(col("id").cast(IntegerType).as("j")))
+      .select(
+        col("t"), col("j"),
+        when(
+          graft.functions.TextFns.h60(concat(
+            col("t").cast("string"), lit(","), col("j").cast("string"), lit("v"))) % 2 === 0,
+          lit(1.0)).otherwise(lit(-1.0)).as("v"))
+      .coalesce(1)
+      .localCheckpoint(true)
+    for (_ <- 1 to LearnIters) {
+      val w = g.join(v.as("vv"), col("t2") === col("vv.t"))
+        .groupBy(col("t1").as("t"), col("j"))
+        .agg(dsum12(col("g") * col("v")).as("w"))
+        .coalesce(1)
+        .localCheckpoint(true)
+      var done = Vector.empty[DataFrame]
+      for (j <- 1 to LearnDim) {
+        var u = w.filter(col("j") === j).select(col("t"), col("w").as("u"))
+        for (prior <- done) {
+          val dot = u.join(prior, "t").agg(dsum12(col("u") * col("vc")).as("dd"))
+          u = u.join(prior, "t").crossJoin(broadcast(dot))
+            .select(col("t"), (col("u") - col("dd") * col("vc")).as("u"))
+        }
+        val n = u.agg(sqrt(dsum12(col("u") * col("u"))).as("n"))
+        done = done :+ u.crossJoin(broadcast(n))
+          .select(
+            col("t"),
+            (col("u") / when(col("n") === 0.0, 1.0).otherwise(col("n"))).as("vc"))
+          .coalesce(1)
+          .localCheckpoint(true)
+      }
+      v = done.zipWithIndex
+        .map { case (c, i) => c.select(col("t"), lit(i + 1).as("j"), col("vc").as("v")) }
+        .reduce(_.unionByName(_))
+        .coalesce(1)
+        .localCheckpoint(true)
+    }
+    // explained variance = Rayleigh quotient vᵀ(G/tr)v per component
+    val y = g.join(v.as("vv"), col("t2") === col("vv.t"))
+      .groupBy(col("t1").as("t"), col("j"))
+      .agg(dsum12(col("g") * col("v")).as("y"))
+    val lam = y.as("y").join(v.as("v2"), col("y.t") === col("v2.t") && col("y.j") === col("v2.j"))
+      .groupBy(col("y.j"))
+      .agg(dsum12(col("y") * col("v")).as("explained_variance"))
+    // components are numbered by descending captured variance (ties by
+    // training column id) — the trailing basis columns of a
+    // finite-iteration subspace fit can swap order near equal
+    // eigenvalues, and PCA components are by definition rank-ordered
+    lam
+      .select(
+        (row_number().over(
+          Window.orderBy(col("explained_variance").desc, col("j"))) - 1)
+          .cast(IntegerType).as("component"),
+        col("explained_variance"))
+      .orderBy(col("component"))
+  }
+
+  /** CTE-for-CTE DuckDB replay of [[pcaVarianceDet]]. */
+  private[graft] val pcaVarianceSql: String = {
+    val nf = MatrixFeatures.length
+    val h = graft.functions.TextFns.Sql.h60(
+      "CAST(t AS VARCHAR) || ',' || CAST(j AS VARCHAR) || 'v'")
+    def d12(e: String) = s"CAST(SUM(CAST($e AS DECIMAL(38,12))) AS DOUBLE)"
+    val unions = MatrixFeatures.zipWithIndex.map { case (f, i) =>
+      s"SELECT part_id, CAST(${i + 1} AS INT) AS t, CAST(floor(z_$f * 1000000.0 + 0.5) AS BIGINT) AS m FROM zs"
+    }.mkString("\n             UNION ALL ")
+    val ctes = scala.collection.mutable.ArrayBuffer[String](
+      s"""zlong AS MATERIALIZED ($unions)""",
+      s"""ptr AS (SELECT CAST(SUM(CAST(m * m AS HUGEINT)) AS DOUBLE) AS tr FROM zlong)""",
+      s"""pg AS MATERIALIZED (SELECT a.t AS t1, b.t AS t2,
+                CAST(SUM(CAST(a.m AS HUGEINT) * b.m) AS DOUBLE) / (SELECT tr FROM ptr) AS g
+              FROM zlong a JOIN zlong b ON a.part_id = b.part_id GROUP BY 1, 2)""",
+      s"""pv0 AS MATERIALIZED (SELECT t, j,
+                CASE WHEN $h % 2 = 0 THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END AS v
+              FROM (SELECT CAST(unnest(generate_series(1, $nf)) AS INT) AS t)
+              CROSS JOIN (SELECT CAST(unnest(generate_series(1, $LearnDim)) AS INT) AS j))""")
+    for (i <- 1 to LearnIters) {
+      ctes += s"""pw$i AS MATERIALIZED (SELECT pg.t1 AS t, v.j, ${d12("pg.g * v.v")} AS w
+              FROM pg JOIN pv${i - 1} v ON pg.t2 = v.t GROUP BY 1, 2)"""
+      for (j <- 1 to LearnDim) {
+        ctes += s"pu${i}_${j}_0 AS MATERIALIZED (SELECT t, w AS u FROM pw$i WHERE j = $j)"
+        for (k <- 1 until j) {
+          ctes += s"""pd${i}_${j}_$k AS MATERIALIZED (SELECT ${d12("a.u * b.vc")} AS dd
+              FROM pu${i}_${j}_${k - 1} a JOIN pc${i}_$k b ON a.t = b.t)"""
+          ctes += s"""pu${i}_${j}_$k AS MATERIALIZED (SELECT a.t, a.u - d.dd * b.vc AS u
+              FROM pu${i}_${j}_${k - 1} a JOIN pc${i}_$k b ON a.t = b.t CROSS JOIN pd${i}_${j}_$k d)"""
+        }
+        ctes += s"pn${i}_$j AS MATERIALIZED (SELECT sqrt(${d12("u * u")}) AS n FROM pu${i}_${j}_${j - 1})"
+        ctes += s"""pc${i}_$j AS MATERIALIZED (SELECT t, u / (CASE WHEN n.n = 0 THEN 1 ELSE n.n END) AS vc
+              FROM pu${i}_${j}_${j - 1} CROSS JOIN pn${i}_$j n)"""
+      }
+      ctes += (1 to LearnDim)
+        .map(j => s"SELECT t, CAST($j AS INT) AS j, vc AS v FROM pc${i}_$j")
+        .mkString(s"pv$i AS MATERIALIZED (", " UNION ALL ", ")")
+    }
+    ctes += s"""py AS (SELECT pg.t1 AS t, v.j, ${d12("pg.g * v.v")} AS y
+              FROM pg JOIN pv$LearnIters v ON pg.t2 = v.t GROUP BY 1, 2)"""
+    ctes += s"""plam AS (SELECT y.j, ${d12("y.y * v.v")} AS explained_variance
+              FROM py y JOIN pv$LearnIters v ON y.t = v.t AND y.j = v.j
+              GROUP BY y.j)"""
+    s"""
+    ${ctes.mkString(",\n    ")}
+    SELECT CAST(row_number() OVER (ORDER BY explained_variance DESC, j) - 1 AS INT) AS component,
+           explained_variance
+    FROM plam ORDER BY component"""
+  }
+
   /** KMeans on a z-scored frame; labels canonicalized by (cluster size
     * desc, first-feature centroid asc) so re-runs and library versions
     * with the same partition produce identical ids.
@@ -944,23 +1092,17 @@ object MLOps {
       bench = true
     ),
 
-    // PCA(4) on the z-scored matrix: explained-variance summary (M3)
+    // PCA(4) on the z-scored matrix: explained-variance summary (M3),
+    // ORACLE-GATED: trace-normalized Gram subspace iteration with the
+    // training replayed by the DuckDB oracle (see [[pcaVarianceDet]]);
+    // MLGateSpec pins this spectrum against MLlib's PCA fit
     Q(
       "q58_pca_variance",
-      (s, d) => {
-        val z = zscored(s, d).na.drop()
-        val vec = new VectorAssembler()
-          .setInputCols(MatrixFeatures.map(c => s"z_$c").toArray).setOutputCol("fv")
-        val pca = new PCA().setInputCol("fv").setOutputCol("pc").setK(4).fit(vec.transform(z))
-        val ev = pca.explainedVariance.toArray
-        val spark = s
-        import spark.implicits._
-        ev.zipWithIndex
-          .map { case (v, i) => (i, math.rint(v * 1e4) / 1e4) }
-          .toSeq.toDF("component", "explained_variance")
-      },
-      None,
-      bench = true
+      (s, d) => pcaVarianceDet(s, d),
+      Some(s"""
+        WITH $featuresSql,
+        $zscoredSql,
+        $pcaVarianceSql""")
     ),
 
     // M4: silhouette of the k=4 product clustering (squared euclidean —

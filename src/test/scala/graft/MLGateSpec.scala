@@ -74,6 +74,24 @@ class MLGateSpec extends SparkSpec {
     assert(pcaVariances.sameElements(ev), "PCA spectrum must be run-to-run deterministic")
   }
 
+  test("q58: deterministic spectrum tracks MLlib PCA's explained variance") {
+    // the oracle-replayed subspace iteration and the library eigensolve
+    // must agree on the spectrum (same z-matrix; differences are finite
+    // iterations + population-vs-sample scaling, both small)
+    val det = pcaVariances
+    val z = MLOps.zscored(spark, sf("sf0.001")).na.drop()
+    val vec = new VectorAssembler()
+      .setInputCols(MLOps.MatrixFeatures.map(c => s"z_$c").toArray).setOutputCol("fv")
+    val mllib = new org.apache.spark.ml.feature.PCA()
+      .setInputCol("fv").setOutputCol("pc").setK(4)
+      .fit(vec.transform(z)).explainedVariance.toArray
+    det.zip(mllib).zipWithIndex.foreach { case ((d, m), i) =>
+      assert(math.abs(d - m) <= 0.03,
+        s"component $i: deterministic $d vs MLlib $m drift > 0.03 " +
+          s"(det=${det.mkString(",")} mllib=${mllib.mkString(",")})")
+    }
+  }
+
   test("A12 trajectory with MLlib kmeans labels: 4 clusters, sane moments, deterministic") {
     val z = MLOps.zscored(spark, sf("sf0.001"))
     val labels = MLOps
