@@ -981,6 +981,22 @@ object MLOps {
     FROM plam ORDER BY component"""
   }
 
+  /** Page size + the six UI interaction variants q145 replays:
+    * (variant id, search query, cluster filter, sort column, ascending,
+    * page index) — one per sort variant of the product-details page
+    * (`pages/2_Product_Details.py:124-231`), crossed with search /
+    * cluster-filter / pagination parameters.
+    */
+  private val SearchPageSize = 20
+  private val SearchVariants: Seq[(Int, Option[String], Option[Int], String, Boolean, Int)] =
+    Seq(
+      (1, None, None, "product_name", true, 0),
+      (2, Some("lav"), None, "product_name", false, 1),
+      (3, None, Some(0), "profit", false, 0),
+      (4, None, None, "profit", true, 2),
+      (5, Some("1"), None, "cluster", true, 1),
+      (6, None, Some(2), "brand", true, 0))
+
   /** KMeans on a z-scored frame; labels canonicalized by (cluster size
     * desc, first-feature centroid asc) so re-runs and library versions
     * with the same partition produce identical ids.
@@ -1176,6 +1192,58 @@ object MLOps {
       (s, d) => learnedEmbedding(s, d),
       Some(s"""
         WITH $learnedEmbeddingSql""")
+    ),
+
+    // O1 closed as an oracle row: the product-details search page
+    // (P9/P10/O1-O6 in one surface) — six sort-variant × filter × page
+    // interactions through the SAME AnalyticsService.searchPage code
+    // path the UI service uses, over the deterministic cluster labels.
+    // Stable pagination = total order (sort key, then part_id).
+    Q(
+      "q145_product_search",
+      (s, d) => {
+        val partDim = Tables.part(s, d).select(
+          col("p_partkey").as("part_id"),
+          col("p_name").as("product_name"),
+          col("p_brand").as("brand"))
+        // features(s,d).na.drop() is the exact frame zscored() caches,
+        // so this join re-reads the cache instead of re-scanning the fact
+        val base = centroidLabels(s, d)
+          .join(features(s, d).na.drop().select(col("part_id"), col("profit")), "part_id")
+          .join(partDim, "part_id")
+          .cache()
+        SearchVariants.map { case (id, q, c, sc, asc, pg) =>
+          graft.pipelines.AnalyticsService
+            .searchPage(base, q, c, sc, asc, pg, SearchPageSize)
+            .select(
+              lit(id).cast(IntegerType).as("variant"),
+              col("part_id"), col("product_name"), col("brand"),
+              col("cluster"), col("profit"))
+        }.reduce(_.unionByName(_))
+      },
+      Some {
+        val variants = SearchVariants.map { case (id, q, c, sc, asc, pg) =>
+          val conds = q.map(t =>
+            s"(contains(lower(product_name), '$t') OR contains(CAST(part_id AS VARCHAR), '$t'))").toSeq ++
+            c.map(i => s"cluster = $i").toSeq
+          val where = if (conds.isEmpty) "" else conds.mkString("WHERE ", " AND ", "")
+          s"""SELECT * FROM (
+             SELECT CAST($id AS INT) AS variant, part_id, product_name, brand, cluster, profit
+             FROM sbase $where
+             ORDER BY $sc ${if (asc) "ASC" else "DESC"}, part_id
+             LIMIT $SearchPageSize OFFSET ${pg * SearchPageSize})"""
+        }
+        s"""
+        WITH $featuresSql,
+        $zscoredSql,
+        $centroidLabelsSql,
+        sbase AS (SELECT lb.part_id, lb.cluster, c.profit,
+                         p.p_name AS product_name, p.p_brand AS brand
+                  FROM labels lb
+                  JOIN clean c ON lb.part_id = c.part_id
+                  JOIN part p ON lb.part_id = p.p_partkey)
+        ${variants.mkString("\n        UNION ALL ")}"""
+      }
     ),
 
     // F9: whole-quarter difference arithmetic ((y1-y2)*4 + (q1-q2),

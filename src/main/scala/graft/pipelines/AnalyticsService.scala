@@ -71,9 +71,31 @@ final class AnalyticsService(spark: SparkSession, warehouseDir: String) {
       sortCol: String,
       asc: Boolean,
       page: Int,
-      pageSize: Int = 20): DataFrame = {
-    val base = clusters
-      .join(broadcast(products), clusters("part_id") === products("product_id"), "left")
+      pageSize: Int = 20): DataFrame =
+    AnalyticsService.searchPage(
+      clusters
+        .join(broadcast(products), clusters("part_id") === products("product_id"), "left"),
+      query, cluster, sortCol, asc, page, pageSize)
+}
+
+object AnalyticsService {
+
+  /** The widget-interaction core of [[AnalyticsService.productSearch]]
+    * (`pages/2_Product_Details.py:124-231`): substring search over name
+    * or id, optional cluster filter, one of the UI sort variants, and
+    * stable offset pagination (total order via the part_id tiebreak).
+    * Takes any base frame with (part_id, product_name, cluster, ...)
+    * so the oracle-gated q145 drives the SAME code path the service
+    * uses over the warehouse.
+    */
+  def searchPage(
+      base: DataFrame,
+      query: Option[String],
+      cluster: Option[Int],
+      sortCol: String,
+      asc: Boolean,
+      page: Int,
+      pageSize: Int): DataFrame = {
     val searched = query.fold(base) { q =>
       base.filter(
         lower(col("product_name")).contains(q.toLowerCase)
