@@ -1,0 +1,76 @@
+package graft
+
+import graft.operators.Multimodal
+import org.apache.spark.sql.functions._
+
+/** Gates for the real-codec multimodal operators: the PNG / WAV
+  * round-trips must reproduce the generating formulas exactly (the
+  * property the q62/q80 oracles rest on), and the query surface must
+  * emit one frame per image row / one window per 64 decoded samples.
+  */
+class MultimodalSpec extends SparkSpec {
+
+  test("PNG encode→decode round-trips the exact formula pixels") {
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+    for (id <- Seq(0L, 1L, 16L, 17L, 12345L)) {
+      val bytes = Multimodal.encodePng(writer, id)
+      // sanity: it really is a PNG payload
+      assert((bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G',
+        s"doc $id payload lacks the PNG magic")
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(img.getWidth == Multimodal.imgWidth(id) && img.getHeight == 8)
+      val raster = img.getRaster
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth)
+        assert(raster.getSample(x, y, 0) == Multimodal.pixel(id, x, y),
+          s"doc $id pixel ($x,$y) decoded wrong")
+    }
+  }
+
+  test("WAV encode→decode round-trips the exact formula samples") {
+    for (id <- Seq(0L, 7L, 90L, 91L, 98765L)) {
+      val bytes = Multimodal.encodeWav(id)
+      assert(bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F',
+        s"doc $id payload lacks the RIFF magic")
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = ais.getFormat
+      assert(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 && !fmt.isBigEndian)
+      val pcm = ais.readAllBytes()
+      val n = pcm.length / 2
+      assert(n == Multimodal.clipLen(id), s"doc $id decoded $n samples")
+      for (t <- 0 until n) {
+        val v = ((pcm(t * 2) & 0xff) | (pcm(t * 2 + 1) << 8)).toShort.toInt
+        assert(v == Multimodal.sample(id, t), s"doc $id sample $t decoded wrong")
+      }
+    }
+  }
+
+  test("q62 emits one frame per image row with the doc's true width") {
+    val rows = SparkEntry.queries("q62_frame_extract")(spark, sf("sf0.001"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("frames"), min(col("frame_len")).as("wmin"),
+        max(col("frame_len")).as("wmax"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getLong(1) == 8, s"doc $id must emit 8 frames")
+      assert(r.getInt(2) == Multimodal.imgWidth(id) && r.getInt(3) == Multimodal.imgWidth(id),
+        s"doc $id frame width must equal the decoded image width")
+    }
+  }
+
+  test("q80 window accounting covers every decoded sample exactly once") {
+    val rows = SparkEntry.queries("q80_audio_windows")(spark, sf("sf0.001"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n_samples")).as("covered"), count(lit(1)).as("wins"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getLong(1) == Multimodal.clipLen(id),
+        s"doc $id windows must cover the full decoded clip")
+      assert(r.getLong(2) == (Multimodal.clipLen(id) + 63) / 64)
+    }
+  }
+}
