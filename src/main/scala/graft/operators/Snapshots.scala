@@ -29,22 +29,31 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *  - readers pin a version by reading ONE manifest file — time-travel
   *    costs a single small-file read, never a directory diff.
   *
-  * Concurrency contract, stated honestly: commits assume a SINGLE
-  * WRITER per table — the same assumption Delta makes on filesystems
-  * without an atomic put-if-absent (raw local rename REPLACES an
-  * existing destination, so two racing committers of the same version
-  * could lose one update). The publish step re-checks the target just
-  * before renaming, turning most races into a loud error instead of a
-  * silent clobber; a real multi-writer deployment needs a lock service
-  * or an S3/HDFS-style conditional rename underneath, exactly as the
-  * production table formats do. Readers are always safe: they only
-  * ever open fully-published manifests.
+  * Concurrency contract — OPTIMISTIC, like Delta/Iceberg: the manifest
+  * publish is an atomic put-if-absent (local filesystems: a hard-link
+  * create, which fails with EEXIST atomically; HDFS-style filesystems:
+  * rename, which refuses an existing destination), so two committers
+  * racing to the same version get exactly one winner — the loser
+  * raises [[ConcurrentSnapshotException]] with nothing clobbered and
+  * its orphaned data files invisible (vacuum reclaims them). Callers
+  * can pass `expected` (the version they based their read on) to
+  * refuse even non-colliding lost-update writes, and
+  * [[Snapshots.commitWithRetry]] re-reads + re-publishes on conflict —
+  * the retry loop every production table format runs. Readers are
+  * always safe: they only ever open fully-published manifests.
   *
   * The reference's warehouse has no versioning (replace-mode writes
   * destroy history, `src/pipelines/etl.py:45-52`); this is the
   * engine-side upgrade a monthly-batch warehouse needs the first time
   * a bad run must be rolled back.
   */
+/** A snapshot write lost the optimistic race: another committer
+  * published the version this write targeted (or, with `expected`,
+  * the table moved past the version the write was based on). Nothing
+  * was clobbered; callers re-read and retry ([[Snapshots.commitWithRetry]]).
+  */
+final class ConcurrentSnapshotException(msg: String) extends java.io.IOException(msg)
+
 object Snapshots {
 
   private val ManifestDir = "_manifests"
@@ -151,7 +160,8 @@ object Snapshots {
       df: DataFrame,
       tableDir: String,
       replace: Boolean = false,
-      meta: Map[String, String] = Map.empty): Int = {
+      meta: Map[String, String] = Map.empty,
+      expected: Option[Int] = None): Int = {
     meta.foreach { case (k, v) =>
       require(!k.contains('=') && (k + v).forall(c => c != '\n' && c != '\r'),
         s"snapshot meta must be line-safe and '='-free in keys: $k=$v")
@@ -165,6 +175,15 @@ object Snapshots {
     // are ADD-COLUMN evolution — recorded nullable, and [[read]] pins
     // the version schema so pre-evolution files null-fill them
     val prev = versions(spark, tableDir)
+    // optimistic concurrency: refuse before any file lands when the
+    // table has moved past the version this write was based on
+    expected.foreach { e =>
+      val cur = prev.lastOption.getOrElse(0)
+      if (cur != e)
+        throw new ConcurrentSnapshotException(
+          s"snapshot commit to $tableDir expected version $e but found $cur — " +
+            "re-read the table and retry")
+    }
     val committed =
       if (replace || prev.isEmpty) df.schema
       else schemaOf(readManifest(spark, table, prev.last)) match {
@@ -206,11 +225,37 @@ object Snapshots {
     v
   }
 
-  /** Temp-write + fsync + rename publish shared by commit and
-    * rollback. The target re-check just before the rename converts a
-    * lost-update race (raw local rename replaces existing files) into
-    * a loud error in practice — see the class doc's single-writer
-    * contract.
+  /** [[commit]] wrapped in the optimistic-concurrency retry loop: on a
+    * detected conflict, re-read the (new) latest version and republish
+    * on top of it — append file lists and carried metadata recompute
+    * from the fresh head each attempt, so a retried append lands after
+    * the winner instead of over it. Refuses (rethrows) after
+    * `maxAttempts` conflicts.
+    */
+  def commitWithRetry(
+      df: DataFrame,
+      tableDir: String,
+      replace: Boolean = false,
+      meta: Map[String, String] = Map.empty,
+      maxAttempts: Int = 5): Int = {
+    def attempt(n: Int): Int =
+      try commit(df, tableDir, replace, meta)
+      catch {
+        case e: ConcurrentSnapshotException =>
+          if (n >= maxAttempts) throw e
+          attempt(n + 1)
+      }
+    attempt(1)
+  }
+
+  /** Temp-write + fsync + atomic put-if-absent publish shared by
+    * commit, rollback, and the rewrite verbs. On `file:` filesystems
+    * the put-if-absent is a hard-link create (POSIX link(2) fails with
+    * EEXIST atomically — a plain rename would silently REPLACE the
+    * winner); on HDFS-style filesystems it is the rename itself, which
+    * refuses an existing destination. Either way two racing publishers
+    * of the same version get exactly one winner and one
+    * [[ConcurrentSnapshotException]].
     */
   private def publish(f: FileSystem, target: Path, files: Seq[String], op: String): Unit = {
     val tmp = new Path(target.getParent, target.getName + ".tmp")
@@ -219,11 +264,22 @@ object Snapshots {
       out.write(files.mkString("", "\n", "\n").getBytes("UTF-8"))
       out.hsync()
     } finally out.close()
-    if (f.exists(target))
-      throw new java.io.IOException(
-        s"snapshot $op: $target already published — concurrent committer detected")
-    if (!f.rename(tmp, target))
-      throw new java.io.IOException(s"snapshot $op: could not publish $target")
+    def conflict(): Nothing = {
+      f.delete(tmp, false)
+      throw new ConcurrentSnapshotException(
+        s"snapshot $op: $target already published — lost the race to a concurrent committer")
+    }
+    if (f.getScheme == "file") {
+      try
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(target.toUri.getPath),
+          java.nio.file.Paths.get(tmp.toUri.getPath))
+      catch { case _: java.nio.file.FileAlreadyExistsException => conflict() }
+      f.delete(tmp, false)
+    } else {
+      if (f.exists(target)) conflict()
+      if (!f.rename(tmp, target)) conflict()
+    }
   }
 
   /** True when `dir` is under snapshot control (has a manifest

@@ -30,6 +30,49 @@ class SnapshotSpec extends SparkSpec {
     assert(Snapshots.read(spark, dir, Some(2)).count() == 150)
   }
 
+  test("optimistic concurrency: stale expected version is refused before any write") {
+    val dir = newTable()
+    Snapshots.commit((1 to 10).toDF("id"), dir)
+    // a writer that read v1 commits fine against expected = 1
+    Snapshots.commit((11 to 20).toDF("id"), dir, expected = Some(1))
+    // a writer still holding v1 must be refused — the table moved to v2
+    val e = intercept[graft.operators.ConcurrentSnapshotException] {
+      Snapshots.commit((21 to 30).toDF("id"), dir, expected = Some(1))
+    }
+    assert(e.getMessage.contains("expected version 1"))
+    assert(Snapshots.versions(spark, dir) == Seq(1, 2), "the refused commit must publish nothing")
+    assert(Snapshots.read(spark, dir).count() == 20)
+  }
+
+  test("racing committers: one clean winner per version, no lost updates") {
+    val dir = newTable()
+    Snapshots.commit(Seq(0).toDF("id"), dir)
+    val perWriter = 4
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    def writer(base: Int): java.util.concurrent.Future[Seq[Int]] =
+      pool.submit(new java.util.concurrent.Callable[Seq[Int]] {
+        def call(): Seq[Int] = {
+          start.await()
+          (1 to perWriter).map(i => Snapshots.commitWithRetry(Seq(base + i).toDF("id"), dir))
+        }
+      })
+    val (a, b) = (writer(100), writer(200))
+    start.countDown()
+    val (va, vb) = (a.get(), b.get())
+    pool.shutdown()
+    // every commit won a DISTINCT version — the atomic put-if-absent
+    // publish means a loser retries on top instead of clobbering
+    val versions = va ++ vb
+    assert(versions.distinct.size == versions.size, s"version collision: $va / $vb")
+    assert(Snapshots.versions(spark, dir) == (1 to 2 * perWriter + 1),
+      "every version must be published exactly once")
+    // and the latest version holds every writer's row — nothing lost
+    val ids = Snapshots.read(spark, dir).collect().map(_.getInt(0)).toSet
+    assert(ids == (Set(0) ++ (1 to perWriter).map(100 + _) ++ (1 to perWriter).map(200 + _)),
+      s"lost update: $ids")
+  }
+
   test("append writes only the delta: v2's manifest reuses v1's files byte-for-byte") {
     val dir = newTable()
     Snapshots.commit((1 to 100).toDF("id"), dir)
