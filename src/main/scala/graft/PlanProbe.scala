@@ -27,6 +27,34 @@ object PlanProbe {
       println("  expands: " + p.linesIterator.count(_.contains("Expand")))
       println("  window execs: " + p.linesIterator.count(_.contains("Window")))
       println("  object hash aggs: " + p.linesIterator.count(_.contains("ObjectHashAggregate")))
+      // SPARK_GRAFT_PROBE_EXEC=1: execute the query (sf dir overridable
+      // via SPARK_GRAFT_PROBE_SF) and print the ledger's shuffle/spill
+      // byte totals — the observability the shuffle-width pins cite
+      if (sys.env.get("SPARK_GRAFT_PROBE_EXEC").contains("1")) {
+        val lst = new graft.pipelines.QueryLedgerListener
+        spark.listenerManager.register(lst)
+        // stage-level totals see EVERYTHING, including shuffles that
+        // materialize cached subtrees (invisible to the final plan's
+        // own metric tree)
+        val stageShuffle = new java.util.concurrent.atomic.AtomicLong
+        val sl = new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+            stageShuffle.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+        }
+        spark.sparkContext.addSparkListener(sl)
+        val dir = sys.env.getOrElse("SPARK_GRAFT_PROBE_SF", "/root/testdata/sf0.001")
+        SparkEntry.queries(q)(spark, dir).write.format("noop").mode("overwrite").save()
+        lst.awaitQuiescent()
+        lst.snapshot(spark).collect().foreach { r =>
+          println(s"  exec: rows=${r.getLong(1)} wallMs=${r.getLong(2) / 1000000} " +
+            s"planShuffleBytes=${r.getLong(4)} spillBytes=${r.getLong(5)}")
+        }
+        println(s"  exec: stageShuffleBytes=${stageShuffle.get}")
+        spark.sparkContext.removeSparkListener(sl)
+        spark.listenerManager.unregister(lst)
+        spark.catalog.clearCache()
+      }
     }
     spark.stop()
   }

@@ -847,6 +847,17 @@ object Text {
     // share-of-total pattern — no driver-side vocab, no collect);
     // scoring is ONE join of doc-bigram occurrences against the
     // (deduplicated, far smaller) stats table — no per-doc state.
+    // Shuffle width: raw bigram STRINGS never cross an exchange — the
+    // explode immediately reduces each bigram to its fixed-width md5
+    // h60 (and the prefix word to h1), so every shuffle and the scoring
+    // join carry 8-byte keys however long the phrases are (the q141
+    // fingerprint recipe; 60-bit keys make corpus-scale collisions
+    // negligible and the oracle mirrors the hashing exactly). The
+    // sf0.1 corpus is too small for the width cut to register in total
+    // stage-shuffle bytes (the doc-text repartition dominates, ~2.3 MB
+    // either way); the property that matters at 100 TB — no
+    // string-keyed exchange anywhere in the plan — is pinned in
+    // PlanSpec instead of a micro-benchmark.
     Q(
       "q143_bigram_quality",
       (s, d) => {
@@ -859,16 +870,20 @@ object Text {
           .select(
             col("doc_id"),
             explode(TextFns.shingles(col("tok"), 2)).as("bg"))
+          .select(
+            col("doc_id"),
+            TextFns.h60(col("bg")).as("bh"),
+            TextFns.h60(element_at(split(col("bg"), " "), 1)).as("h1"))
           .cache()
-        val c2 = big.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
-          .withColumn("w1", element_at(split(col("bg"), " "), 1))
+        val c2 = big.groupBy(col("bh"))
+          .agg(count(lit(1)).as("c2"), min(col("h1")).as("h1"))
           .cache()
-        val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+        val c1 = c2.groupBy(col("h1")).agg(sum(col("c2")).as("c1"))
         val vocab = c1.agg(count(lit(1)).as("v"))
-        val stats = c2.join(c1, Seq("w1")).crossJoin(broadcast(vocab))
-          .select(col("bg"), expr("(c2 + 1) * 1000000 div (c1 + v)").as("p_scaled"))
+        val stats = c2.join(c1, Seq("h1")).crossJoin(broadcast(vocab))
+          .select(col("bh"), expr("(c2 + 1) * 1000000 div (c1 + v)").as("p_scaled"))
         big
-          .join(stats, Seq("bg"))
+          .join(stats, Seq("bh"))
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_bigrams"), sum(col("p_scaled")).as("sp"))
           .select(
@@ -878,20 +893,24 @@ object Text {
       },
       Some(s"""
         WITH t AS (SELECT doc_id, ${T.tokens} AS tok FROM documents),
-        big AS (
+        bgs AS (
           SELECT doc_id, unnest(${T.shingles("tok", 2)}) AS bg FROM t),
+        big AS (
+          SELECT doc_id, ${T.h60("bg")} AS bh,
+                 ${T.h60("string_split(bg, ' ')[1]")} AS h1
+          FROM bgs),
         c2 AS (
-          SELECT bg, string_split(bg, ' ')[1] AS w1, CAST(COUNT(*) AS BIGINT) AS c2
-          FROM big GROUP BY bg),
-        c1 AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY w1),
+          SELECT bh, CAST(COUNT(*) AS BIGINT) AS c2, MIN(h1) AS h1
+          FROM big GROUP BY bh),
+        c1 AS (SELECT h1, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY h1),
         stats AS (
-          SELECT c2.bg,
+          SELECT c2.bh,
                  ((c2.c2 + 1) * 1000000) // (c1.c1 + (SELECT COUNT(*) FROM c1)) AS p_scaled
-          FROM c2 JOIN c1 ON c2.w1 = c1.w1)
+          FROM c2 JOIN c1 ON c2.h1 = c1.h1)
         SELECT big.doc_id,
                CAST(COUNT(*) AS BIGINT) AS n_bigrams,
                CAST(CAST(SUM(stats.p_scaled) AS BIGINT) // COUNT(*) AS BIGINT) AS quality_scaled
-        FROM big JOIN stats ON big.bg = stats.bg
+        FROM big JOIN stats ON big.bh = stats.bh
         GROUP BY big.doc_id ORDER BY big.doc_id""")
     )
   )

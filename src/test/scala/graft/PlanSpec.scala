@@ -396,4 +396,18 @@ class PlanSpec extends SparkSpec {
     assert(single <= 1, s"only the vocab scalar may be single-partition, found $single:\n$p")
     assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
   }
+
+  test("bigram quality shuffles carry fixed-width hash keys, never bigram strings (q143)") {
+    // at 100 TB the model/scoring shuffles are vocabulary-sized: every
+    // exchange and join key must be the 8-byte md5 h60 of the bigram
+    // (bh) or prefix (h1), not the raw phrase — the q141 recipe
+    val p = plan("q143_bigram_quality")
+    val stringKeyed = p.linesIterator.filter(l =>
+      l.contains("Exchange hashpartitioning") && (l.contains("bg#") || l.contains("w1#")))
+    assert(stringKeyed.isEmpty,
+      s"bigram strings crossed an exchange:\n${stringKeyed.mkString("\n")}\n$p")
+    assert(p.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("bh#")),
+      s"the model build must shuffle on the hashed bigram key:\n$p")
+  }
 }
