@@ -90,4 +90,25 @@ final class JdbcCatalog(url: String, driver: String) extends Catalog {
       .option("dbtable", name)
       .mode(SaveMode.Append)
       .save()
+
+  /** Register this warehouse as a Spark DataSource **V2** catalog
+    * (queryable as `name.<schema>.<table>`), unlocking the pushdown
+    * surface the V1 `spark.read.jdbc` path lacks: LIMIT, ORDER BY +
+    * LIMIT (top-N), sample, and partial aggregates
+    * (COUNT/SUM/MIN/MAX/AVG with GROUP BY) are compiled by the dialect
+    * into the REMOTE query, so a dimension `LIMIT 5` ships 5 rows over
+    * the wire and a fact-side `GROUP BY` returns group rows instead of
+    * the table. The pushdown flags are on by default in Spark 4; set
+    * explicitly here so the capability is part of the declared
+    * contract, not an upstream default.
+    */
+  def registerV2(s: SparkSession, name: String): Unit = {
+    s.conf.set(
+      s"spark.sql.catalog.$name",
+      "org.apache.spark.sql.execution.datasources.v2.jdbc.JDBCTableCatalog")
+    s.conf.set(s"spark.sql.catalog.$name.url", url)
+    s.conf.set(s"spark.sql.catalog.$name.driver", driver)
+    s.conf.set(s"spark.sql.catalog.$name.pushDownLimit", "true")
+    s.conf.set(s"spark.sql.catalog.$name.pushDownAggregate", "true")
+  }
 }

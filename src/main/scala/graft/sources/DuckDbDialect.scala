@@ -34,4 +34,25 @@ object DuckDbDialect extends JdbcDialect {
   // misroute them into CREATE TABLE instead of aborting
   override def isObjectNotFoundException(e: SQLException): Boolean =
     e.getMessage != null && e.getMessage.contains("does not exist")
+
+  // DuckDB speaks PostgreSQL's LIMIT/OFFSET syntax, which is exactly
+  // what the generic dialect's getLimitClause/getOffsetClause emit —
+  // advertising support lets the V2 scan push LIMIT / top-N /
+  // pagination into the remote query instead of shipping the table
+  override def supportsLimit: Boolean = true
+  override def supportsOffset: Boolean = true
+
+  // the base dialect refuses to compile EVERY function (so aggregate
+  // pushdown silently no-ops); DuckDB accepts the ANSI spellings the
+  // V2 SQL builder emits for these — the aggregate set is what makes
+  // GROUP BY queries run remotely, the scalar set covers the common
+  // pushed filter/projection shapes. Names not listed fall back to
+  // Spark-side execution, never to wrong SQL.
+  private val supportedFunctions: Set[String] = Set(
+    "MIN", "MAX", "SUM", "COUNT", "AVG",
+    "ABS", "CEIL", "FLOOR", "SQRT", "EXP", "LN", "POWER", "ROUND",
+    "COALESCE", "GREATEST", "LEAST",
+    "LOWER", "UPPER", "TRIM", "SUBSTRING", "CONCAT")
+  override def isSupportedFunction(funcName: String): Boolean =
+    supportedFunctions.contains(funcName)
 }

@@ -72,6 +72,39 @@ class DuckDbJdbcSpec extends SparkSpec {
     assert(canon(part) == canon(cust), "striding must not lose or duplicate rows")
   }
 
+  test("V2 catalog pushes LIMIT and partial aggregates into the remote query (DuckDB)") {
+    assume(driverAvailable, "duckdb jdbc driver not in the local cache")
+    val nation = pq.table(spark, "nation")
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      .coalesce(1)
+    cat.replace(nation, "nation")
+    cat.registerV2(spark, "duckwh")
+
+    // LIMIT pushdown: 5 rows cross the wire, not the table
+    val lim = spark.sql("SELECT n_name FROM duckwh.main.nation LIMIT 5")
+    val planL = lim.queryExecution.executedPlan.toString
+    assert(planL.contains("PushedLimit: LIMIT 5"),
+      s"LIMIT must reach the remote query:\n$planL")
+    assert(lim.collect().length == 5)
+
+    // partial-aggregate pushdown: the remote query carries the agg +
+    // group-by, Spark only merges the returned group rows
+    val agg = spark.sql(
+      """SELECT n_regionkey, COUNT(*) AS n, MAX(n_nationkey) AS mx
+        |FROM duckwh.main.nation GROUP BY n_regionkey""".stripMargin)
+    val planA = agg.queryExecution.executedPlan.toString
+    assert(planA.contains("PushedAggregates"),
+      s"aggregates must reach the remote query:\n$planA")
+    assert(planA.contains("COUNT(") && planA.contains("MAX("),
+      s"pushed aggregate list must carry COUNT and MAX:\n$planA")
+    assert(planA.contains("PushedGroupByExpressions"),
+      s"group-by must push with the aggregates:\n$planA")
+    val expect = pq.table(spark, "nation")
+      .groupBy(col("n_regionkey"))
+      .agg(count(lit(1)).as("n"), max(col("n_nationkey")).as("mx"))
+    assert(canon(agg) == canon(expect), "pushed aggregation must match the local plan")
+  }
+
   test("append-only ledger accumulates runs in order (DuckDB)") {
     assume(driverAvailable, "duckdb jdbc driver not in the local cache")
     import spark.implicits._
