@@ -35,9 +35,11 @@ object Bench {
 
   /** Cap per timed run. Generous: the slowest legitimate query at
     * sf0.1 is ~10 s isolated; anything past the cap is pathological.
+    * Overridable (SPARK_GRAFT_RUN_CAP, seconds) for sweeps at larger
+    * local scale factors, where 10× data makes >90 s legitimate.
     */
-  private val RunCapSec = 90L
-  private val WarmCapSec = 45L
+  private val RunCapSec = sys.env.getOrElse("SPARK_GRAFT_RUN_CAP", "90").toLong
+  private val WarmCapSec = RunCapSec / 2
 
   /** Two runs whose times differ by more than this ratio indicate a
     * host stall during one of them → take an adaptive third run.
@@ -60,23 +62,59 @@ object Bench {
   private case object Dnf extends RunResult
   private final case class Err(msg: String) extends RunResult
 
+  /** Timed-out runner threads that have not yet unwound. A cancelled
+    * run usually dies within seconds of `cancelJobGroup`, but one
+    * caught inside cache materialization can linger — and Spark's
+    * CacheManager↔CachedRDDBuilder lock order inverts between
+    * `clearCache` (CacheManager → builder) and `buildBuffers`'s
+    * `recacheByPlan` (builder → CacheManager), so clearing the cache
+    * while such a runner is mid-flight can DEADLOCK the driver
+    * (observed live: the sf1 sweep hung 23 min between queries until a
+    * jstack showed exactly this inversion). The main loop only clears
+    * the cache when this set is empty.
+    */
+  private val leaked =
+    new java.util.concurrent.ConcurrentLinkedQueue[(String, java.util.concurrent.atomic.AtomicBoolean)]
+
+  private def leakedRunners(): Seq[String] = {
+    leaked.removeIf((e: (String, java.util.concurrent.atomic.AtomicBoolean)) => e._2.get())
+    import scala.jdk.CollectionConverters._
+    leaked.asScala.map(_._1).toSeq
+  }
+
+  /** True when it is safe to `clearCache` (no timed-out runner still
+    * unwinding inside a cache build — see [[leaked]]).
+    */
+  private def safeToClearCache(): Boolean = leakedRunners().isEmpty
+
   /** Runs one execution under a wall-clock cap; cancels the Spark jobs
     * (not just the waiting thread) on timeout so executor slots free up.
     */
   private def runCapped(spark: SparkSession, q: Q, dir: String, capSec: Long): RunResult = {
+    val finished = new java.util.concurrent.atomic.AtomicBoolean(false)
     val fut = pool.submit(new Callable[Double] {
-      def call(): Double = {
-        spark.sparkContext.setJobGroup(q.name, q.name, interruptOnCancel = true)
-        val t0 = System.nanoTime()
-        q.run(spark, dir).write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
-      }
+      def call(): Double =
+        try {
+          spark.sparkContext.setJobGroup(q.name, q.name, interruptOnCancel = true)
+          val t0 = System.nanoTime()
+          q.run(spark, dir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } finally finished.set(true)
     })
     try Ok(fut.get(capSec, TimeUnit.SECONDS))
     catch {
       case _: TimeoutException =>
         spark.sparkContext.cancelJobGroup(q.name)
         fut.cancel(true)
+        // grace period: cancelled jobs normally unwind the runner in
+        // seconds; if it lingers, record the leak so the main loop
+        // avoids the clearCache deadlock window
+        val deadline = System.nanoTime() + 30L * 1000000000L
+        while (!finished.get && System.nanoTime() < deadline) Thread.sleep(200)
+        if (!finished.get) {
+          leaked.add(q.name -> finished)
+          System.err.println(s"[bench] ${q.name}: runner still unwinding after cancel (leak tracked)")
+        }
         System.err.println(s"[bench] ${q.name}: DNF (> ${capSec}s, jobs cancelled)")
         Dnf
       case e: Throwable =>
@@ -261,8 +299,12 @@ object Bench {
             done :+= (q.name -> Vector(cap.toDouble)) // cap charged so totals stay comparable
         }
         // caches are per-query scoped (self-join sharing); never let them
-        // accumulate across the suite
-        spark.catalog.clearCache()
+        // accumulate across the suite — but NEVER clear while a
+        // timed-out runner may still be inside a cache build (the
+        // CacheManager↔CachedRDDBuilder deadlock, see [[leaked]])
+        if (safeToClearCache()) spark.catalog.clearCache()
+        else System.err.println(
+          s"[bench] clearCache skipped: runners still unwinding (${leakedRunners().mkString(", ")})")
         emit(jsonLine(sfDir, done, dnf, errs, flaky, skipped))
       }
     }

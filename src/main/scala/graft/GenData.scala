@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic local scale-up generator for the 100×-direction
+  * sweep: replicates a driver testdata directory N× with SHIFTED key
+  * spaces, so join fan-outs, group cardinalities, and corpus size all
+  * grow linearly while every FK still resolves. Usage:
+  *
+  *   tools/run_main.sh graft.GenData /root/testdata/sf0.1 /tmp/sf1 10
+  *
+  * Shapes preserved per table family:
+  *  - star schema (customer/supplier/part/orders/lineitem/events):
+  *    copy i shifts every key column by i·10⁷ — each copy is a
+  *    self-consistent shard of new entities over the same date range
+  *    (larger SF = more activity per day, matching how the driver's
+  *    own SFs scale); region/nation stay fixed (dimension constants);
+  *  - documents: copy 0 is the original corpus verbatim; copies ≥ 1
+  *    deterministically shuffle each doc's token order (sort by md5 of
+  *    (token, pos, copy)) AND rewrite a hash-selected ~40% of tokens
+  *    with a copy-specific suffix — shuffling kills the long shared
+  *    character runs that verbatim copies would hand the span queries,
+  *    and the token salting keeps unigram Jaccard/minhash/simhash
+  *    similarity to the original BELOW near-dup thresholds (shuffled-
+  *    only copies share their unigram set exactly, which makes every
+  *    copy group an artificial near-dup cluster and measures dedup
+  *    OUTPUT growth instead of engine scaling — observed as phantom
+  *    superlinearity in the first round-8 sweep);
+  *  - embeddings: copy i rotates each vector left by i positions —
+  *    norm-preserving, deterministic, and decorrelated enough that
+  *    LSH/IVF bucket occupancy grows linearly instead of 10 exact
+  *    twins per bucket.
+  *
+  * Writes `<out>/<table>.parquet` directories readable by the same
+  * [[Tables]] loaders the queries use. Never touches the source dir.
+  */
+object GenData {
+
+  private val Off = 10000000L
+
+  def main(args: Array[String]): Unit = {
+    val src = args(0)
+    val out = args(1)
+    val copies = if (args.length > 2) args(2).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
+    // one parquet FILE per table (driver layout): the streaming readers
+    // select tables with pathGlobFilter=<t>.parquet, which matches leaf
+    // FILES — a <t>.parquet directory of part files would be invisible
+    // to them. Single files stay splittable (row groups).
+    def write(df: DataFrame, t: String): Unit = {
+      val tmp = s"$out/_tmp_$t"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val fs = new org.apache.hadoop.fs.Path(out)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+        .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+      val target = new org.apache.hadoop.fs.Path(s"$out/$t.parquet")
+      fs.delete(target, false)
+      require(fs.rename(part, target), s"could not publish $target")
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      println(s"[gendata] $t: ${spark.read.parquet(s"$out/$t.parquet").count()} rows")
+    }
+    val cps = spark.range(copies).select(col("id").cast("long").as("cp"))
+    def shifted(t: String, keys: Seq[String]): DataFrame = {
+      val df = read(t)
+      val rep = df.crossJoin(cps)
+      keys.foldLeft(rep)((d, k) => d.withColumn(k, col(k) + col("cp") * Off))
+        .select(df.columns.toIndexedSeq.map(col): _*)
+    }
+
+    write(read("region"), "region")
+    write(read("nation"), "nation")
+    write(shifted("customer", Seq("c_custkey")), "customer")
+    write(shifted("supplier", Seq("s_suppkey")), "supplier")
+    write(shifted("part", Seq("p_partkey")), "part")
+    write(shifted("orders", Seq("o_orderkey", "o_custkey")), "orders")
+    write(shifted("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey")), "lineitem")
+    write(shifted("events", Seq("event_id", "user_id")), "events")
+
+    val docs = read("documents")
+    val extra = docs.crossJoin(cps.filter(col("cp") >= 1))
+    val salted = extra
+      .select(
+        (col("doc_id") + col("cp") * Off).as("doc_id"),
+        col("lang"), col("source"),
+        posexplode(split(trim(col("text")), "\\s+")))
+      .select(
+        col("doc_id"), col("lang"), col("source"), col("pos"),
+        // rewrite a deterministic ~40% of positions with a
+        // copy-specific token so unigram-set similarity to the source
+        // doc drops below near-dup thresholds
+        when(
+          graft.functions.TextFns.h60(
+            concat_ws("~", col("col"), col("pos"), col("doc_id"))) % 5 < 2,
+          concat(col("col"), lit("x"), (col("doc_id") % 97).cast("string")))
+          .otherwise(col("col")).as("w"))
+    val shuffledText = salted
+      .groupBy(col("doc_id"), col("lang"), col("source"))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(
+              graft.functions.TextFns.h60(
+                concat_ws("#", col("w"), col("pos"), col("doc_id"))).as("k"),
+              col("pos").as("p"),
+              col("w")))),
+            x => x.getField("w")),
+          " ").as("text"))
+      .select(
+        col("doc_id"), col("text"), col("lang"), col("source"),
+        length(col("text")).cast("long").as("n_chars"))
+    write(docs.unionByName(shuffledText), "documents")
+
+    val emb = read("embeddings")
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val rotated = emb.crossJoin(cps)
+      .select(
+        (col("vec_id") + col("cp") * Off).as("vec_id"),
+        when(col("cp") === 0, col("embedding")).otherwise(
+          concat(
+            expr(s"slice(embedding, CAST(cp + 1 AS INT), $dim - CAST(cp AS INT))"),
+            expr("slice(embedding, 1, CAST(cp AS INT))"))).as("embedding"),
+        col("label"))
+    write(rotated, "embeddings")
+
+    spark.stop()
+  }
+}
