@@ -611,6 +611,80 @@ object Analytics {
       None
     ),
 
+    // q71's PORTABLE twin, ORACLE-GATED: a deterministic bucketed-min
+    // distinct estimator (Flajolet-Martin/KMV family) built from the
+    // engine-independent md5 h60 — the same bounded-state cost class
+    // as HLL (per group: K=1024 cell minima, map-side combinable, no
+    // distinct shuffle) but every step is exact integer arithmetic or
+    // the q108-proven interpolated percentile, so the estimate
+    // HASH-MATCHES DuckDB. Estimator: cell j keeps min(h) over keys
+    // hashing into it; 2⁶⁰ div (min+1) ≈ n_j + 1; the MEDIAN over
+    // cells (robust to the heavy 1/min tail) times K·ln2 (the
+    // median-of-minimum bias constant, a literal — no engine ln())
+    // estimates n. Accurate to ~±10% for n ≫ K (the 100 TB regime,
+    // pinned in ApproxSpec on a 200k-key synthetic); below K·4 use the
+    // exact path — small n is exactly where exact distinct is cheap.
+    // The native HLL surface stays q71.
+    Q(
+      "q146_kmv_distinct",
+      (s, d) => {
+        val K = 1024
+        val M = 1152921504606846976L // 2^60
+        val lnTwo = 0.6931471805599453
+        val hOrders = graft.functions.TextFns.h60(
+          concat(lit("o"), col("l_orderkey").cast("string")))
+        val hParts = graft.functions.TextFns.h60(
+          concat(lit("p"), col("l_partkey").cast("string")))
+        Tables.lineitem(s, d)
+          .select(
+            col("l_returnflag"),
+            explode(array(
+              struct(lit("orders").as("kind"), hOrders.as("h")),
+              struct(lit("parts").as("kind"), hParts.as("h")))).as("e"))
+          .select(
+            col("l_returnflag"), col("e.kind").as("kind"),
+            (col("e.h") % K).as("cell"), col("e.h").as("h"))
+          .groupBy(col("l_returnflag"), col("kind"), col("cell"))
+          .agg(min(col("h")).as("mn"))
+          .select(
+            col("l_returnflag"), col("kind"),
+            expr(s"$M div (mn + 1)").as("est"))
+          .groupBy(col("l_returnflag"))
+          .agg(
+            expr("percentile(CASE WHEN kind = 'orders' THEN est END, 0.5D)").as("mo"),
+            expr("percentile(CASE WHEN kind = 'parts' THEN est END, 0.5D)").as("mp"))
+          .select(
+            col("l_returnflag"),
+            floor(lit(K) * col("mo") * lnTwo + 0.5).cast("long").as("approx_orders"),
+            floor(lit(K) * col("mp") * lnTwo + 0.5).cast("long").as("approx_parts"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some(s"""
+        WITH kx AS (
+          SELECT l_returnflag, 'orders' AS kind,
+                 ${graft.functions.TextFns.Sql.h60("'o' || CAST(l_orderkey AS VARCHAR)")} AS h
+          FROM lineitem
+          UNION ALL
+          SELECT l_returnflag, 'parts',
+                 ${graft.functions.TextFns.Sql.h60("'p' || CAST(l_partkey AS VARCHAR)")}
+          FROM lineitem),
+        kcells AS (
+          SELECT l_returnflag, kind, h % 1024 AS cell, MIN(h) AS mn
+          FROM kx GROUP BY 1, 2, 3),
+        kests AS (
+          SELECT l_returnflag, kind, 1152921504606846976 // (mn + 1) AS est
+          FROM kcells),
+        kmed AS (
+          SELECT l_returnflag,
+                 quantile_cont(CASE WHEN kind = 'orders' THEN est END, 0.5) AS mo,
+                 quantile_cont(CASE WHEN kind = 'parts' THEN est END, 0.5) AS mp
+          FROM kests GROUP BY 1)
+        SELECT l_returnflag,
+               CAST(floor(1024 * mo * 0.6931471805599453 + 0.5) AS BIGINT) AS approx_orders,
+               CAST(floor(1024 * mp * 0.6931471805599453 + 0.5) AS BIGINT) AS approx_parts
+        FROM kmed ORDER BY l_returnflag""")
+    ),
+
     // Per-group trend: closed-form OLS slope of order value over time
     // (revenue-per-day drift per order priority) from ONE keyed
     // aggregate of exact INTEGER moments — x = epoch day, y = price in

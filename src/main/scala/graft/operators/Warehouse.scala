@@ -673,6 +673,53 @@ object Warehouse {
       None
     ),
 
+    // q118's PORTABLE twin, ORACLE-GATED: quantiles from a
+    // DETERMINISTIC hash sample — keep exactly the docs whose md5 h60
+    // lands in a fixed 10% stratum (the same subset in any engine, any
+    // run, any partitioning — unlike TABLESAMPLE/rand()), then exact
+    // interpolated percentiles of the sample (the q108 parity pair).
+    // The 100 TB posture: the sample is ~n/10 rows with the quantile
+    // state bounded by the sample, the scan prunes nothing but ships
+    // only sampled rows into the agg, and the estimate carries its
+    // sample size so consumers can reason about error (~1/sqrt(m) rank
+    // error). The native mergeable-sketch surface stays q118.
+    Q(
+      "q147_sample_quantiles",
+      (s, d) =>
+        Tables.documents(s, d)
+          .filter(
+            graft.functions.TextFns.h60(
+              concat(lit("s"), col("doc_id").cast("string"))) % 10 === 0)
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_sample"),
+            expr("percentile(n_chars, array(0.25D, 0.5D, 0.75D, 0.9D))").as("qs"))
+          .select(col("lang"), col("n_sample"), posexplode(col("qs")))
+          .select(
+            col("lang"),
+            element_at(array(lit(0.25), lit(0.5), lit(0.75), lit(0.9)), col("pos") + 1).as("p"),
+            col("col").as("n_chars_q"),
+            col("n_sample"))
+          .orderBy(col("lang"), col("p")),
+      Some(s"""
+        WITH smp AS (
+          SELECT lang, n_chars FROM documents
+          WHERE ${graft.functions.TextFns.Sql.h60("'s' || CAST(doc_id AS VARCHAR)")} % 10 = 0)
+        SELECT lang, CAST(0.25 AS DOUBLE) AS p, quantile_cont(n_chars, 0.25) AS n_chars_q,
+               CAST(COUNT(*) AS BIGINT) AS n_sample
+        FROM smp GROUP BY lang
+        UNION ALL
+        SELECT lang, CAST(0.5 AS DOUBLE), quantile_cont(n_chars, 0.5), CAST(COUNT(*) AS BIGINT)
+        FROM smp GROUP BY lang
+        UNION ALL
+        SELECT lang, CAST(0.75 AS DOUBLE), quantile_cont(n_chars, 0.75), CAST(COUNT(*) AS BIGINT)
+        FROM smp GROUP BY lang
+        UNION ALL
+        SELECT lang, CAST(0.9 AS DOUBLE), quantile_cont(n_chars, 0.9), CAST(COUNT(*) AS BIGINT)
+        FROM smp GROUP BY lang
+        ORDER BY lang, p""")
+    ),
+
     // Per-source document quota (C4/CCNet-style domain cap): keep the
     // top 5 documents per source by length (doc_id tiebreak) through
     // the native bounded-heap aggregate — each partition ships at most

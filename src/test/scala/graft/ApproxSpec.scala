@@ -24,6 +24,52 @@ class ApproxSpec extends SparkSpec {
     }
   }
 
+  test("q146 bucketed-min estimator: accurate on a 200k-key synthetic, deterministic") {
+    import spark.implicits._
+    // a synthetic lineitem-shaped table with KNOWN cardinalities, in
+    // the n >> K regime the estimator declares (K = 1024 cells)
+    val dir = java.nio.file.Files.createTempDirectory("graft_kmv").toString
+    spark.range(200000)
+      .select(
+        lit("X").as("l_returnflag"),
+        col("id").as("l_orderkey"),
+        (col("id") % 50000).as("l_partkey"))
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val rows = SparkEntry.queries("q146_kmv_distinct")(spark, dir).collect()
+    assert(rows.length == 1)
+    val (o, p) = (rows.head.getLong(1), rows.head.getLong(2))
+    assert(math.abs(o - 200000.0) / 200000.0 <= 0.15, s"orders estimate $o vs 200000")
+    assert(math.abs(p - 50000.0) / 50000.0 <= 0.15, s"parts estimate $p vs 50000")
+    val again = SparkEntry.queries("q146_kmv_distinct")(spark, dir).collect()
+    assert(rows.sameElements(again), "the estimate must be run-to-run deterministic")
+  }
+
+  test("q147 hash-sample quantiles: ~10% stratum, bounded rank drift vs exact (sf0.01)") {
+    val d = sf("sf0.01")
+    val rows = SparkEntry.queries("q147_sample_quantiles")(spark, d).collect()
+      .map(r => (r.getString(0), r.getDouble(1)) -> (r.getDouble(2), r.getLong(3))).toMap
+    val total = Tables.documents(spark, d).groupBy(col("lang")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the md5 stratum is ~10% of each language (binomial tolerance)
+    total.foreach { case (lang, n) =>
+      val m = rows((lang, 0.5))._2
+      assert(math.abs(m - n / 10.0) <= 4 * math.sqrt(n * 0.1 * 0.9) + 1,
+        s"$lang sample $m is not a ~10% stratum of $n")
+    }
+    // each sampled quantile sits near the exact one in RANK terms:
+    // the empirical CDF of the exact corpus at the sampled value must
+    // be within ~4/sqrt(m) of p
+    val exact = Tables.documents(spark, d)
+      .select(col("lang"), col("n_chars")).collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1)).sorted).toMap
+    rows.foreach { case ((lang, p), (qv, m)) =>
+      val vals = exact(lang)
+      val rank = vals.count(_ <= qv).toDouble / vals.length
+      assert(math.abs(rank - p) <= 4.0 / math.sqrt(m.toDouble) + 1.0 / vals.length,
+        s"$lang p=$p: sampled value $qv has exact rank $rank (m=$m)")
+    }
+  }
+
   test("approx column profile: exact fields equal q106, distincts within 3x rsd (q114)") {
     val d = sf("sf0.01")
     def byCol(name: String) =

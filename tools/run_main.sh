@@ -11,7 +11,7 @@ for p in java.base/java.lang java.base/java.lang.invoke java.base/java.lang.refl
          java.base/sun.util.calendar; do
   JAVA_OPTS="$JAVA_OPTS --add-opens $p=ALL-UNNAMED"
 done
-exec java $JAVA_OPTS \
+exec java $JAVA_OPTS $GRAFT_JAVA_OPTS \
   -Dspark.ui.enabled=false \
   -Dspark.sql.session.timeZone=UTC \
   -Duser.timezone=UTC \
