@@ -456,7 +456,24 @@ object MLOps {
       feats: Seq[String],
       inits: Seq[Map[String, Double]],
       iters: Int): DataFrame = {
-    val k = inits.length
+    val cent0 = s.range(1).select(
+      inits.indices.flatMap(c =>
+        feats.map(f => lit(inits(c).getOrElse(f, 0.0)).as(s"c${c}_$f"))): _*)
+    lloydAssignFrom(s, zs, feats, cent0, inits.length, iters)
+  }
+
+  /** [[lloydAssign]] with a caller-supplied 1-row initial-centroid
+    * frame (columns `c<cluster>_<feat>`) — data-derived inits (q148
+    * seeds from the k lowest-id embeddings) replay in SQL exactly like
+    * literal ones.
+    */
+  private[graft] def lloydAssignFrom(
+      s: SparkSession,
+      zs: DataFrame,
+      feats: Seq[String],
+      cent0: DataFrame,
+      k: Int,
+      iters: Int): DataFrame = {
     val zsCols = zs.columns.toSeq.map(col)
     def distC(c: Int): Column =
       feats.map { f =>
@@ -476,9 +493,7 @@ object MLOps {
       zs.crossJoin(broadcast(cent))
         .select(zsCols ++ (0 until k).map(c => distC(c).as(s"d$c")): _*)
         .select(zsCols :+ labExpr: _*)
-    var cent: DataFrame = s.range(1).select(
-      (0 until k).flatMap(c =>
-        feats.map(f => lit(inits(c).getOrElse(f, 0.0)).as(s"c${c}_$f"))): _*)
+    var cent: DataFrame = cent0.localCheckpoint(true)
     for (_ <- 1 to iters) {
       val labeled = labelWith(cent)
       val aggs = (0 until k).flatMap { c =>
@@ -509,43 +524,60 @@ object MLOps {
       .orderBy(col("cluster"))
   }
 
+  /** Generic DuckDB CTE chain replaying [[lloydAssignFrom]]: `c0Cte`
+    * is the full initial-centroid CTE text (named `${pfx}c0`, columns
+    * `c<cluster>_<feat>`), `src` the CTE holding the feature rows. The
+    * final labeled rows (all `src` columns + `cluster`) land in
+    * `${pfx}labF`.
+    */
+  private def lloydSqlCtes(
+      pfx: String,
+      src: String,
+      feats: Seq[String],
+      k: Int,
+      iters: Int,
+      c0Cte: String): String = {
+    def distC(c: Int): String =
+      feats.map(f => s"($f - c${c}_$f) * ($f - c${c}_$f)").mkString(" + ")
+    val labCase = {
+      def winsRest(c: Int): String =
+        (c + 1 until k).map(o => s"d$c <= d$o").mkString(" AND ")
+      val whens = (0 until k - 1).map(c => s"WHEN ${winsRest(c)} THEN $c").mkString(" ")
+      s"CAST(CASE $whens ELSE ${k - 1} END AS INT) AS cluster"
+    }
+    def distsCte(name: String, centName: String): String =
+      s"""$name AS (SELECT z.*,
+             ${(0 until k).map(c => s"${distC(c)} AS d$c").mkString(",\n             ")}
+           FROM $src z CROSS JOIN $centName)"""
+    val ctes = scala.collection.mutable.ArrayBuffer[String](c0Cte)
+    for (i <- 1 to iters) {
+      ctes += distsCte(s"${pfx}ld$i", s"${pfx}c${i - 1}")
+      ctes += s"""${pfx}lab$i AS (SELECT *, $labCase FROM ${pfx}ld$i)"""
+      val statCols = (0 until k).flatMap { c =>
+        s"COUNT(CASE WHEN cluster = $c THEN 1 END) AS n$c" +:
+          feats.map(f =>
+            s"CAST(SUM(CASE WHEN cluster = $c THEN CAST($f AS DECIMAL(38,12)) END) AS DOUBLE) AS s${c}_$f")
+      }.mkString(",\n             ")
+      ctes += s"${pfx}st$i AS (SELECT $statCols FROM ${pfx}lab$i)"
+      val newCent = (0 until k).flatMap(c => feats.map(f =>
+        s"CASE WHEN st.n$c > 0 THEN st.s${c}_$f / CAST(st.n$c AS DOUBLE) ELSE p.c${c}_$f END AS c${c}_$f"))
+        .mkString(",\n             ")
+      ctes += s"${pfx}c$i AS (SELECT $newCent FROM ${pfx}st$i st CROSS JOIN ${pfx}c${i - 1} p)"
+    }
+    ctes += distsCte(s"${pfx}ldF", s"${pfx}c$iters")
+    ctes += s"""${pfx}labF AS (SELECT *, $labCase FROM ${pfx}ldF)"""
+    ctes.mkString(",\n    ")
+  }
+
   /** CTE-for-CTE DuckDB replay of [[lloydKMeans]]'s training rounds. */
   private[graft] val lloydSql: String = {
     val k = Centroids.length
-    val zStar = MatrixFeatures.map(f => s"z.z_$f").mkString(", ")
-    def distC(c: Int): String =
-      MatrixFeatures.map(f => s"(z_$f - c${c}_$f) * (z_$f - c${c}_$f)").mkString(" + ")
-    val labCase =
-      """CAST(CASE WHEN d0 <= d1 AND d0 <= d2 AND d0 <= d3 THEN 0
-        |                 WHEN d1 <= d2 AND d1 <= d3 THEN 1
-        |                 WHEN d2 <= d3 THEN 2
-        |                 ELSE 3 END AS INT) AS cluster""".stripMargin
-    val ctes = scala.collection.mutable.ArrayBuffer[String](
-      (0 until k).flatMap(c => MatrixFeatures.map(f =>
-        s"CAST(${Centroids(c).getOrElse(f, 0.0)} AS DOUBLE) AS c${c}_$f"))
-        .mkString("kc0 AS (SELECT ", ",\n             ", ")"))
-    for (i <- 1 to LloydIters) {
-      ctes += s"""kld$i AS (SELECT $zStar,
-             ${(0 until k).map(c => s"${distC(c)} AS d$c").mkString(",\n             ")}
-           FROM zs z CROSS JOIN kc${i - 1})"""
-      ctes += s"""klab$i AS (SELECT *, $labCase FROM kld$i)"""
-      val statCols = (0 until k).flatMap { c =>
-        s"COUNT(CASE WHEN cluster = $c THEN 1 END) AS n$c" +:
-          MatrixFeatures.map(f =>
-            s"CAST(SUM(CASE WHEN cluster = $c THEN CAST(z_$f AS DECIMAL(38,12)) END) AS DOUBLE) AS s${c}_$f")
-      }.mkString(",\n             ")
-      ctes += s"kst$i AS (SELECT $statCols FROM klab$i)"
-      val newCent = (0 until k).flatMap(c => MatrixFeatures.map(f =>
-        s"CASE WHEN st.n$c > 0 THEN st.s${c}_$f / CAST(st.n$c AS DOUBLE) ELSE p.c${c}_$f END AS c${c}_$f"))
-        .mkString(",\n             ")
-      ctes += s"kc$i AS (SELECT $newCent FROM kst$i st CROSS JOIN kc${i - 1} p)"
-    }
-    ctes += s"""kldF AS (SELECT $zStar,
-             ${(0 until k).map(c => s"${distC(c)} AS d$c").mkString(",\n             ")}
-           FROM zs z CROSS JOIN kc$LloydIters)"""
-    ctes += s"""klabF AS (SELECT *, $labCase FROM kldF)"""
+    val zFeats = MatrixFeatures.map(f => s"z_$f")
+    val c0 = (0 until k).flatMap(c => MatrixFeatures.map(f =>
+      s"CAST(${Centroids(c).getOrElse(f, 0.0)} AS DOUBLE) AS c${c}_z_$f"))
+      .mkString("kc0 AS (SELECT ", ",\n             ", ")")
     s"""
-    ${ctes.mkString(",\n    ")}
+    ${lloydSqlCtes("k", "zs", zFeats, k, LloydIters, c0)}
     SELECT cluster,
            CAST(COUNT(*) AS BIGINT) AS n_parts,
            CAST(SUM(CAST(z_profit AS DECIMAL(38,12))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_z_profit,
@@ -1106,6 +1138,52 @@ object MLOps {
       },
       None,
       bench = true
+    ),
+
+    // The embedding-clustering path ORACLE-GATED (q57's deterministic
+    // twin): k=10 fixed-iteration Lloyd over the q127 sequence
+    // embeddings, seeded from the k lowest-part_id embeddings (a
+    // data-derived init both engines replay exactly), every round
+    // replayed CTE-for-CTE by the oracle. q57 keeps the MLlib KMeans
+    // surface (k-means|| init, convergence-driven) with its
+    // KMeansSpec partition gates.
+    Q(
+      "q148_lloyd_embeddings",
+      (s, d) => {
+        val kk = 10
+        val xCols = (1 to EmbedDim).map(j => s"x$j")
+        val zs = sequenceEmbedding(s, d)
+          .select(col("part_id") +:
+            (1 to EmbedDim).map(j => col(s"e$j").cast("double").as(s"x$j")): _*)
+          .localCheckpoint(true)
+        val seeds = zs.orderBy(col("part_id")).limit(kk)
+          .withColumn("rn", row_number().over(Window.orderBy(col("part_id"))))
+        val cent0Aggs = (0 until kk).flatMap(c => xCols.map(f =>
+          max(when(col("rn") === c + 1, col(f))).as(s"c${c}_$f")))
+        val cent0 = seeds.groupBy().agg(cent0Aggs.head, cent0Aggs.tail: _*)
+        lloydAssignFrom(s, zs, xCols, cent0, kk, LloydIters)
+          .groupBy(col("cluster"))
+          .agg(count(lit(1)).as("n_parts"), min(col("part_id")).as("min_part_id"))
+          .orderBy(col("cluster"))
+      },
+      Some {
+        val kk = 10
+        val xCols = (1 to EmbedDim).map(j => s"x$j")
+        val xSel = (1 to EmbedDim).map(j => s"CAST(e$j AS DOUBLE) AS x$j").mkString(", ")
+        val c0 = s"""eseed AS (SELECT *, CAST(row_number() OVER (ORDER BY part_id) AS INT) AS rn
+             FROM ezs ORDER BY part_id LIMIT $kk),
+    ec0 AS (SELECT ${(0 until kk).flatMap(c => xCols.map(f =>
+          s"MAX(CASE WHEN rn = ${c + 1} THEN $f END) AS c${c}_$f")).mkString(",\n             ")}
+           FROM eseed)"""
+        s"""
+        WITH $sequenceEmbeddingSql,
+        ezs AS (SELECT part_id, $xSel FROM emb),
+        ${lloydSqlCtes("e", "ezs", xCols, kk, LloydIters, c0)}
+        SELECT cluster,
+               CAST(COUNT(*) AS BIGINT) AS n_parts,
+               MIN(part_id) AS min_part_id
+        FROM elabF GROUP BY cluster ORDER BY cluster"""
+      }
     ),
 
     // PCA(4) on the z-scored matrix: explained-variance summary (M3),
