@@ -258,7 +258,13 @@ object Snapshots {
     * [[ConcurrentSnapshotException]].
     */
   private def publish(f: FileSystem, target: Path, files: Seq[String], op: String): Unit = {
-    val tmp = new Path(target.getParent, target.getName + ".tmp")
+    // writer-UNIQUE temp name: two racing publishers of the same
+    // version must not share a staging file (one's cleanup would yank
+    // the other's bytes/checksum mid-write); readers ignore any
+    // non-v*.manifest name
+    val tmp = new Path(
+      target.getParent,
+      target.getName + "." + java.util.UUID.randomUUID.toString.replace("-", "") + ".tmp")
     val out = f.create(tmp, true)
     try {
       out.write(files.mkString("", "\n", "\n").getBytes("UTF-8"))
