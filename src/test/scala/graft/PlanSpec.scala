@@ -410,4 +410,33 @@ class PlanSpec extends SparkSpec {
       l.contains("Exchange hashpartitioning") && l.contains("bh#")),
       s"the model build must shuffle on the hashed bigram key:\n$p")
   }
+
+  test("KMV distinct sketch: bounded state, no distinct shuffle, no Expand (q146)") {
+    // the whole point of q146 is HLL's cost class with a hash gate:
+    // the only key-wide shuffle may carry (flag, kind, cell) partial
+    // minima — never the raw key domain, and never a multi-distinct
+    // Expand
+    val p = plan("q146_kmv_distinct")
+    assert(!p.contains("Expand"), s"q146 must not plan a multi-distinct Expand:\n$p")
+    assert(!p.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning") &&
+        (l.contains("l_orderkey#") || l.contains("l_partkey#"))),
+      s"raw key domains must never cross an exchange:\n$p")
+    val hashEx = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && !l.contains("Reused"))
+    assert(hashEx <= 2, s"cell minima + per-flag medians need at most 2 keyed shuffles, found $hashEx:\n$p")
+  }
+
+  test("sample quantiles push the md5 stratum filter below the aggregate (q147)") {
+    val p = plan("q147_sample_quantiles")
+    // the sample predicate must run scan-side (before any exchange), so
+    // only ~10% of rows ever shuffle — a Filter above the scan, none
+    // above an Exchange
+    val lines = p.linesIterator.toVector
+    val firstExchange = lines.indexWhere(_.contains("Exchange"))
+    val filterIdx = lines.indexWhere(l => l.contains("Filter") && l.contains("md5"))
+    assert(filterIdx >= 0, s"stratum filter missing:\n$p")
+    assert(firstExchange == -1 || filterIdx > firstExchange,
+      s"stratum filter must sit below (after in explain order) the first exchange:\n$p")
+  }
 }
