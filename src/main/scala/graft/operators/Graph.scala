@@ -1,0 +1,386 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, LongType}
+
+/** Graph analytics over the co-purchase graph (parts are nodes; an
+  * edge connects two parts that appear in the same order, weighted by
+  * the number of co-occurring lineitem pairs). The reference keeps an
+  * experimental graph surface — a product graph fed to a GAT graph
+  * autoencoder (`/root/reference/src/models/GAT.py:6-67`, dead code
+  * with zero call sites) — and this module closes that last SURVEY §2
+  * row (M6) with the strongest torch-free public-technique claim
+  * available, the same treatment q127/q140 gave the LSTM (M5):
+  *
+  *  - q149: a deterministic graph-attention autoencoder — two
+  *    feature-dependent attention message-passing layers, a 12→4
+  *    random-sign latent projection (encoder), its transpose decode,
+  *    and BOTH of the reference's dual-reconstruction diagnostics
+  *    (feature loss + structure affinity), all in exact integer /
+  *    single-IEEE-op arithmetic so the DuckDB oracle hash-matches.
+  *  - q150: fixed-point integer PageRank, 5 replayed iterations.
+  *  - q151: exact triangle census via degree-ordered orientation (the
+  *    Suri–Vassilvitskii shape) — the oracle counts the same triangles
+  *    with the naive a<b<c three-way join, pinning plan-independence.
+  *
+  * Scale shape: the only fact-sized work anywhere in the module is the
+  * per-order self-join building the edge list — the pair explode is
+  * bounded by order size (≤7 lineitems per TPC-H order), so edges are
+  * O(|fact|), shuffled once on orderkey and aggregated on (src, dst).
+  * Everything downstream is edge- or node-sized joins and hash
+  * aggregates — the Pregel/GraphX decomposition without the RDD layer.
+  */
+object Graph {
+
+  private val Dec0 = DecimalType(38, 0)
+
+  /** Feature dims (the q127 embedding) and latent dims (GAT.py:56-58
+    * compresses to a smaller latent space; 4 matches LearnDim).
+    */
+  private val D = MLOps.EmbedDim
+  private val Lat = 4
+
+  /** ±1 encoder weight for (feature dim d, latent dim k): md5 parity
+    * of a fixed string — a COMPILE-TIME constant (same literal in the
+    * Spark plan and the oracle SQL), the q127 database-friendly
+    * projection with the matrix inlined.
+    */
+  private def sgn(d: Int, k: Int): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$d,${k}gat".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    if (java.lang.Long.parseLong(hex.substring(0, 15), 16) % 2 == 0) 1L else -1L
+  }
+
+  /** Co-purchase edge list (src, dst, w): both directions, grouped.
+    * The projected 2-column lineitem is cached because it feeds both
+    * sides of the self-join (no exchange reuse across a self-join).
+    */
+  private def coEdges(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pid"))
+      .cache()
+    li.select(col("ok"), col("pid").as("src"))
+      .join(li.select(col("ok"), col("pid").as("dst")), "ok")
+      .filter(col("src") =!= col("dst"))
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("w"))
+  }
+
+  private val coEdgesSql: String =
+    """ed0 AS (SELECT a.l_partkey AS src, b.l_partkey AS dst,
+              CAST(COUNT(*) AS BIGINT) AS w
+       FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+       WHERE a.l_partkey <> b.l_partkey
+       GROUP BY 1, 2)"""
+
+  // ---------------------------------------------------------------
+  // q149: graph-attention autoencoder (M6 public-technique stand-in)
+  // ---------------------------------------------------------------
+
+  /** One attention message-passing layer over `cols` features.
+    * Attention score for edge (i→j) is w·(1 + signAgree(xᵢ, xⱼ)) — a
+    * feature-DEPENDENT positive integer (the monotone bounded-integer
+    * analogue of GATConv's softmax(LeakyReLU(a·[Wxᵢ‖Wxⱼ])),
+    * GAT.py:14-22; exp() is not portable across engines, normalized
+    * integer scores are). The layer output is the attention-normalized
+    * neighbor mean: zᵢ = round(Σⱼ αᵢⱼ xⱼ) with αᵢⱼ = scoreᵢⱼ/Σ score —
+    * numerators exact decimal sums, ONE IEEE division, half-up round
+    * (the q140 floor(x+0.5) recipe). Self-loops in `ed` play
+    * GATConv's add_self_loops role, so isolated nodes reproduce their
+    * own features. Also returns `att` = Σ score (the attention mass).
+    */
+  private[graft] def attLayer(ed: DataFrame, feats: DataFrame, cols: Seq[String]): DataFrame = {
+    val fi = feats.select(col("part_id").as("src") +: cols.map(c => col(c).as(s"i_$c")): _*)
+    val fj = feats.select(col("part_id").as("dst") +: cols.map(c => col(c).as(s"j_$c")): _*)
+    val agree = cols.map(c =>
+      when((col(s"i_$c") >= 0) === (col(s"j_$c") >= 0), lit(1L)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val aggs = cols.map { c =>
+      floor(
+        sum((col("score") * col(s"j_$c")).cast(Dec0)).cast("double")
+          / sum(col("score")).cast("double") + 0.5)
+        .cast(LongType).as(c)
+    } :+ sum(col("score")).as("att")
+    ed.join(fi, "src").join(fj, "dst")
+      .withColumn("score", col("w") * (lit(1L) + agree))
+      .groupBy(col("src"))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumnRenamed("src", "part_id")
+  }
+
+  /** SQL twin of [[attLayer]]: emits scored + aggregated CTEs reading
+    * edge CTE `ed` and feature CTE `featCte`, producing `outCte`.
+    */
+  private def attLayerSql(featCte: String, outCte: String, cols: Seq[String]): String = {
+    val agree = cols.map(c => s"(CASE WHEN (fi.$c >= 0) = (fj.$c >= 0) THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    val keep = cols.map(c => s"fj.$c AS $c").mkString(", ")
+    val aggs = cols.map(c =>
+      s"""CAST(floor(CAST(SUM(score * $c) AS DOUBLE)
+             / CAST(SUM(score) AS DOUBLE) + 0.5) AS BIGINT) AS $c""")
+      .mkString(",\n           ")
+    s"""s_$outCte AS (
+         SELECT ed.src, ed.w * (1 + ($agree)) AS score, $keep
+         FROM ed
+         JOIN $featCte fi ON ed.src = fi.part_id
+         JOIN $featCte fj ON ed.dst = fj.part_id),
+       $outCte AS (
+         SELECT src AS part_id,
+           $aggs,
+           CAST(SUM(score) AS BIGINT) AS att
+         FROM s_$outCte GROUP BY src)"""
+  }
+
+  /** M6 stand-in: deterministic graph-attention autoencoder over the
+    * co-purchase graph, node features = the q127 sequence embedding
+    * (the reference feeds its RNN embeddings as GAT node features,
+    * GAT.py:28-30). Two attention layers (GAT.py:15-16 stacks two
+    * GATConvs), then encoder latent lₖ = Σ_d sgn(d,k)·z_d (12→4),
+    * transpose decode x̂_d = round(Σₖ sgn(d,k)·lₖ / 4), and the dual
+    * reconstruction diagnostics of GAT.py:59-67: recon_l1 = Σ_d|x̂−x|
+    * (feature loss, L1 to stay exact-integer) and struct_q =
+    * round(Σⱼ wᵢⱼ⟨lᵢ,lⱼ⟩ / deg / 2⁴⁰) (the z·zᵀ edge affinity of the
+    * structure loss, power-of-two rescaled into integer range).
+    * Every aggregate is an exact decimal sum; every division a single
+    * IEEE op on deterministically-rounded inputs — hash-gated.
+    */
+  private[graft] def gatEmbedding(s: SparkSession, d: String): DataFrame = {
+    val eCols = (1 to D).map(i => s"e$i")
+    val emb = MLOps.sequenceEmbedding(s, d).cache()
+    val ed0 = coEdges(s, d).cache()
+    val ed = ed0
+      .unionByName(emb.select(
+        col("part_id").as("src"), col("part_id").as("dst"), lit(1L).as("w")))
+      .cache()
+    val z1 = attLayer(ed, emb, eCols).localCheckpoint(true)
+    val z2 = attLayer(ed, z1.drop("att"), eCols)
+    val lats = (1 to Lat).map { k =>
+      (1 to D).map(dd => lit(sgn(dd, k)) * col(s"e$dd")).reduce(_ + _).as(s"l$k")
+    }
+    val lat = z2.select(col("part_id") +: col("att") +: lats: _*).cache()
+    val xhats = (1 to D).map { dd =>
+      floor(
+        (1 to Lat).map(k => lit(sgn(dd, k)) * col(s"l$k")).reduce(_ + _).cast("double")
+          / lit(Lat.toDouble) + 0.5)
+        .cast(LongType).as(s"xh$dd")
+    }
+    val recon = lat.join(emb, "part_id")
+      .select(col("part_id") +: xhats ++: eCols.map(col): _*)
+      .select(
+        col("part_id"),
+        (1 to D).map(dd => abs(col(s"xh$dd") - col(s"e$dd"))).reduce(_ + _).as("recon_l1"))
+    // structure affinity over real (non-self) edges; isolated → 0
+    val li = lat.select(col("part_id").as("src") +: (1 to Lat).map(k => col(s"l$k").as(s"i_l$k")): _*)
+    val lj = lat.select(col("part_id").as("dst") +: (1 to Lat).map(k => col(s"l$k").as(s"j_l$k")): _*)
+    val dot = (1 to Lat).map(k => col(s"i_l$k").cast(Dec0) * col(s"j_l$k")).reduce(_ + _)
+    val struct = ed0.join(li, "src").join(lj, "dst")
+      .select(col("src"), (col("w") * dot).as("wdot"), col("w"))
+      .groupBy(col("src"))
+      .agg(
+        floor(
+          sum(col("wdot")).cast("double") / sum(col("w")).cast("double")
+            / lit(1099511627776L).cast("double") + 0.5)
+          .cast(LongType).as("sq"))
+      .withColumnRenamed("src", "part_id")
+    lat.join(recon, "part_id")
+      .join(struct, Seq("part_id"), "left")
+      .select(
+        col("part_id") +: (1 to Lat).map(k => col(s"l$k")) ++:
+          Seq(col("att"), col("recon_l1"), coalesce(col("sq"), lit(0L)).as("struct_q")): _*)
+      .orderBy(col("part_id"))
+  }
+
+  private[graft] val gatEmbeddingSql: String = {
+    val eCols = (1 to D).map(i => s"e$i")
+    val latSel = (1 to Lat).map { k =>
+      (1 to D).map(dd => s"(${sgn(dd, k)}) * e$dd").mkString(" + ") + s" AS l$k"
+    }.mkString(",\n               ")
+    val xhSel = (1 to D).map { dd =>
+      val num = (1 to Lat).map(k => s"(${sgn(dd, k)}) * l$k").mkString(" + ")
+      s"CAST(floor(CAST($num AS DOUBLE) / ${Lat}.0 + 0.5) AS BIGINT) AS xh$dd"
+    }.mkString(",\n               ")
+    val l1 = (1 to D).map(dd => s"abs(r.xh$dd - fe.e$dd)").mkString(" + ")
+    val dotE = (1 to Lat).map(k => s"CAST(li.l$k AS HUGEINT) * lj.l$k").mkString(" + ")
+    s"""
+    WITH ${MLOps.sequenceEmbeddingSql},
+    $coEdgesSql,
+    ed AS (SELECT src, dst, w FROM ed0
+           UNION ALL SELECT part_id, part_id, CAST(1 AS BIGINT) FROM emb),
+    ${attLayerSql("emb", "z1", eCols)},
+    ${attLayerSql("z1", "z2", eCols)},
+    lat AS (SELECT part_id, att,
+               $latSel
+            FROM z2),
+    xh AS (SELECT l.part_id,
+               $xhSel
+            FROM lat l),
+    recon AS (SELECT r.part_id, CAST($l1 AS BIGINT) AS recon_l1
+              FROM xh r JOIN emb fe ON r.part_id = fe.part_id),
+    st AS (SELECT e.src AS part_id,
+             CAST(floor(CAST(SUM(CAST(e.w AS HUGEINT) * ($dotE)) AS DOUBLE)
+                  / CAST(SUM(e.w) AS DOUBLE)
+                  / CAST(1099511627776 AS DOUBLE) + 0.5) AS BIGINT) AS sq
+           FROM ed0 e
+           JOIN lat li ON e.src = li.part_id
+           JOIN lat lj ON e.dst = lj.part_id
+           GROUP BY e.src)
+    SELECT l.part_id, ${(1 to Lat).map(k => s"l.l$k").mkString(", ")},
+           l.att, r.recon_l1, COALESCE(s.sq, 0) AS struct_q
+    FROM lat l
+    JOIN recon r ON l.part_id = r.part_id
+    LEFT JOIN st s ON l.part_id = s.part_id
+    ORDER BY l.part_id"""
+  }
+
+  // ---------------------------------------------------------------
+  // q150: fixed-point integer PageRank, 5 replayed iterations
+  // ---------------------------------------------------------------
+
+  private[graft] val PrIters = 5
+
+  /** Weighted PageRank in exact fixed-point micro-units: pr₀ = 1e6 per
+    * node; prₜ₊₁(i) = 150000 + (85·Σⱼ (prₜ(j)·wⱼᵢ) div degⱼ) div 100
+    * (damping 0.85 as the rational 85/100; all operands positive, so
+    * Spark's truncating `div` and DuckDB's `//` agree). Declared
+    * variant: dangling/rounding mass is dropped, not redistributed —
+    * ranks are unnormalized (the relative ordering PageRank is used
+    * for is unchanged; exactness is what buys the hash gate).
+    * Scale shape: each iteration is one edge⋈node join + one hash
+    * aggregate on dst — the Pregel step; the node frame is
+    * checkpointed per round so the plan stays iteration-deep, not
+    * lineage-deep.
+    */
+  private[graft] def pagerank(s: SparkSession, d: String): DataFrame = {
+    val ed = coEdges(s, d).cache()
+    val nodes = Tables.lineitem(s, d).select(col("l_partkey").as("part_id")).distinct()
+    pagerankOf(nodes, ed)
+  }
+
+  /** [[pagerank]]'s core over explicit (part_id) nodes and
+    * (src, dst, w) edges — the unit the spec drives on synthetic
+    * graphs.
+    */
+  private[graft] def pagerankOf(nodes: DataFrame, ed: DataFrame): DataFrame = {
+    val deg = ed.groupBy(col("src")).agg(sum(col("w")).as("deg"))
+    var pr = nodes.join(deg, nodes("part_id") === deg("src"), "left")
+      .select(col("part_id"), coalesce(col("deg"), lit(0L)).as("deg"),
+        lit(1000000L).as("pr"))
+      .localCheckpoint(true)
+    for (_ <- 1 to PrIters) {
+      val contrib = ed.join(pr, ed("src") === pr("part_id"))
+        .filter(col("deg") > 0)
+        .select(col("dst"), expr("(pr * w) div deg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("inr"))
+      pr = pr.select(col("part_id"), col("deg"))
+        .join(contrib.withColumnRenamed("dst", "part_id"), Seq("part_id"), "left")
+        .select(col("part_id"), col("deg"),
+          (lit(150000L) + expr("(85 * coalesce(inr, CAST(0 AS BIGINT))) div 100")).as("pr"))
+        .localCheckpoint(true)
+    }
+    pr.orderBy(col("part_id"))
+  }
+
+  private[graft] val pagerankSql: String = {
+    val iters = (1 to PrIters).map { i =>
+      s"""pr$i AS (
+         SELECT p.part_id, p.deg,
+                CAST(150000 + (85 * COALESCE(c.inr, 0)) // 100 AS BIGINT) AS pr
+         FROM pr${i - 1} p
+         LEFT JOIN (SELECT e.dst, CAST(SUM((p.pr * e.w) // p.deg) AS BIGINT) AS inr
+                    FROM ed0 e JOIN pr${i - 1} p ON e.src = p.part_id
+                    WHERE p.deg > 0 GROUP BY e.dst) c
+         ON p.part_id = c.dst)"""
+    }.mkString(",\n    ")
+    s"""
+    WITH $coEdgesSql,
+    deg AS (SELECT src, CAST(SUM(w) AS BIGINT) AS deg FROM ed0 GROUP BY src),
+    nodes AS (SELECT DISTINCT l_partkey AS part_id FROM lineitem),
+    pr0 AS (SELECT n.part_id, COALESCE(d.deg, 0) AS deg,
+                   CAST(1000000 AS BIGINT) AS pr
+            FROM nodes n LEFT JOIN deg d ON n.part_id = d.src),
+    $iters
+    SELECT part_id, deg, pr FROM pr$PrIters ORDER BY part_id"""
+  }
+
+  // ---------------------------------------------------------------
+  // q151: exact triangle census, degree-ordered orientation
+  // ---------------------------------------------------------------
+
+  /** Exact triangle count + global clustering coefficient. The Spark
+    * plan orients every undirected edge from its lower-(degree, id)
+    * endpoint to the higher one, enumerates wedges at the orientation
+    * source, and semi-joins them against oriented edges — each
+    * triangle counted exactly once at its lowest-order vertex, and
+    * per-node wedge fan-out bounded by oriented out-degree = O(√m)
+    * (the MapReduce triangle-counting bound), which is what survives a
+    * hub-heavy graph at 100 TB. The oracle counts the same triangles
+    * with the naive a<b<c three-way join — plan-independent equality.
+    */
+  private[graft] def triangles(s: SparkSession, d: String): DataFrame =
+    trianglesOf(coEdges(s, d)
+      .filter(col("src") < col("dst"))
+      .select(col("src").as("u"), col("dst").as("v")))
+
+  /** [[triangles]]'s core over an explicit undirected (u < v) edge
+    * list — the unit the spec drives on synthetic graphs.
+    */
+  private[graft] def trianglesOf(undRaw: DataFrame): DataFrame = {
+    val und = undRaw.cache()
+    val deg = und.select(col("u").as("n"))
+      .unionByName(und.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("dg"))
+      .cache()
+    val wd = und
+      .join(deg.select(col("n").as("u"), col("dg").as("du")), "u")
+      .join(deg.select(col("n").as("v"), col("dg").as("dv")), "v")
+    val less = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
+    val or = wd.select(
+      when(less, col("u")).otherwise(col("v")).as("a"),
+      when(less, col("v")).otherwise(col("u")).as("b"),
+      when(less, col("dv")).otherwise(col("du")).as("db"))
+      .cache()
+    val wedges = or.as("x").join(or.as("y"), col("x.a") === col("y.a"))
+      .filter(
+        col("x.db") < col("y.db") ||
+          (col("x.db") === col("y.db") && col("x.b") < col("y.b")))
+      .select(col("x.b").as("p"), col("y.b").as("q"))
+    val tri = wedges
+      .join(or.select(col("a").as("p"), col("b").as("q")), Seq("p", "q"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    val sizes = und.agg(count(lit(1)).as("n_edges"))
+    val nn = deg.agg(
+      count(lit(1)).as("n_nodes"),
+      sum(expr("(dg * (dg - 1)) div 2")).as("wdg"))
+    nn.crossJoin(sizes).crossJoin(tri)
+      .select(
+        col("n_nodes"), col("n_edges"), col("n_triangles"),
+        expr("(3 * n_triangles * 1000000) div wdg").as("global_cc_micro"))
+  }
+
+  private[graft] val trianglesSql: String =
+    s"""
+    WITH $coEdgesSql,
+    und AS (SELECT src AS u, dst AS v FROM ed0 WHERE src < dst),
+    deg AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS dg
+            FROM (SELECT u AS n FROM und UNION ALL SELECT v AS n FROM und)
+            GROUP BY n),
+    tri AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+            FROM und e1
+            JOIN und e2 ON e1.v = e2.u
+            JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v),
+    wdg AS (SELECT CAST(SUM((dg * (dg - 1)) // 2) AS BIGINT) AS wdg FROM deg)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM und) AS n_edges,
+           t.n_triangles,
+           CAST((3 * t.n_triangles * 1000000) // NULLIF(w.wdg, 0) AS BIGINT)
+             AS global_cc_micro
+    FROM tri t CROSS JOIN wdg w"""
+
+  val all: Seq[Q] = Seq(
+    Q("q149_gat_embedding", (s, d) => gatEmbedding(s, d), Some(gatEmbeddingSql)),
+    Q("q150_pagerank", (s, d) => pagerank(s, d), Some(pagerankSql)),
+    Q("q151_triangle_count", (s, d) => triangles(s, d), Some(trianglesSql))
+  )
+}
