@@ -559,6 +559,79 @@ object Similarity {
           .orderBy(col("query_id"), col("rnk"))
       },
       Some(sq8OracleSql)
+    ),
+
+    // SemDeDup (Abbas et al. 2023, arXiv:2303.09540): embedding dedup
+    // that never goes all-pairs — cluster first, then exact pairwise
+    // cosine ONLY within a cluster, removing every vector that has a
+    // lower-id τ-neighbor in its cell. The clustering is q76's trained
+    // quantizer (per-label exact means + one replayed Lloyd round), so
+    // the whole pipeline stays hash-gated. Cost: pairwise work drops
+    // from O(n²) (the declared q50 anchor) to Σ|cell|² — with k grown
+    // ~√N at corpus scale this is the plan that survives 100 TB, and
+    // the shuffle is keyed by (cell, pos), never a cross join. τ = the
+    // corpus's q50 near-dup threshold (0.35 — the synthetic blobs
+    // carry no 0.9+ twins); dup_of = the lowest-id retained neighbor,
+    // SemDeDup's deterministic "keep one representative" policy.
+    Q(
+      "q152_semdedup",
+      (s, d) => {
+        val el = elems(s, d).cache()
+        val lab = Tables.embeddings(s, d)
+          .select(col("vec_id"), (col("label") % IvfCells).cast(IntegerType).as("cell"))
+        val c1 = meansOf(el, cellsOf(scoresOf(el, meansOf(el, lab)), 1))
+        val cells = cellsOf(scoresOf(el, c1), 1).cache()
+        val elc = el.join(cells, "vec_id").cache()
+        val dots = elc.as("a")
+          .join(elc.as("b"),
+            col("a.cell") === col("b.cell") && col("a.pos") === col("b.pos")
+              && col("a.vec_id") < col("b.vec_id"))
+          .groupBy(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
+          .agg(sum((col("a.x") * col("b.x")).cast(Acc)).cast("double").as("dot"))
+        val n = normsOf(el)
+        val dup = dots
+          .join(n.as("na"), col("va") === col("na.vec_id"))
+          .join(n.as("nb"), col("vb") === col("nb.vec_id"))
+          .select(col("va"), col("vb"),
+            cosine(col("dot"), col("na.norm"), col("nb.norm")).as("cos"))
+          .filter(col("cos") >= 0.35)
+          .groupBy(col("vb").as("vec_id")).agg(min(col("va")).as("dup_of"))
+        cells.join(dup, Seq("vec_id"), "left")
+          .select(col("vec_id"), col("cell"), col("dup_of"))
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""
+        WITH $elemsSql,
+        $normsSql,
+        lab AS (SELECT vec_id, CAST(label % $IvfCells AS INT) AS cell FROM embeddings),
+        ${ivfRoundSql(0, "lab")},
+        a0 AS (SELECT vec_id, cell FROM (
+                 SELECT vec_id, cell,
+                        row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn
+                 FROM s0)
+               WHERE rn = 1),
+        ${ivfRoundSql(1, "a0")},
+        cells AS (SELECT vec_id, cell FROM (
+                    SELECT vec_id, cell,
+                           row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn
+                    FROM s1)
+                  WHERE rn = 1),
+        elc AS (SELECT el.vec_id, el.pos, el.x, c.cell
+                FROM el JOIN cells c ON el.vec_id = c.vec_id),
+        dots AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+                        CAST(SUM(CAST(a.x*b.x AS DECIMAL(38,12))) AS DOUBLE) AS dot
+                 FROM elc a JOIN elc b
+                 ON a.cell = b.cell AND a.pos = b.pos AND a.vec_id < b.vec_id
+                 GROUP BY 1, 2),
+        dup AS (SELECT vb AS vec_id, MIN(va) AS dup_of FROM (
+                  SELECT d.va, d.vb, ROUND(d.dot / (na.norm * nb.norm), 6) AS cos
+                  FROM dots d
+                  JOIN norms na ON d.va = na.vec_id
+                  JOIN norms nb ON d.vb = nb.vec_id)
+                WHERE cos >= 0.35 GROUP BY vb)
+        SELECT c.vec_id, c.cell, d.dup_of
+        FROM cells c LEFT JOIN dup d ON c.vec_id = d.vec_id
+        ORDER BY c.vec_id""")
     )
   )
   /** The IVF probe stage shared by q76 (index trained inline) and the
