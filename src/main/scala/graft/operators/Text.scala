@@ -912,6 +912,95 @@ object Text {
                CAST(CAST(SUM(stats.p_scaled) AS BIGINT) // COUNT(*) AS BIGINT) AS quality_scaled
         FROM big JOIN stats ON big.bh = stats.bh
         GROUP BY big.doc_id ORDER BY big.doc_id""")
+    ),
+
+    // Okapi BM25 retrieval (k1=1.2, b=0.75) with the portable rational
+    // IDF (the q87/q146 discipline: no engine ln() — its last-ulp
+    // drift would break the hash gate). Per TERM the ranking is
+    // EXACTLY true BM25: idf is a per-term constant and the tf part is
+    // computed as the exact integer rational
+    //   22·tf·SL div (10·SL·tf + 3·SL + 9·L·N)
+    // (= tf·(k1+1)/(tf + k1·(1−b+b·L/avgdl)) with avgdl = SL/N cleared
+    // of fractions; all operands positive, so Spark `div` ≡ DuckDB
+    // `//`), a strictly monotone transform of the per-term score.
+    // idf_scaled = ((2N−2df+1)·1e6) div (2df+1) is the rational core
+    // of log-idf's argument — monotone in the true idf, declared as
+    // the portable variant for cross-term magnitudes. Query terms are
+    // data-derived: df-ranks 10..17 (mid-frequency — the head is
+    // stopwords, the tail degenerate). Scale shape: tf is one (doc,
+    // token) hash aggregate; df re-aggregates tf (no second corpus
+    // scan); the 8-term query set and the (N, SL) scalar broadcast in,
+    // so scoring touches only the 8 posting lists and the top-5 window
+    // partitions by term — never a corpus-wide sort.
+    Q(
+      "q153_bm25",
+      (s, d) => {
+        val tok = docs(s, d)
+          .select(col("doc_id"), size(col("tok")).as("len"), explode(col("tok")).as("token"))
+        val tf = tok.groupBy(col("doc_id"), col("token"))
+          .agg(count(lit(1)).as("tf"), max(col("len").cast("long")).as("len"))
+          .cache()
+        val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+        val qt = df
+          .withColumn("qrn",
+            row_number().over(org.apache.spark.sql.expressions.Window
+              .orderBy(col("df").desc, col("token"))))
+          .filter(col("qrn").between(10, 17))
+          .select(col("token"), col("df"))
+        val n = docs(s, d)
+          .select(col("doc_id"), size(col("tok")).as("len"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("len")).as("sl"))
+        val scored = tf.join(broadcast(qt), "token")
+          .crossJoin(broadcast(n))
+          .withColumn("idf_scaled",
+            expr("((2 * n_docs - 2 * df + 1) * 1000000) div (2 * df + 1)"))
+          .withColumn("num",
+            col("idf_scaled").cast(org.apache.spark.sql.types.DecimalType(38, 0))
+              * 22 * col("tf") * col("sl"))
+          .withColumn("den",
+            lit(10L) * col("sl") * col("tf") + lit(3L) * col("sl")
+              + lit(9L) * col("len") * col("n_docs"))
+          .withColumn("score_scaled", expr("num div den").cast("long"))
+        scored
+          .withColumn("rnk",
+            row_number().over(org.apache.spark.sql.expressions.Window
+              .partitionBy(col("token"))
+              .orderBy(col("score_scaled").desc, col("doc_id")))
+              .cast(org.apache.spark.sql.types.IntegerType))
+          .filter(col("rnk") <= 5)
+          .select(col("token"), col("rnk"), col("doc_id"), col("tf"),
+            col("len").as("doc_len"), col("score_scaled"))
+          .orderBy(col("token"), col("rnk"))
+      },
+      Some(s"""
+        WITH t AS (SELECT doc_id, ${T.tokens} AS tok FROM documents),
+        e AS (SELECT doc_id, len(tok) AS len, unnest(tok) AS token FROM t),
+        tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf,
+                      CAST(MAX(len) AS BIGINT) AS len
+               FROM e GROUP BY 1, 2),
+        df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        qt AS (SELECT token, df FROM (
+                 SELECT token, df,
+                        row_number() OVER (ORDER BY df DESC, token) AS qrn
+                 FROM df)
+               WHERE qrn BETWEEN 10 AND 17),
+        n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(len(tok)) AS BIGINT) AS sl
+              FROM t),
+        scored AS (
+          SELECT tf.token, tf.doc_id, tf.tf, tf.len,
+                 CAST((CAST(((2 * n.n_docs - 2 * qt.df + 1) * 1000000)
+                         // (2 * qt.df + 1) AS HUGEINT)
+                       * 22 * tf.tf * n.sl)
+                      // (10 * n.sl * tf.tf + 3 * n.sl + 9 * tf.len * n.n_docs)
+                      AS BIGINT) AS score_scaled
+          FROM tf JOIN qt ON tf.token = qt.token CROSS JOIN n)
+        SELECT token, rnk, doc_id, tf, len AS doc_len, score_scaled FROM (
+          SELECT *, CAST(row_number() OVER (
+                   PARTITION BY token ORDER BY score_scaled DESC, doc_id) AS INT) AS rnk
+          FROM scored)
+        WHERE rnk <= 5
+        ORDER BY token, rnk""")
     )
   )
 }

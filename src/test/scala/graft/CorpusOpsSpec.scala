@@ -305,4 +305,40 @@ class CorpusOpsSpec extends SparkSpec {
       .filter(size(graft.functions.TextFns.tokens(col("text"))) >= 2).count()
     assert(rows.length == expected, s"${rows.length} scored vs $expected eligible")
   }
+
+  test("q153 per-term ranking tracks true log-idf BM25 (k1=1.2, b=0.75)") {
+    // per term, the integer-rational score is a monotone transform of
+    // true BM25 (idf is a per-term constant; the tf part is computed
+    // as an exact cleared-fraction rational), so the returned order
+    // must match the double/log computation up to integer-floor ties
+    val out = SparkEntry.queries("q153_bm25")(spark, d).collect()
+    assert(out.map(_.getString(0)).distinct.length == 8, "eight data-derived query terms")
+    // recompute corpus stats the long way
+    val tok = Tables.documents(spark, d)
+      .select(col("doc_id"), graft.functions.TextFns.tokens(col("text")).as("tok"))
+      .select(col("doc_id"), size(col("tok")).as("len"), explode(col("tok")).as("token"))
+      .collect()
+    val nDocs = tok.map(_.getAs[Any]("doc_id")).distinct.length.toDouble
+    val avgdl = tok.length.toDouble / nDocs
+    val dfMap = tok.map(r => (r.getAs[Any]("doc_id"), r.getString(2))).distinct
+      .groupBy(_._2).view.mapValues(_.length.toDouble).toMap
+    out.groupBy(_.getString(0)).foreach { case (term, rows) =>
+      assert(dfMap(term) > 0)
+      val byRank = rows.sortBy(_.getInt(1))
+      assert(byRank.map(_.getInt(1)).toSeq == (1 to byRank.length), s"dense ranks for $term")
+      // idf is a positive per-term constant in the declared scoring, so
+      // the per-term BM25 order is exactly the true tf-part order
+      val trueScores = byRank.map { r =>
+        val tf = r.getLong(3).toDouble; val len = r.getLong(4).toDouble
+        tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * len / avgdl))
+      }
+      trueScores.sliding(2).foreach {
+        case Array(hi, lo) =>
+          assert(hi >= lo - 1e-9 * math.abs(hi),
+            s"$term: true-BM25 order violated ($hi then $lo)")
+        case _ =>
+      }
+    }
+    spark.catalog.clearCache()
+  }
 }
