@@ -947,8 +947,10 @@ object Text {
               .orderBy(col("df").desc, col("token"))))
           .filter(col("qrn").between(10, 17))
           .select(col("token"), col("df"))
-        val n = docs(s, d)
-          .select(col("doc_id"), size(col("tok")).as("len"))
+        // corpus scalars re-aggregate the cached tf (every doc owns at
+        // least one tf row — tokenization never returns empty), so the
+        // corpus is scanned ONCE for the whole query
+        val n = tf.groupBy(col("doc_id")).agg(max(col("len")).as("len"))
           .agg(count(lit(1)).as("n_docs"), sum(col("len")).as("sl"))
         val scored = tf.join(broadcast(qt), "token")
           .crossJoin(broadcast(n))

@@ -439,4 +439,31 @@ class PlanSpec extends SparkSpec {
     assert(firstExchange == -1 || filterIdx > firstExchange,
       s"stratum filter must sit below (after in explain order) the first exchange:\n$p")
   }
+
+  test("graph module: every join is keyed — no cartesian product anywhere (q149/q150/q151/q152)") {
+    // the co-purchase edge build, the attention layers, the PageRank
+    // iterations, the wedge enumeration, and the in-cell pairwise scan
+    // are all equi-joins; a CartesianProduct (or a non-broadcast
+    // nested loop) in any of them is the O(n²) plan these operators
+    // exist to avoid
+    Seq("q149_gat_embedding", "q150_pagerank", "q151_triangle_count", "q152_semdedup")
+      .foreach { q =>
+        val p = plan(q)
+        assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product:\n$p")
+        spark.catalog.clearCache()
+      }
+  }
+
+  test("bm25 broadcasts the query-term dim and the corpus scalars (q153)") {
+    val p = plan("q153_bm25")
+    // posting-list probe: tf ⋈ qt must broadcast the 8-term dim, and
+    // the (N, SL) scalar arrives as a broadcast, never a shuffle of tf
+    assert(p.contains("BroadcastHashJoin"), s"query-term join must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"corpus scalars must broadcast:\n$p")
+    // exactly one unpartitioned window is declared (the vocabulary
+    // df-ranking, Zipf-bounded); the top-5 window partitions by token
+    val single = p.linesIterator.count(_.contains("Exchange SinglePartition"))
+    assert(single <= 1, s"only the vocab ranking may single-partition:\n$p")
+    spark.catalog.clearCache()
+  }
 }
