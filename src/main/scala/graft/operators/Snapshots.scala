@@ -2,7 +2,8 @@ package graft.operators
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min}
+import org.apache.spark.sql.types.{DataType, DateType, NumericType, StringType, StructType}
 
 /** Snapshot versioning for warehouse tables — the minimal table-format
   * core (what Delta/Iceberg manifests do) expressed on plain parquet +
@@ -79,6 +80,40 @@ object Snapshots {
     * removed.
     */
   private val MetaPrefix = "#meta "
+
+  /** Per-file zone-map lines (`#stats <relpath>\t<col>\t<n_nonnull>\t
+    * <b64min>\t<b64max>`): min/max/count recorded at commit time for
+    * the columns the committer declares (`statsCols`), the
+    * Delta/Iceberg file-statistics core. `#`-prefixed, so every
+    * pre-stats reader skips them; a file with no stats line for a
+    * column is simply never pruned (fallback = correct, not fast).
+    * Values ride as base64 of the string form — content-safe for any
+    * corpus bytes — and [[scanRange]] re-parses them under the
+    * column's committed type, so numeric comparison is numeric, never
+    * lexicographic.
+    */
+  private val StatsPrefix = "#stats "
+
+  private def b64(s: String): String =
+    java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
+
+  private def unb64(s: String): String =
+    new String(java.util.Base64.getDecoder.decode(s), "UTF-8")
+
+  /** (relpath, column) → (n_nonnull, min, max); min/max None for an
+    * all-null file.
+    */
+  private def statsOf(lines: Seq[String]): Map[(String, String), (Long, Option[String], Option[String])] =
+    lines.filter(_.startsWith(StatsPrefix)).flatMap { l =>
+      l.stripPrefix(StatsPrefix).split('\t') match {
+        case Array(rel, c, n, mn, mx) =>
+          Some((rel, c) -> ((
+            n.toLong,
+            if (mn == "-") None else Some(unb64(mn)),
+            if (mx == "-") None else Some(unb64(mx)))))
+        case _ => None // malformed stats line: ignore, file just won't prune
+      }
+    }.toMap
 
   /** Meta keys that ride forward onto every subsequent commit unless
     * the commit sets them itself. The stream high-water mark must
@@ -161,7 +196,8 @@ object Snapshots {
       tableDir: String,
       replace: Boolean = false,
       meta: Map[String, String] = Map.empty,
-      expected: Option[Int] = None): Int = {
+      expected: Option[Int] = None,
+      statsCols: Seq[String] = Nil): Int = {
     meta.foreach { case (k, v) =>
       require(!k.contains('=') && (k + v).forall(c => c != '\n' && c != '\r'),
         s"snapshot meta must be line-safe and '='-free in keys: $k=$v")
@@ -212,16 +248,51 @@ object Snapshots {
       .sorted
     // 2. new manifest = (previous files if appending) + new files
     val v = prev.lastOption.getOrElse(0) + 1
-    val files =
-      if (replace || prev.isEmpty) newFiles
-      else fileLines(readManifest(spark, table, prev.last)) ++ newFiles
+    val prevLines =
+      if (replace || prev.isEmpty) Seq.empty[String]
+      else readManifest(spark, table, prev.last)
+    val files = fileLines(prevLines) ++ newFiles
+    // zone maps for the NEW files only (retained files carry theirs
+    // forward): one metadata-scale aggregate over the just-written
+    // delta — the file-statistics pass every production table format
+    // runs at commit time
+    val statLines = if (statsCols.isEmpty) Seq.empty[String] else {
+      statsCols.foreach { c =>
+        val fd = committed.fields.find(_.name == c).getOrElse(
+          throw new IllegalArgumentException(s"statsCols column $c not in committed schema"))
+        require(
+          fd.dataType.isInstanceOf[NumericType] ||
+            fd.dataType == StringType || fd.dataType == DateType,
+          s"statsCols supports numeric/string/date columns, got ${fd.dataType.sql} for $c")
+      }
+      val aggs = statsCols.flatMap(c => Seq(
+        min(col(c)).cast("string").as(s"mn_$c"),
+        max(col(c)).cast("string").as(s"mx_$c"),
+        count(col(c)).as(s"n_$c")))
+      spark.read.schema(df.schema).parquet(dataPath.toString)
+        .groupBy(input_file_name().as("_file"))
+        .agg(aggs.head, aggs.tail: _*)
+        .collect()
+        .toSeq
+        .flatMap { r =>
+          val rel = s"$DataDir/$batch/" +
+            new Path(new java.net.URI(r.getString(0))).getName
+          statsCols.map { c =>
+            val mn = Option(r.getAs[String](s"mn_$c")).map(b64).getOrElse("-")
+            val mx = Option(r.getAs[String](s"mx_$c")).map(b64).getOrElse("-")
+            s"$StatsPrefix$rel\t$c\t${r.getAs[Long](s"n_$c")}\t$mn\t$mx"
+          }
+        }
+        .sorted
+    }
+    val carriedStats = prevLines.filter(_.startsWith(StatsPrefix))
     // 3. atomic publish: temp write, fsync, rename into place (schema
     //    header first so even a zero-file version stays readable)
     val op = if (replace || prev.isEmpty) "replace" else "append"
     val fullMeta = carriedMeta(spark, tableDir, prev, meta) ++ meta
     val header = (SchemaPrefix + committed.json) +:
       (fullMeta + ("_op" -> op)).toSeq.sorted.map { case (k, mv) => s"$MetaPrefix$k=$mv" }
-    publish(f, manifestPath(table, v), header ++ files, "commit")
+    publish(f, manifestPath(table, v), header ++ carriedStats ++ statLines ++ files, "commit")
     v
   }
 
@@ -338,6 +409,71 @@ object Snapshots {
         s"snapshot read: version $v of $tableDir has no files and no recorded schema " +
           "(pre-schema-header manifest) — pin a non-empty version")
     }
+  }
+
+  /** Zone-map-pruned range scan: read version `version` (latest when
+    * None) keeping only the data files whose recorded [min, max] for
+    * `colName` intersects [lo, hi], then apply the residual BETWEEN
+    * filter — semantically identical to
+    * `read(...).filter(col(colName).between(lo, hi))`, but the driver
+    * drops provably-disjoint files from the scan BEFORE any task
+    * launches: with a range-clustered layout
+    * ([[Warehouse.clusterWrite]]'s disjoint key ranges) a narrow
+    * predicate touches O(1) files of a 100 TB table instead of all of
+    * them — Delta/Iceberg data skipping on this manifest format.
+    * Files without stats for `colName` (pre-stats commits, rewrite
+    * verbs) are always read — fallback is correct, just not fast; an
+    * all-null file is skipped (BETWEEN drops nulls). Comparison runs
+    * under the column's committed type — numeric via BigDecimal,
+    * date/string by ISO/lexicographic form — and any unparsable value
+    * keeps its file.
+    */
+  def scanRange(
+      spark: SparkSession,
+      tableDir: String,
+      colName: String,
+      lo: Any,
+      hi: Any,
+      version: Option[Int] = None): DataFrame = {
+    val table = new Path(tableDir)
+    val vs = versions(spark, tableDir)
+    require(vs.nonEmpty, s"no committed snapshot under $tableDir")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v), s"version $v not in $vs")
+    val lines = readManifest(spark, table, v)
+    val schema = schemaOf(lines)
+    val dt = schema.flatMap(_.fields.find(_.name == colName)).map(_.dataType)
+    val st = statsOf(lines)
+    def cmp(a: String, b: String): Option[Int] = dt match {
+      case Some(_: NumericType) =>
+        try Some(new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b)))
+        catch { case _: NumberFormatException => None }
+      case Some(StringType) | Some(DateType) => Some(a.compareTo(b))
+      case _ => None
+    }
+    val loS = String.valueOf(lo)
+    val hiS = String.valueOf(hi)
+    def keep(rel: String): Boolean = st.get((rel, colName)) match {
+      case None => true // no stats recorded: must read
+      case Some((n, _, _)) if n == 0L => false // all-null: BETWEEN drops it
+      case Some((_, mn, mx)) =>
+        // keep unless provably disjoint: max < lo or min > hi
+        !(mx.flatMap(cmp(_, loS)).exists(_ < 0) ||
+          mn.flatMap(cmp(_, hiS)).exists(_ > 0))
+    }
+    val kept = fileLines(lines).filter(keep).map(rel => new Path(table, rel).toString)
+    val base =
+      if (kept.nonEmpty) schema match {
+        case Some(s0) => spark.read.schema(s0).parquet(kept: _*)
+        case None => spark.read.parquet(kept: _*)
+      }
+      else schema match {
+        case Some(s0) => spark.createDataFrame(spark.sparkContext.emptyRDD[Row], s0)
+        case None => throw new java.io.IOException(
+          s"snapshot scanRange: version $v of $tableDir pruned to zero files " +
+            "and has no schema header — pin a version with a recorded schema")
+      }
+    base.filter(col(colName).between(lit(lo), lit(hi)))
   }
 
   /** Expire history — the Iceberg expire-snapshots verb, and the
@@ -594,8 +730,14 @@ object Snapshots {
     val fullMeta = carriedMeta(spark, tableDir, prev, meta) ++ meta
     val header = (SchemaPrefix + schema.json) +:
       (fullMeta + ("_op" -> op)).toSeq.sorted.map { case (k, mv) => s"$MetaPrefix$k=$mv" }
+    // zone maps of UNTOUCHED files stay valid — carry them; the
+    // rewritten files get none (fallback = always read, never wrong)
+    val keptSet = kept.toSet
+    val keptStats = manifest.filter(l =>
+      l.startsWith(StatsPrefix) &&
+        keptSet(l.stripPrefix(StatsPrefix).takeWhile(_ != '\t')))
     val v = prev.last + 1
-    publish(f, manifestPath(table, v), header ++ kept ++ newFiles, op)
+    publish(f, manifestPath(table, v), header ++ keptStats ++ kept ++ newFiles, op)
     v
   }
 }

@@ -404,4 +404,61 @@ class SnapshotSpec extends SparkSpec {
       Snapshots.merge(Seq((2L, "x")).toDF("id", "other"), dir, Seq("id"))
     }
   }
+
+  test("zone maps: a range-clustered table prunes files at the manifest, results unchanged") {
+    val dir = newTable()
+    // 4 disjoint key ranges -> 4 files with non-overlapping [min, max]
+    val df = (1 to 1000).toDF("k").withColumn("payload", $"k" * 2)
+      .repartitionByRange(4, $"k").sortWithinPartitions("k")
+    Snapshots.commit(df, dir, statsCols = Seq("k"))
+    val full = Snapshots.files(spark, dir).size
+    assert(full == 4, s"expected 4 clustered files, got $full")
+    val pruned = Snapshots.scanRange(spark, dir, "k", 10, 20)
+    // the narrow predicate must touch exactly one file
+    assert(pruned.inputFiles.length == 1,
+      s"zone maps must prune to 1 of 4 files, scanned ${pruned.inputFiles.length}")
+    // and be semantically identical to the unpruned filter
+    val expected = Snapshots.read(spark, dir)
+      .filter($"k".between(10, 20)).collect().map(_.getInt(0)).sorted.toSeq
+    assert(pruned.collect().map(_.getInt(0)).sorted.toSeq == expected)
+    // a provably-empty range scans ZERO files but keeps the schema
+    val none = Snapshots.scanRange(spark, dir, "k", 5000, 6000)
+    assert(none.inputFiles.isEmpty && none.count() == 0)
+    assert(none.schema.fieldNames.toSeq == Seq("k", "payload"))
+  }
+
+  test("zone maps: stats-less files are always read; all-null files are skipped; appends carry stats") {
+    val dir = newTable()
+    val clustered = (1 to 100).toDF("k").repartitionByRange(2, $"k").sortWithinPartitions("k")
+    Snapshots.commit(clustered, dir, statsCols = Seq("k"))
+    // append WITHOUT stats: its files must never be pruned
+    Snapshots.commit((200 to 210).toDF("k").coalesce(1), dir)
+    val scan = Snapshots.scanRange(spark, dir, "k", 1, 10)
+    assert(scan.inputFiles.length == 2,
+      s"1 stats-pruned survivor + 1 stats-less file, got ${scan.inputFiles.length}")
+    assert(scan.collect().map(_.getInt(0)).sorted.toSeq == (1 to 10))
+    // append an all-null file WITH stats: BETWEEN can never select it
+    Snapshots.commit(Seq[Option[Int]](None, None).toDF("k").coalesce(1), dir,
+      statsCols = Seq("k"))
+    val scan2 = Snapshots.scanRange(spark, dir, "k", 1, 10)
+    assert(scan2.inputFiles.length == 2, "an all-null file must be skipped")
+    // stats survive an append: the v1 files still prune under v3
+    assert(Snapshots.scanRange(spark, dir, "k", 60, 70).inputFiles.length == 2)
+  }
+
+  test("zone maps: merge keeps untouched files' stats, rewritten files fall back to always-read") {
+    val dir = newTable()
+    val df = (1 to 100).toDF("k").withColumn("v", lit("a"))
+      .repartitionByRange(4, $"k").sortWithinPartitions("k")
+    Snapshots.commit(df, dir, statsCols = Seq("k"))
+    // merge touches only the file holding k = 3
+    Snapshots.merge(Seq(3).toDF("k").withColumn("v", lit("b")), dir, Seq("k"))
+    // a range fully inside an UNTOUCHED file's key span still prunes:
+    // survivors = that file + the stats-less rewrite output
+    val scan = Snapshots.scanRange(spark, dir, "k", 60, 65)
+    assert(scan.inputFiles.length < Snapshots.files(spark, dir).size,
+      "untouched files' zone maps must survive a merge")
+    val got = scan.collect().map(_.getInt(0)).sorted.toSeq
+    assert(got == (60 to 65))
+  }
 }
