@@ -195,8 +195,10 @@ object Warehouse {
       df: org.apache.spark.sql.DataFrame,
       tableDir: String,
       clusterCol: String,
-      nFiles: Int): Int =
-    Snapshots.commit(clustered(df, clusterCol, nFiles), tableDir, replace = true)
+      nFiles: Int,
+      statsCols: Seq[String] = Nil): Int =
+    Snapshots.commit(
+      clustered(df, clusterCol, nFiles), tableDir, replace = true, statsCols = statsCols)
 
   /** q131's diagnostic reduced to the routing statistic: the largest
     * single key's share of `df`'s rows on `key`. Two keyed aggregates,
@@ -1109,6 +1111,43 @@ object Warehouse {
         SELECT e.event_id, e.user_id, c.c_mktsegment AS segment, e.value
         FROM events e JOIN customer c ON e.user_id = c.c_custkey
         ORDER BY e.event_id""")
+    ),
+
+    // Zone-map data skipping as an ORACLE-GATED end-to-end path (round
+    // 9): cluster the fact by ship date into a snapshot table with
+    // per-file min/max stats, then answer a narrow date-range rollup
+    // through Snapshots.scanRange — the driver drops provably-disjoint
+    // files before any task launches, and the result must hash-match
+    // the plain full-scan oracle. The q65-style write-then-read shape
+    // (unique temp dir per run); pruning EFFECTIVENESS (1-of-N files)
+    // is pinned in SnapshotSpec — here the gate proves skipping never
+    // changes an answer.
+    Q(
+      "q154_zonemap_scan",
+      (s, d) => {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_zm").resolve("t").toString
+        val fact = Tables.lineitem(s, d)
+          .select(
+            col("l_orderkey"), col("l_quantity"),
+            to_date(col("l_shipdate")).as("ship_date"))
+        clusterCommit(fact, dir, "ship_date", 16, statsCols = Seq("ship_date"))
+        Snapshots
+          .scanRange(s, dir, "ship_date",
+            java.sql.Date.valueOf("1995-02-01"), java.sql.Date.valueOf("1995-04-30"))
+          .groupBy(col("ship_date"))
+          .agg(
+            count(lit(1)).as("n_rows"),
+            Det.dsum(col("l_quantity")).as("sum_qty"))
+          .orderBy(col("ship_date"))
+      },
+      Some("""
+        SELECT CAST(l_shipdate AS DATE) AS ship_date,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        WHERE CAST(l_shipdate AS DATE) BETWEEN DATE '1995-02-01' AND DATE '1995-04-30'
+        GROUP BY 1 ORDER BY 1""")
     )
   )
 }

@@ -461,4 +461,21 @@ class SnapshotSpec extends SparkSpec {
     val got = scan.collect().map(_.getInt(0)).sorted.toSeq
     assert(got == (60 to 65))
   }
+
+  test("q154's clustered fact layout prunes a 3-month range to a strict file subset") {
+    val dir = newTable()
+    val fact = Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .select(col("l_orderkey"), col("l_quantity"),
+        to_date(col("l_shipdate")).as("ship_date"))
+    operators.Warehouse.clusterCommit(fact, dir, "ship_date", 16,
+      statsCols = Seq("ship_date"))
+    val pr = Snapshots.scanRange(spark, dir, "ship_date",
+      java.sql.Date.valueOf("1995-02-01"), java.sql.Date.valueOf("1995-04-30"))
+    val total = Snapshots.files(spark, dir).size
+    assert(pr.inputFiles.length < total,
+      s"3 months of a ~7-year span must prune: ${pr.inputFiles.length} of $total files")
+    assert(pr.inputFiles.length <= 2,
+      s"a clustered 16-file layout should localize the range to <=2 files, got ${pr.inputFiles.length}")
+    assert(pr.count() > 0)
+  }
 }
