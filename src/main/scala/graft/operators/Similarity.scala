@@ -566,44 +566,55 @@ object Similarity {
     // cosine ONLY within a cluster, removing every vector that has a
     // lower-id τ-neighbor in its cell. The clustering is q76's trained
     // quantizer (per-label exact means + one replayed Lloyd round), so
-    // the whole pipeline stays hash-gated. Cost: pairwise work drops
-    // from O(n²) (the declared q50 anchor) to Σ|cell|² — with k grown
-    // ~√N at corpus scale this is the plan that survives 100 TB, and
-    // the shuffle is keyed by (cell, pos), never a cross join. τ = the
-    // corpus's q50 near-dup threshold (0.35 — the synthetic blobs
-    // carry no 0.9+ twins); dup_of = the lowest-id retained neighbor,
-    // SemDeDup's deterministic "keep one representative" policy.
+    // the whole pipeline stays hash-gated. The two scale levers (the
+    // sf1 sweep caught the first version missing both):
+    //  - the cell count GROWS with the corpus, k = max(5, n/400) —
+    //    bounded cell size makes the in-cell pairwise Σ|cell|² ≈ n·400
+    //    LINEAR in corpus size (a fixed k would leave it n²/k); k is
+    //    derived from ONE count (the AQE-statistic cost class) and the
+    //    same integer formula in the oracle, so parity holds at every
+    //    SF — at the gated SFs (≤2000 vectors) k stays 5, unchanged;
+    //  - pairwise scoring uses the codegen'd graft_dot kernel on the
+    //    packed arrays (ONE row per candidate pair, not 64 element
+    //    rows) — q64 is the standing proof that the kernel's 6-dp
+    //    cosines hash-match the decimal-exact oracle formulation.
+    // τ = the corpus's q50 near-dup threshold (0.35 — the synthetic
+    // blobs carry no 0.9+ twins); dup_of = the lowest-id retained
+    // neighbor, SemDeDup's deterministic keep-one policy.
     Q(
       "q152_semdedup",
       (s, d) => {
+        graft.functions.ArrayDot.register(s)
         val el = elems(s, d).cache()
+        val k = math.max(IvfCells, (Tables.embeddings(s, d).count() / 400L).toInt)
         val lab = Tables.embeddings(s, d)
-          .select(col("vec_id"), (col("label") % IvfCells).cast(IntegerType).as("cell"))
+          .select(col("vec_id"), (col("label") % k).cast(IntegerType).as("cell"))
         val c1 = meansOf(el, cellsOf(scoresOf(el, meansOf(el, lab)), 1))
-        val cells = cellsOf(scoresOf(el, c1), 1).cache()
-        val elc = el.join(cells, "vec_id").cache()
-        val dots = elc.as("a")
-          .join(elc.as("b"),
-            col("a.cell") === col("b.cell") && col("a.pos") === col("b.pos")
-              && col("a.vec_id") < col("b.vec_id"))
-          .groupBy(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
-          .agg(sum((col("a.x") * col("b.x")).cast(Acc)).cast("double").as("dot"))
-        val n = normsOf(el)
-        val dup = dots
-          .join(n.as("na"), col("va") === col("na.vec_id"))
-          .join(n.as("nb"), col("vb") === col("nb.vec_id"))
-          .select(col("va"), col("vb"),
-            cosine(col("dot"), col("na.norm"), col("nb.norm")).as("cos"))
+        val cells = cellsOf(scoresOf(el, c1), 1)
+        val ev = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+          .withColumn("norm", sqrt(expr("graft_dot(v, v)")))
+          .join(cells, "vec_id")
+          .cache()
+        val dup = ev.as("a")
+          .join(ev.as("b"),
+            col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+            round(expr("graft_dot(a.v, b.v)") / (col("a.norm") * col("b.norm")), 6)
+              .as("cos"))
           .filter(col("cos") >= 0.35)
           .groupBy(col("vb").as("vec_id")).agg(min(col("va")).as("dup_of"))
-        cells.join(dup, Seq("vec_id"), "left")
+        ev.select(col("vec_id"), col("cell"))
+          .join(dup, Seq("vec_id"), "left")
           .select(col("vec_id"), col("cell"), col("dup_of"))
           .orderBy(col("vec_id"))
       },
       Some(s"""
         WITH $elemsSql,
         $normsSql,
-        lab AS (SELECT vec_id, CAST(label % $IvfCells AS INT) AS cell FROM embeddings),
+        kk AS (SELECT GREATEST($IvfCells, COUNT(*) // 400) AS k FROM embeddings),
+        lab AS (SELECT vec_id, CAST(label % (SELECT k FROM kk) AS INT) AS cell
+                FROM embeddings),
         ${ivfRoundSql(0, "lab")},
         a0 AS (SELECT vec_id, cell FROM (
                  SELECT vec_id, cell,
