@@ -92,19 +92,33 @@ object Graph {
     * own features. Also returns `att` = Σ score (the attention mass).
     */
   private[graft] def attLayer(ed: DataFrame, feats: DataFrame, cols: Seq[String]): DataFrame = {
-    val fi = feats.select(col("part_id").as("src") +: cols.map(c => col(c).as(s"i_$c")): _*)
-    val fj = feats.select(col("part_id").as("dst") +: cols.map(c => col(c).as(s"j_$c")): _*)
-    val agree = cols.map(c =>
-      when((col(s"i_$c") >= 0) === (col(s"j_$c") >= 0), lit(1L)).otherwise(lit(0L)))
+    // sign agreement via a per-node sign BITMASK: the attention scoring
+    // joins carry ONE long per endpoint instead of the full feature
+    // row, so the two edge-sized score shuffles stay 4 columns narrow;
+    // agree = D − popcount(si XOR sj) is integer-identical to the
+    // per-dimension sign compare the oracle writes out
+    val sigExpr = cols.zipWithIndex
+      .map { case (c, i) => when(col(c) >= 0, lit(1L << i)).otherwise(lit(0L)) }
       .reduce(_ + _)
+    val sig = feats.select(col("part_id"), sigExpr.as("sig"))
+    val scored = ed
+      .join(sig.select(col("part_id").as("src"), col("sig").as("si")), "src")
+      .join(sig.select(col("part_id").as("dst"), col("sig").as("sj")), "dst")
+      .select(
+        col("src"), col("dst"),
+        (col("w") * (lit(1L + cols.length) - expr("bit_count(si ^ sj)").cast("long")))
+          .as("score"))
+    // ONE wide join (score ⋈ destination features), already partitioned
+    // by dst from the sj join; partial aggregation combines map-side
+    // before the final src shuffle
+    val fj = feats.select(col("part_id").as("dst") +: cols.map(c => col(c).as(s"j_$c")): _*)
     val aggs = cols.map { c =>
       floor(
         sum((col("score") * col(s"j_$c")).cast(Dec0)).cast("double")
           / sum(col("score")).cast("double") + 0.5)
         .cast(LongType).as(c)
     } :+ sum(col("score")).as("att")
-    ed.join(fi, "src").join(fj, "dst")
-      .withColumn("score", col("w") * (lit(1L) + agree))
+    scored.join(fj, "dst")
       .groupBy(col("src"))
       .agg(aggs.head, aggs.tail: _*)
       .withColumnRenamed("src", "part_id")
@@ -253,16 +267,19 @@ object Graph {
     * lineage-deep.
     */
   private[graft] def pagerank(s: SparkSession, d: String): DataFrame = {
-    val ed = coEdges(s, d).cache()
     val nodes = Tables.lineitem(s, d).select(col("l_partkey").as("part_id")).distinct()
-    pagerankOf(nodes, ed)
+    pagerankOf(nodes, coEdges(s, d))
   }
 
   /** [[pagerank]]'s core over explicit (part_id) nodes and
     * (src, dst, w) edges — the unit the spec drives on synthetic
     * graphs.
     */
-  private[graft] def pagerankOf(nodes: DataFrame, ed: DataFrame): DataFrame = {
+  private[graft] def pagerankOf(nodes: DataFrame, edRaw: DataFrame): DataFrame = {
+    // pin the edge partitioning on src ONCE: every iteration's
+    // contribution join then reuses the cached layout and only the
+    // node-sized rank frame moves — the big side never re-shuffles
+    val ed = edRaw.repartition(col("src")).cache()
     val deg = ed.groupBy(col("src")).agg(sum(col("w")).as("deg"))
     var pr = nodes.join(deg, nodes("part_id") === deg("src"), "left")
       .select(col("part_id"), coalesce(col("deg"), lit(0L)).as("deg"),
@@ -340,6 +357,9 @@ object Graph {
       when(less, col("u")).otherwise(col("v")).as("a"),
       when(less, col("v")).otherwise(col("u")).as("b"),
       when(less, col("dv")).otherwise(col("du")).as("db"))
+      // wedge enumeration self-joins on a: pin that partitioning in
+      // the cache so the join runs exchange-free on both sides
+      .repartition(col("a"))
       .cache()
     val wedges = or.as("x").join(or.as("y"), col("x.a") === col("y.a"))
       .filter(
