@@ -1003,6 +1003,116 @@ object Text {
           FROM scored)
         WHERE rnk <= 5
         ORDER BY token, rnk""")
+    ),
+
+    // Incremental retrieval against a PERSISTED inverted index — the
+    // delivery-time member of the q119/q130/q144 family for the BM25
+    // surface: the standing corpus (the q78 md5 split's 90% bucket)
+    // publishes its term statistics as a snapshot-versioned table with
+    // the corpus scalars (N, Σlen) in the commit's manifest metadata;
+    // each NEW delivery (the 10% bucket) is then scored against the
+    // PINNED index — standing queries evaluated at ingest with
+    // index-frozen idf/avgdl, no corpus rescan, no index rebuild. At
+    // warehouse scale the index table is vocabulary-sized (Zipf-
+    // bounded) and only the batch tokenizes per delivery; here the
+    // commit+read-back runs in-query (the q154 shape) to exercise the
+    // real snapshot lifecycle. Scoring formula and query-term
+    // derivation are q153's (per-term-exact, portable rational idf) —
+    // with the df ranks and scalars frozen to the INDEX corpus, the
+    // semantics a standing alert actually wants.
+    Q(
+      "q155_incremental_bm25",
+      (s, d) => {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_bm").resolve("ix").toString
+        val split = docs(s, d)
+          .select(col("doc_id"), col("tok"),
+            (TextFns.h60(col("doc_id").cast("string")) % 100).as("bucket"))
+        val itok = split.filter(col("bucket") < 90)
+          .select(col("doc_id"), size(col("tok")).as("len"), explode(col("tok")).as("token"))
+        val itf = itok.groupBy(col("doc_id"), col("token"))
+          .agg(count(lit(1)).as("tf"), max(col("len").cast("long")).as("len"))
+          .cache()
+        val idxDf = itf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+        // corpus scalars: ONE driver row (the topKeyShare cost class),
+        // recorded as commit metadata so a pinned index version always
+        // carries the exact scalars its statistics were built with
+        val scal = itf.groupBy(col("doc_id")).agg(max(col("len")).as("len"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("len")).as("sl"))
+          .collect()(0)
+        val v = Snapshots.commit(idxDf, dir, replace = true,
+          meta = Map("n_docs" -> scal.getLong(0).toString, "sl" -> scal.getLong(1).toString))
+        // ---- serving side: everything below reads the PINNED index
+        val stats = Snapshots.read(s, dir, Some(v))
+        val m = Snapshots.meta(s, dir, v)
+        val nDocs = m("n_docs").toLong
+        val sl = m("sl").toLong
+        val qt = stats
+          .withColumn("qrn",
+            row_number().over(org.apache.spark.sql.expressions.Window
+              .orderBy(col("df").desc, col("token"))))
+          .filter(col("qrn").between(10, 17))
+          .select(col("token"), col("df"))
+        val btf = split.filter(col("bucket") >= 90)
+          .select(col("doc_id"), size(col("tok")).as("len"), explode(col("tok")).as("token"))
+          .groupBy(col("doc_id"), col("token"))
+          .agg(count(lit(1)).as("tf"), max(col("len").cast("long")).as("len"))
+        btf.join(broadcast(qt), "token")
+          .withColumn("idf_scaled",
+            expr(s"((2 * ${nDocs}L - 2 * df + 1) * 1000000) div (2 * df + 1)"))
+          .withColumn("num",
+            col("idf_scaled").cast(org.apache.spark.sql.types.DecimalType(38, 0))
+              * 22 * col("tf") * lit(sl))
+          .withColumn("den",
+            lit(10L) * lit(sl) * col("tf") + lit(3L) * lit(sl)
+              + lit(9L) * col("len") * lit(nDocs))
+          .withColumn("score_scaled", expr("num div den").cast("long"))
+          .withColumn("rnk",
+            row_number().over(org.apache.spark.sql.expressions.Window
+              .partitionBy(col("token"))
+              .orderBy(col("score_scaled").desc, col("doc_id")))
+              .cast(org.apache.spark.sql.types.IntegerType))
+          .filter(col("rnk") <= 3)
+          .select(col("token"), col("rnk"), col("doc_id"), col("tf"),
+            col("len").as("doc_len"), col("score_scaled"))
+          .orderBy(col("token"), col("rnk"))
+      },
+      Some(s"""
+        WITH t AS (SELECT doc_id, ${T.tokens} AS tok,
+                          (${T.h60("CAST(doc_id AS VARCHAR)")} % 100) AS bucket
+                   FROM documents),
+        ie AS (SELECT doc_id, len(tok) AS len, unnest(tok) AS token
+               FROM t WHERE bucket < 90),
+        itf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf,
+                       CAST(MAX(len) AS BIGINT) AS len
+                FROM ie GROUP BY 1, 2),
+        idf AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM itf GROUP BY 1),
+        n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(len) AS BIGINT) AS sl
+              FROM (SELECT doc_id, MAX(len) AS len FROM itf GROUP BY 1)),
+        qt AS (SELECT token, df FROM (
+                 SELECT token, df,
+                        row_number() OVER (ORDER BY df DESC, token) AS qrn
+                 FROM idf)
+               WHERE qrn BETWEEN 10 AND 17),
+        be AS (SELECT doc_id, len(tok) AS len, unnest(tok) AS token
+               FROM t WHERE bucket >= 90),
+        btf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf,
+                       CAST(MAX(len) AS BIGINT) AS len
+                FROM be GROUP BY 1, 2),
+        scored AS (
+          SELECT btf.token, btf.doc_id, btf.tf, btf.len,
+                 CAST((CAST(((2 * n.n_docs - 2 * qt.df + 1) * 1000000)
+                         // (2 * qt.df + 1) AS HUGEINT)
+                       * 22 * btf.tf * n.sl)
+                      // (10 * n.sl * btf.tf + 3 * n.sl + 9 * btf.len * n.n_docs)
+                      AS BIGINT) AS score_scaled
+          FROM btf JOIN qt ON btf.token = qt.token CROSS JOIN n)
+        SELECT token, rnk, doc_id, tf, len AS doc_len, score_scaled FROM (
+          SELECT *, CAST(row_number() OVER (
+                   PARTITION BY token ORDER BY score_scaled DESC, doc_id) AS INT) AS rnk
+          FROM scored)
+        WHERE rnk <= 3
+        ORDER BY token, rnk""")
     )
   )
 }

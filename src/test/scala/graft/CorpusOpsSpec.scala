@@ -341,4 +341,30 @@ class CorpusOpsSpec extends SparkSpec {
     }
     spark.catalog.clearCache()
   }
+
+  test("q155 ranks ONLY delivery-bucket docs, with index-frozen statistics") {
+    val out = SparkEntry.queries("q155_incremental_bm25")(spark, d).collect()
+    assert(out.nonEmpty, "the 10% delivery bucket must hit some standing query term")
+    // every returned doc is from the delivery split (h60 bucket >= 90):
+    // the standing corpus is index, never a result
+    val ids = out.map(_.getAs[Any]("doc_id")).distinct.toSeq
+    val buckets = Tables.documents(spark, d)
+      .select(col("doc_id"),
+        (graft.functions.TextFns.h60(col("doc_id").cast("string")) % 100).as("b"))
+      .collect().map(r => r.getAs[Any]("doc_id") -> r.getLong(1)).toMap
+    ids.foreach(id => assert(buckets(id) >= 90, s"index doc $id leaked into the ranking"))
+    // the standing query terms come from the INDEX corpus's df ranking —
+    // compare against a recomputation over the 90% bucket only
+    val ixTerms = Tables.documents(spark, d)
+      .filter((graft.functions.TextFns.h60(col("doc_id").cast("string")) % 100) < 90)
+      .select(col("doc_id"), explode(graft.functions.TextFns.tokens(col("text"))).as("token"))
+      .distinct()
+      .groupBy("token").count()
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (t, n) => (-n, t) }
+      .slice(9, 17).map(_._1).toSet
+    assert(out.map(_.getString(0)).toSet == ixTerms,
+      "standing query terms must be the index corpus's df ranks 10-17")
+    spark.catalog.clearCache()
+  }
 }
