@@ -322,6 +322,167 @@ object Graph {
   }
 
   // ---------------------------------------------------------------
+  // q156: personalized PageRank (seeded product recommendations)
+  // ---------------------------------------------------------------
+
+  /** "Products related to the flagship products": fixed-point
+    * personalized PageRank with the teleport mass restricted to a
+    * data-derived seed set — the 8 top-revenue parts (rank by exact
+    * integer cents, part_id tiebreak). Same exact integer arithmetic
+    * and iteration shape as [[pagerankOf]] (prₜ₊₁ = seed·150000 +
+    * (85·inflow) div 100); rank mass can only enter at the seeds, so
+    * the stationary ordering is graph proximity to the flagships —
+    * the recommendation semantic a product-mix warehouse actually
+    * asks of its co-purchase graph. Top-50 via orderBy+limit (the
+    * distributed TakeOrderedAndProject path), rank attached after the
+    * 50-row shrink.
+    */
+  private[graft] def personalizedPagerank(s: SparkSession, d: String): DataFrame = {
+    val ed = coEdges(s, d).repartition(col("src")).cache()
+    val deg = ed.groupBy(col("src")).agg(sum(col("w")).as("deg"))
+    val rev = Tables.lineitem(s, d)
+      .groupBy(col("l_partkey").as("part_id"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast(LongType)).as("rev_cents"))
+    val seeds = rev
+      .withColumn("rk",
+        org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("rev_cents").desc, col("part_id"))))
+      .filter(col("rk") <= 8)
+      .select(col("part_id"), lit(1L).as("seed"))
+    var pr = rev.select(col("part_id"))
+      .join(deg.withColumnRenamed("src", "part_id"), Seq("part_id"), "left")
+      .join(seeds, Seq("part_id"), "left")
+      .select(
+        col("part_id"),
+        coalesce(col("deg"), lit(0L)).as("deg"),
+        coalesce(col("seed"), lit(0L)).as("seed"),
+        (coalesce(col("seed"), lit(0L)) * lit(1000000L)).as("pr"))
+      .localCheckpoint(true)
+    for (_ <- 1 to PrIters) {
+      val contrib = ed.join(pr, ed("src") === pr("part_id"))
+        .filter(col("deg") > 0 && col("pr") > 0)
+        .select(col("dst"), expr("(pr * w) div deg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("inr"))
+      pr = pr.select(col("part_id"), col("deg"), col("seed"))
+        .join(contrib.withColumnRenamed("dst", "part_id"), Seq("part_id"), "left")
+        .select(col("part_id"), col("deg"), col("seed"),
+          (col("seed") * lit(150000L)
+            + expr("(85 * coalesce(inr, CAST(0 AS BIGINT))) div 100")).as("pr"))
+        .localCheckpoint(true)
+    }
+    pr.filter(col("pr") > 0)
+      .orderBy(col("pr").desc, col("part_id"))
+      .limit(50)
+      .withColumn("rnk",
+        org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("pr").desc, col("part_id")))
+          .cast(org.apache.spark.sql.types.IntegerType))
+      .select(col("rnk"), col("part_id"), col("seed"), col("pr"))
+      .orderBy(col("rnk"))
+  }
+
+  private[graft] val personalizedPagerankSql: String = {
+    val iters = (1 to PrIters).map { i =>
+      s"""pp$i AS (
+         SELECT p.part_id, p.deg, p.seed,
+                CAST(p.seed * 150000 + (85 * COALESCE(c.inr, 0)) // 100 AS BIGINT) AS pr
+         FROM pp${i - 1} p
+         LEFT JOIN (SELECT e.dst, CAST(SUM((p.pr * e.w) // p.deg) AS BIGINT) AS inr
+                    FROM ed0 e JOIN pp${i - 1} p ON e.src = p.part_id
+                    WHERE p.deg > 0 AND p.pr > 0 GROUP BY e.dst) c
+         ON p.part_id = c.dst)"""
+    }.mkString(",\n    ")
+    s"""
+    WITH $coEdgesSql,
+    deg AS (SELECT src, CAST(SUM(w) AS BIGINT) AS deg FROM ed0 GROUP BY src),
+    rev AS (SELECT l_partkey AS part_id,
+                   CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+            FROM lineitem GROUP BY 1),
+    seeds AS (SELECT part_id, CAST(1 AS BIGINT) AS seed FROM (
+                SELECT part_id,
+                       row_number() OVER (ORDER BY rev_cents DESC, part_id) AS rk
+                FROM rev)
+              WHERE rk <= 8),
+    pp0 AS (SELECT r.part_id, COALESCE(d.deg, 0) AS deg,
+                   COALESCE(s.seed, 0) AS seed,
+                   CAST(COALESCE(s.seed, 0) * 1000000 AS BIGINT) AS pr
+            FROM rev r
+            LEFT JOIN deg d ON r.part_id = d.src
+            LEFT JOIN seeds s ON r.part_id = s.part_id),
+    $iters
+    SELECT CAST(row_number() OVER (ORDER BY pr DESC, part_id) AS INT) AS rnk,
+           part_id, seed, pr
+    FROM pp$PrIters
+    WHERE pr > 0
+    QUALIFY rnk <= 50
+    ORDER BY rnk"""
+  }
+
+  // ---------------------------------------------------------------
+  // q157: k-core peeling (graph-quality filter)
+  // ---------------------------------------------------------------
+
+  private[graft] val CoreK = 3
+  private[graft] val PeelRounds = 5
+
+  /** [[PeelRounds]] rounds of [[CoreK]]-core peeling over the
+    * undirected co-purchase graph: each round drops every node whose
+    * degree IN THE SURVIVING subgraph is < k, then restricts the edge
+    * set to survivors — the dense-cohesion filter (nodes loosely
+    * attached to the catalog fall out; the k-core is what community
+    * and spam-graph pipelines keep). A FIXED round count keeps the
+    * oracle replayable CTE-for-CTE (declared: the true k-core is the
+    * fixpoint; rounds-to-convergence is corpus-dependent, and the
+    * per-node round-5 degree output makes "converged?" checkable —
+    * GraphSpec pins exact convergence on fixtures). Each round is two
+    * degree aggregates + two semi-joins, edge-linear; O(log n) rounds
+    * suffice in practice (the q84 large-star/small-star argument).
+    */
+  private[graft] def kcore(s: SparkSession, d: String): DataFrame =
+    kcoreOf(coEdges(s, d)
+      .filter(col("src") < col("dst"))
+      .select(col("src").as("u"), col("dst").as("v")))
+
+  private[graft] def kcoreOf(undRaw: DataFrame): DataFrame = {
+    var und = undRaw.localCheckpoint(true)
+    for (_ <- 1 to PeelRounds) {
+      val deg = und.select(col("u").as("n"))
+        .unionByName(und.select(col("v").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("dg"))
+      val kept = deg.filter(col("dg") >= CoreK).select(col("n"))
+      und = und
+        .join(kept.withColumnRenamed("n", "u"), Seq("u"), "left_semi")
+        .join(kept.withColumnRenamed("n", "v"), Seq("v"), "left_semi")
+        .select(col("u"), col("v"))
+        .localCheckpoint(true)
+    }
+    und.select(col("u").as("n")).unionByName(und.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("core_deg"))
+      .select(col("n").as("part_id"), col("core_deg"))
+      .orderBy(col("part_id"))
+  }
+
+  private[graft] val kcoreSql: String = {
+    val rounds = (1 to PeelRounds).map { i =>
+      s"""dg$i AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS dg
+             FROM (SELECT u AS n FROM und${i - 1} UNION ALL SELECT v AS n FROM und${i - 1})
+             GROUP BY n),
+         kp$i AS (SELECT n FROM dg$i WHERE dg >= $CoreK),
+         und$i AS (SELECT e.u, e.v FROM und${i - 1} e
+               WHERE e.u IN (SELECT n FROM kp$i) AND e.v IN (SELECT n FROM kp$i))"""
+    }.mkString(",\n    ")
+    s"""
+    WITH $coEdgesSql,
+    und0 AS (SELECT src AS u, dst AS v FROM ed0 WHERE src < dst),
+    $rounds
+    SELECT n AS part_id, CAST(COUNT(*) AS BIGINT) AS core_deg
+    FROM (SELECT u AS n FROM und$PeelRounds UNION ALL SELECT v AS n FROM und$PeelRounds)
+    GROUP BY n ORDER BY n"""
+  }
+
+  // ---------------------------------------------------------------
   // q151: exact triangle census, degree-ordered orientation
   // ---------------------------------------------------------------
 
@@ -401,6 +562,9 @@ object Graph {
   val all: Seq[Q] = Seq(
     Q("q149_gat_embedding", (s, d) => gatEmbedding(s, d), Some(gatEmbeddingSql)),
     Q("q150_pagerank", (s, d) => pagerank(s, d), Some(pagerankSql)),
-    Q("q151_triangle_count", (s, d) => triangles(s, d), Some(trianglesSql))
+    Q("q151_triangle_count", (s, d) => triangles(s, d), Some(trianglesSql)),
+    Q("q156_personalized_pagerank", (s, d) => personalizedPagerank(s, d),
+      Some(personalizedPagerankSql)),
+    Q("q157_kcore", (s, d) => kcore(s, d), Some(kcoreSql))
   )
 }
