@@ -75,6 +75,12 @@ object Graph {
        WHERE a.l_partkey <> b.l_partkey
        GROUP BY 1, 2)"""
 
+  /** Materialized twin for oracles whose downstream CTE chains
+    * reference their rounds multiple times — see [[kcoreSql]].
+    */
+  private val coEdgesSqlMat: String =
+    coEdgesSql.replaceFirst("ed0 AS \\(", "ed0 AS MATERIALIZED (")
+
   // ---------------------------------------------------------------
   // q149: graph-attention autoencoder (M6 public-technique stand-in)
   // ---------------------------------------------------------------
@@ -285,7 +291,13 @@ object Graph {
       .select(col("part_id"), coalesce(col("deg"), lit(0L)).as("deg"),
         lit(1000000L).as("pr"))
       .localCheckpoint(true)
-    for (_ <- 1 to PrIters) {
+    // checkpoint every SECOND round, not every round: each eager
+    // localCheckpoint is a driver-sequenced job, and 6 of them in a
+    // row made the wall time driver-latency-bound (round-9 bench saw
+    // 8× swings). A 2-round lineage (two join+agg layers) is cheap
+    // for Catalyst; the cadence halves the sequenced materializations
+    // while still keeping the plan iteration-deep, not lineage-deep.
+    for (i <- 1 to PrIters) {
       val contrib = ed.join(pr, ed("src") === pr("part_id"))
         .filter(col("deg") > 0)
         .select(col("dst"), expr("(pr * w) div deg").as("c"))
@@ -294,14 +306,20 @@ object Graph {
         .join(contrib.withColumnRenamed("dst", "part_id"), Seq("part_id"), "left")
         .select(col("part_id"), col("deg"),
           (lit(150000L) + expr("(85 * coalesce(inr, CAST(0 AS BIGINT))) div 100")).as("pr"))
-        .localCheckpoint(true)
+      // the rank frame is consumed twice next round (contribution join
+      // + carry): cache on off-rounds so the lineage doesn't double
+      pr = if (i % 2 == 0 && i < PrIters) pr.localCheckpoint(true) else pr.cache()
     }
     pr.orderBy(col("part_id"))
   }
 
+  /** Per-round CTEs materialized — pr_{i-1} is referenced twice per
+    * round (rank carry + contribution subquery); non-materialized,
+    * DuckDB inlines the chain 2^rounds times. See [[kcoreSql]].
+    */
   private[graft] val pagerankSql: String = {
     val iters = (1 to PrIters).map { i =>
-      s"""pr$i AS (
+      s"""pr$i AS MATERIALIZED (
          SELECT p.part_id, p.deg,
                 CAST(150000 + (85 * COALESCE(c.inr, 0)) // 100 AS BIGINT) AS pr
          FROM pr${i - 1} p
@@ -311,10 +329,10 @@ object Graph {
          ON p.part_id = c.dst)"""
     }.mkString(",\n    ")
     s"""
-    WITH $coEdgesSql,
+    WITH ${coEdgesSqlMat},
     deg AS (SELECT src, CAST(SUM(w) AS BIGINT) AS deg FROM ed0 GROUP BY src),
     nodes AS (SELECT DISTINCT l_partkey AS part_id FROM lineitem),
-    pr0 AS (SELECT n.part_id, COALESCE(d.deg, 0) AS deg,
+    pr0 AS MATERIALIZED (SELECT n.part_id, COALESCE(d.deg, 0) AS deg,
                    CAST(1000000 AS BIGINT) AS pr
             FROM nodes n LEFT JOIN deg d ON n.part_id = d.src),
     $iters
@@ -359,7 +377,8 @@ object Graph {
         coalesce(col("seed"), lit(0L)).as("seed"),
         (coalesce(col("seed"), lit(0L)) * lit(1000000L)).as("pr"))
       .localCheckpoint(true)
-    for (_ <- 1 to PrIters) {
+    // 2-round checkpoint cadence — see [[pagerankOf]].
+    for (i <- 1 to PrIters) {
       val contrib = ed.join(pr, ed("src") === pr("part_id"))
         .filter(col("deg") > 0 && col("pr") > 0)
         .select(col("dst"), expr("(pr * w) div deg").as("c"))
@@ -369,7 +388,7 @@ object Graph {
         .select(col("part_id"), col("deg"), col("seed"),
           (col("seed") * lit(150000L)
             + expr("(85 * coalesce(inr, CAST(0 AS BIGINT))) div 100")).as("pr"))
-        .localCheckpoint(true)
+      pr = if (i % 2 == 0 && i < PrIters) pr.localCheckpoint(true) else pr.cache()
     }
     pr.filter(col("pr") > 0)
       .orderBy(col("pr").desc, col("part_id"))
@@ -383,9 +402,10 @@ object Graph {
       .orderBy(col("rnk"))
   }
 
+  /** Rounds materialized for the same reason as [[pagerankSql]]. */
   private[graft] val personalizedPagerankSql: String = {
     val iters = (1 to PrIters).map { i =>
-      s"""pp$i AS (
+      s"""pp$i AS MATERIALIZED (
          SELECT p.part_id, p.deg, p.seed,
                 CAST(p.seed * 150000 + (85 * COALESCE(c.inr, 0)) // 100 AS BIGINT) AS pr
          FROM pp${i - 1} p
@@ -395,9 +415,9 @@ object Graph {
          ON p.part_id = c.dst)"""
     }.mkString(",\n    ")
     s"""
-    WITH $coEdgesSql,
+    WITH ${coEdgesSqlMat},
     deg AS (SELECT src, CAST(SUM(w) AS BIGINT) AS deg FROM ed0 GROUP BY src),
-    rev AS (SELECT l_partkey AS part_id,
+    rev AS MATERIALIZED (SELECT l_partkey AS part_id,
                    CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
             FROM lineitem GROUP BY 1),
     seeds AS (SELECT part_id, CAST(1 AS BIGINT) AS seed FROM (
@@ -405,7 +425,7 @@ object Graph {
                        row_number() OVER (ORDER BY rev_cents DESC, part_id) AS rk
                 FROM rev)
               WHERE rk <= 8),
-    pp0 AS (SELECT r.part_id, COALESCE(d.deg, 0) AS deg,
+    pp0 AS MATERIALIZED (SELECT r.part_id, COALESCE(d.deg, 0) AS deg,
                    COALESCE(s.seed, 0) AS seed,
                    CAST(COALESCE(s.seed, 0) * 1000000 AS BIGINT) AS pr
             FROM rev r
@@ -447,7 +467,12 @@ object Graph {
 
   private[graft] def kcoreOf(undRaw: DataFrame): DataFrame = {
     var und = undRaw.localCheckpoint(true)
-    for (_ <- 1 to PeelRounds) {
+    // 2-round checkpoint cadence — see [[pagerankOf]]. The surviving
+    // edge frame is consumed THREE times per round (two degree
+    // projections + the semi-join left side), so the between-
+    // checkpoint rounds still need the frame pinned: cache() marks it
+    // for reuse without forcing a driver-sequenced materialization.
+    for (i <- 1 to PeelRounds) {
       val deg = und.select(col("u").as("n"))
         .unionByName(und.select(col("v").as("n")))
         .groupBy(col("n")).agg(count(lit(1)).as("dg"))
@@ -456,7 +481,8 @@ object Graph {
         .join(kept.withColumnRenamed("n", "u"), Seq("u"), "left_semi")
         .join(kept.withColumnRenamed("n", "v"), Seq("v"), "left_semi")
         .select(col("u"), col("v"))
-        .localCheckpoint(true)
+      und = if (i % 2 == 0 && i < PeelRounds) und.localCheckpoint(true)
+            else und.cache()
     }
     und.select(col("u").as("n")).unionByName(und.select(col("v").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("core_deg"))
@@ -464,18 +490,26 @@ object Graph {
       .orderBy(col("part_id"))
   }
 
+  /** Every per-round CTE is `AS MATERIALIZED`: each round references
+    * the previous round's CTE multiple times (und twice in dg, kp
+    * twice in und's semi-filters), and DuckDB 1.0 INLINES
+    * non-materialized CTEs — the 5-round chain then evaluates the
+    * base subquery exponentially many times and the statement never
+    * finishes at sf0.01 (this blanked the round-9 correctness
+    * record). Materialized, it runs in well under a second.
+    */
   private[graft] val kcoreSql: String = {
     val rounds = (1 to PeelRounds).map { i =>
-      s"""dg$i AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS dg
+      s"""dg$i AS MATERIALIZED (SELECT n, CAST(COUNT(*) AS BIGINT) AS dg
              FROM (SELECT u AS n FROM und${i - 1} UNION ALL SELECT v AS n FROM und${i - 1})
              GROUP BY n),
-         kp$i AS (SELECT n FROM dg$i WHERE dg >= $CoreK),
-         und$i AS (SELECT e.u, e.v FROM und${i - 1} e
+         kp$i AS MATERIALIZED (SELECT n FROM dg$i WHERE dg >= $CoreK),
+         und$i AS MATERIALIZED (SELECT e.u, e.v FROM und${i - 1} e
                WHERE e.u IN (SELECT n FROM kp$i) AND e.v IN (SELECT n FROM kp$i))"""
     }.mkString(",\n    ")
     s"""
-    WITH $coEdgesSql,
-    und0 AS (SELECT src AS u, dst AS v FROM ed0 WHERE src < dst),
+    WITH ${coEdgesSqlMat},
+    und0 AS MATERIALIZED (SELECT src AS u, dst AS v FROM ed0 WHERE src < dst),
     $rounds
     SELECT n AS part_id, CAST(COUNT(*) AS BIGINT) AS core_deg
     FROM (SELECT u AS n FROM und$PeelRounds UNION ALL SELECT v AS n FROM und$PeelRounds)
