@@ -356,8 +356,6 @@ object Graph {
     * 50-row shrink.
     */
   private[graft] def personalizedPagerank(s: SparkSession, d: String): DataFrame = {
-    val ed = coEdges(s, d).repartition(col("src")).cache()
-    val deg = ed.groupBy(col("src")).agg(sum(col("w")).as("deg"))
     val rev = Tables.lineitem(s, d)
       .groupBy(col("l_partkey").as("part_id"))
       .agg(sum(round(col("l_extendedprice") * 100).cast(LongType)).as("rev_cents"))
@@ -367,8 +365,19 @@ object Graph {
           org.apache.spark.sql.expressions.Window
             .orderBy(col("rev_cents").desc, col("part_id"))))
       .filter(col("rk") <= 8)
-      .select(col("part_id"), lit(1L).as("seed"))
-    var pr = rev.select(col("part_id"))
+      .select(col("part_id"))
+    pprOf(rev.select(col("part_id")), coEdges(s, d), seeds)
+  }
+
+  /** [[personalizedPagerank]]'s core over explicit (part_id) nodes,
+    * (src, dst, w) edges and a (part_id) seed set — the unit the spec
+    * drives on synthetic graphs with hand-checkable proximity.
+    */
+  private[graft] def pprOf(parts: DataFrame, edRaw: DataFrame, seedIds: DataFrame): DataFrame = {
+    val ed = edRaw.repartition(col("src")).cache()
+    val deg = ed.groupBy(col("src")).agg(sum(col("w")).as("deg"))
+    val seeds = seedIds.select(col("part_id"), lit(1L).as("seed"))
+    var pr = parts.select(col("part_id"))
       .join(deg.withColumnRenamed("src", "part_id"), Seq("part_id"), "left")
       .join(seeds, Seq("part_id"), "left")
       .select(
@@ -460,10 +469,16 @@ object Graph {
     * degree aggregates + two semi-joins, edge-linear; O(log n) rounds
     * suffice in practice (the q84 large-star/small-star argument).
     */
-  private[graft] def kcore(s: SparkSession, d: String): DataFrame =
-    kcoreOf(coEdges(s, d)
+  /** Undirected (u < v) co-purchase edge list — shared by the k-core
+    * forms and the spec's corpus-level convergence certificate.
+    */
+  private[graft] def undEdges(s: SparkSession, d: String): DataFrame =
+    coEdges(s, d)
       .filter(col("src") < col("dst"))
-      .select(col("src").as("u"), col("dst").as("v")))
+      .select(col("src").as("u"), col("dst").as("v"))
+
+  private[graft] def kcore(s: SparkSession, d: String): DataFrame =
+    kcoreOf(undEdges(s, d))
 
   private[graft] def kcoreOf(undRaw: DataFrame): DataFrame = {
     var und = undRaw.localCheckpoint(true)
@@ -488,6 +503,46 @@ object Graph {
       .groupBy(col("n")).agg(count(lit(1)).as("core_deg"))
       .select(col("n").as("part_id"), col("core_deg"))
       .orderBy(col("part_id"))
+  }
+
+  /** Convergence-certificate form of [[kcoreOf]]: peel until the edge
+    * set stops shrinking, returning (per-node core degrees, number of
+    * peel rounds APPLIED before the fixpoint check passed). This is
+    * the TRUE k-core; the fixed-[[PeelRounds]] q157 form exists so the
+    * oracle is replayable CTE-for-CTE, and GraphSpec proves the two
+    * agree on the co-purchase corpus (plus a detector fixture where 5
+    * rounds provably are NOT enough, so non-convergence is visible in
+    * the round-5 output's sub-k degrees). Per-round driver sequencing
+    * (an eager checkpoint + a count) is inherent to any fixpoint loop
+    * — same cost class as the q84 connected-components rounds; rounds
+    * are O(log n) on real graphs (peeling cascades are shallow).
+    */
+  private[graft] def kcoreFixpointOf(undRaw: DataFrame): (DataFrame, Int) = {
+    var und = undRaw.localCheckpoint(true)
+    var nEdges = und.count()
+    var rounds = 0
+    var done = nEdges == 0
+    while (!done) {
+      val deg = und.select(col("u").as("n"))
+        .unionByName(und.select(col("v").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("dg"))
+      val kept = deg.filter(col("dg") >= CoreK).select(col("n"))
+      val next = und
+        .join(kept.withColumnRenamed("n", "u"), Seq("u"), "left_semi")
+        .join(kept.withColumnRenamed("n", "v"), Seq("v"), "left_semi")
+        .select(col("u"), col("v"))
+        .localCheckpoint(true)
+      val m = next.count()
+      rounds += 1
+      done = m == nEdges || m == 0
+      nEdges = m
+      und = next
+    }
+    val core = und.select(col("u").as("n")).unionByName(und.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("core_deg"))
+      .select(col("n").as("part_id"), col("core_deg"))
+      .orderBy(col("part_id"))
+    (core, rounds)
   }
 
   /** Every per-round CTE is `AS MATERIALIZED`: each round references

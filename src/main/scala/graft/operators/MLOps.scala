@@ -18,11 +18,11 @@ import org.apache.spark.sql.types.IntegerType
   *  - q55: manual z-score with POPULATION std (ddof=0 — sklearn
   *    StandardScaler parity; MLlib's StandardScaler divides by sample
   *    std, SURVEY §7.4.2) computed from exact decimal sums — full oracle;
-  *  - q56: MLlib KMeans k=4 seed=42 on the scaled features, relabeled
-  *    canonically (size desc, then centroid) so output is deterministic;
-  *    cluster ids are library-specific (k-means|| vs sklearn k-means++),
-  *    so the driver records a rows-only check — partition quality is
-  *    asserted in ScalaTest instead (SURVEY §5.5);
+  *  - q56: KMeans k=4 on the scaled features — since round 8 this is
+  *    the ORACLE-REPLAYED 5-round Lloyd iteration (hash-green; the
+  *    DuckDB oracle replays every assignment/update round CTE-for-CTE);
+  *    the MLlib KMeans surface lives on as q57's engine, partition
+  *    quality asserted in KMeansSpec (SURVEY §5.5);
   *  - q127: deterministic 12-d sequence embedding — the public-technique
   *    stand-in for the reference's LSTM autoencoder
   *    (`/root/reference/src/models/LSTM_Autoencoder.py:5-98`, trained at
@@ -32,8 +32,11 @@ import org.apache.spark.sql.types.IntegerType
   *    revenue sequence. Integer arithmetic end to end → full oracle;
   *  - q57: KMeans k=10 over those q127 embeddings (the LSTM-embedding
   *    clustering path, notebooks/LSTM_features_learning.ipynb cell 22)
-  *    with per-cluster sizes — rows-only, partition gated in KMeansSpec;
-  *  - q58: PCA(4) variance summary — rows-only;
+  *    with per-cluster sizes — rows-only BY NATURE (MLlib k-means||
+  *    label ids are library-specific), partition gated in KMeansSpec;
+  *  - q58: PCA(4) variance summary — oracle-gated since round 8 (the
+  *    replayed Gram subspace iteration, hash-green; MLlib-PCA agreement
+  *    pinned in MLGateSpec);
   *  - q140: the LEARNED sequence encoder ([[learnedEmbedding]]) —
   *    subspace iteration trained on the sequence Gram matrix with the
   *    training replayed CTE-for-CTE by the DuckDB oracle, closing the

@@ -107,4 +107,119 @@ class GraphSpec extends SparkSpec {
     assert(r.getAs[Long]("global_cc_micro") == 0L)
     spark.catalog.clearCache()
   }
+
+  // --- q156 personalized pagerank ----------------------------------
+
+  /** Plain-Scala replay of the fixed-point PPR recurrence — the
+    * hand-checkable reference the distributed plan must match exactly.
+    */
+  private def simPpr(nodes: Seq[Long], es: Seq[(Long, Long, Long)],
+                     seeds: Set[Long], iters: Int): Map[Long, Long] = {
+    val deg = es.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    var pr = nodes.map(i => i -> (if (seeds(i)) 1000000L else 0L)).toMap
+    for (_ <- 1 to iters) {
+      val inflow = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      for ((s2, d2, w) <- es; p = pr(s2); if p > 0 && deg.getOrElse(s2, 0L) > 0)
+        inflow(d2) += (p * w) / deg(s2)
+      pr = pr.map { case (k, _) =>
+        k -> ((if (seeds(k)) 150000L else 0L) + 85 * inflow(k) / 100)
+      }
+    }
+    pr
+  }
+
+  test("ppr: matches an exact scalar replay; teleport only at seeds") {
+    // symmetric path 1—2—…—8 plus a disconnected pair 10—11; seed {1}
+    val nodes = (1L to 8L) ++ Seq(10L, 11L)
+    val es = ((1L to 7L).flatMap(i => Seq((i, i + 1, 1L), (i + 1, i, 1L))) ++
+      Seq((10L, 11L, 1L), (11L, 10L, 1L)))
+    val out = Graph.pprOf(nodes.toDF("part_id"), edges(es: _*),
+      Seq(1L).toDF("part_id"))
+      .collect().map(r => r.getAs[Long]("part_id") ->
+        (r.getAs[Int]("rnk"), r.getAs[Long]("seed"), r.getAs[Long]("pr"))).toMap
+    val exp = simPpr(nodes, es, Set(1L), Graph.PrIters).filter(_._2 > 0)
+    assert(out.view.mapValues(_._3).toMap == exp,
+      s"distributed PPR must equal the scalar replay: got $out expected $exp")
+    // rank mass can only ENTER at the seed: the disconnected component
+    // and anything farther than PrIters hops stay at exactly zero
+    assert(!out.contains(10L) && !out.contains(11L),
+      "components unreachable from the seeds must carry zero rank")
+    assert(!out.contains(7L) && !out.contains(8L),
+      s"${Graph.PrIters} iterations reach at most distance ${Graph.PrIters}")
+    // the seed teleports every round, but its single path-neighbor
+    // receives the seed's ENTIRE outflow (deg(seed)=1) and may
+    // out-accumulate it — rank concentrates within one hop of the seed
+    assert(out(1L)._1 <= 2 && out(1L)._2 == 1L,
+      s"the seed stays within the top-2 of its own neighborhood: ${out(1L)}")
+    assert(Set(1L, 2L).contains(out.minBy(_._2._1)._1),
+      "the top-ranked node is the seed or its direct neighbor")
+    // rnk is dense 1..n in pr-desc order
+    assert(out.values.map(_._1).toSeq.sorted == (1 to out.size).toSeq)
+    spark.catalog.clearCache()
+  }
+
+  test("ppr e2e: deterministic, ≤8 seed rows, dense ranks on the corpus") {
+    val d = "/root/testdata/sf0.001"
+    val a = Graph.personalizedPagerank(spark, d).collect()
+    assert(a.length == 50, "top-50 recommendation surface")
+    assert(a.map(_.getAs[Int]("rnk")).toSeq == (1 to 50).toSeq)
+    val nSeeds = a.count(_.getAs[Long]("seed") == 1L)
+    assert(nSeeds >= 1 && nSeeds <= 8, s"seed rows in top-50: $nSeeds")
+    val b = Graph.personalizedPagerank(spark, d).collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq, "run-to-run deterministic")
+    spark.catalog.clearCache()
+  }
+
+  // --- q157 k-core -------------------------------------------------
+
+  test("kcore: K4 survives peeling, pendant chain falls out, fixpoint in 2 rounds") {
+    val und = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L), // K4
+      (4L, 5L), (5L, 6L)) // pendant chain
+      .toDF("u", "v")
+    val fixed = Graph.kcoreOf(und).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fixed == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L),
+      s"3-core of K4+chain is exactly the K4 at degree 3: $fixed")
+    val (core, rounds) = Graph.kcoreFixpointOf(und)
+    assert(core.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == fixed,
+      "fixed-round form equals the fixpoint on a converged graph")
+    assert(rounds == 2, s"K4+chain: one peel + one no-change check, got $rounds")
+    spark.catalog.clearCache()
+  }
+
+  test("kcore detector: a long cascade is NOT converged in 5 rounds, and shows it") {
+    // squared path v1..v20 (edges i—i+1, i—i+2): interior degree 4,
+    // but peeling unravels exactly one vertex from each end per round
+    // — the classic deep-cascade adversary. Its true 3-core is EMPTY;
+    // after 5 rounds a middle segment survives whose endpoint degrees
+    // are < k, so non-convergence is visible in the output itself.
+    val und = ((1L to 19L).map(i => (i, i + 1)) ++ (1L to 18L).map(i => (i, i + 2)))
+      .toDF("u", "v")
+    val after5 = Graph.kcoreOf(und).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after5.nonEmpty, "5 rounds must NOT finish the 20-node cascade")
+    assert(after5.keySet == (6L to 15L).toSet,
+      s"rounds 1..5 peel v1..v5 and v16..v20: ${after5.keySet.toSeq.sorted}")
+    assert(after5.values.min < Graph.CoreK,
+      "sub-k degrees in the round-5 output certify non-convergence")
+    val (core, rounds) = Graph.kcoreFixpointOf(und)
+    assert(core.count() == 0, "the true 3-core of the squared path is empty")
+    assert(rounds > Graph.PeelRounds, s"cascade needs > 5 rounds, took $rounds")
+    spark.catalog.clearCache()
+  }
+
+  test("kcore convergence certificate on the graded corpus (sf0.01)") {
+    // proves the q157 fixed-5-round oracle form IS the true k-core on
+    // the co-purchase graph the driver grades — and that every core
+    // member meets the k threshold
+    val und = Graph.undEdges(spark, "/root/testdata/sf0.01").cache()
+    val fixed = Graph.kcoreOf(und).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (coreDf, rounds) = Graph.kcoreFixpointOf(und)
+    val core = coreDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fixed == core,
+      s"5 peel rounds reach the fixpoint on sf0.01 (fixpoint took $rounds rounds)")
+    assert(rounds <= Graph.PeelRounds)
+    assert(core.values.forall(_ >= Graph.CoreK), "every core member has degree ≥ k")
+    spark.catalog.clearCache()
+  }
 }
