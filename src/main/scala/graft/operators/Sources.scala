@@ -15,15 +15,10 @@ import org.apache.spark.sql.types._
 object Sources {
   import Det._
 
-  /** Per-JVM unique scratch root: concurrent graft JVMs (bench + verify)
-    * would otherwise race on the same fixed /tmp path — one JVM's
-    * overwrite deleting files the other is mid-read on.
+  /** Per-JVM unique scratch paths with shutdown cleanup — see
+    * [[graft.Scratch]].
     */
-  private lazy val scratchRoot: java.io.File =
-    java.nio.file.Files.createTempDirectory("graft_scratch_").toFile
-
-  private def scratch(name: String): String =
-    new java.io.File(scratchRoot, name).getAbsolutePath
+  private def scratch(name: String): String = graft.Scratch.dir(name)
 
   private val customerSchema = new StructType()
     .add("c_custkey", LongType).add("c_nationkey", LongType)

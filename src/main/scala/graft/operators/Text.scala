@@ -947,9 +947,13 @@ object Text {
               .orderBy(col("df").desc, col("token"))))
           .filter(col("qrn").between(10, 17))
           .select(col("token"), col("df"))
-        // corpus scalars re-aggregate the cached tf (every doc owns at
-        // least one tf row — tokenization never returns empty), so the
-        // corpus is scanned ONCE for the whole query
+        // corpus scalars re-aggregate the cached tf, so the corpus is
+        // scanned ONCE for the whole query. This DEFINES the retrieval
+        // corpus as "documents owning ≥1 token" — the oracle computes
+        // the scalars from tf the same way (q155 likewise), so an
+        // empty-tokenizing document cannot silently diverge the
+        // scalars; the this-corpus-has-none invariant is additionally
+        // pinned in CorpusOpsSpec
         val n = tf.groupBy(col("doc_id")).agg(max(col("len")).as("len"))
           .agg(count(lit(1)).as("n_docs"), sum(col("len")).as("sl"))
         val scored = tf.join(broadcast(qt), "token")
@@ -987,8 +991,8 @@ object Text {
                  FROM df)
                WHERE qrn BETWEEN 10 AND 17),
         n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-                     CAST(SUM(len(tok)) AS BIGINT) AS sl
-              FROM t),
+                     CAST(SUM(len) AS BIGINT) AS sl
+              FROM (SELECT doc_id, MAX(len) AS len FROM tf GROUP BY 1)),
         scored AS (
           SELECT tf.token, tf.doc_id, tf.tf, tf.len,
                  CAST((CAST(((2 * n.n_docs - 2 * qt.df + 1) * 1000000)
@@ -1023,8 +1027,7 @@ object Text {
     Q(
       "q155_incremental_bm25",
       (s, d) => {
-        val dir = java.nio.file.Files
-          .createTempDirectory("graft_bm").resolve("ix").toString
+        val dir = graft.Scratch.fresh("bm_")
         val split = docs(s, d)
           .select(col("doc_id"), col("tok"),
             (TextFns.h60(col("doc_id").cast("string")) % 100).as("bucket"))

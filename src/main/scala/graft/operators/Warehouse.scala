@@ -1125,8 +1125,7 @@ object Warehouse {
     Q(
       "q154_zonemap_scan",
       (s, d) => {
-        val dir = java.nio.file.Files
-          .createTempDirectory("graft_zm").resolve("t").toString
+        val dir = graft.Scratch.fresh("zm_")
         val fact = Tables.lineitem(s, d)
           .select(
             col("l_orderkey"), col("l_quantity"),

@@ -342,6 +342,20 @@ class CorpusOpsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("bm25 corpus invariant: no document tokenizes to empty on any SF") {
+    // q153/q155 define the retrieval corpus as "documents owning ≥1
+    // token" and BOTH engines compute the (n_docs, Σlen) scalars from
+    // the tf aggregate under that definition, so parity holds even if
+    // a doc tokenized empty — this pin just records that on the
+    // shipped corpora the two corpus definitions coincide
+    for (sfd <- Seq(sf("sf0.001"), sf("sf0.01"))) {
+      val empty = Tables.documents(spark, sfd)
+        .filter(size(graft.functions.TextFns.tokens(col("text"))) === 0)
+        .count()
+      assert(empty == 0L, s"$sfd: $empty docs tokenize to empty")
+    }
+  }
+
   test("q155 ranks ONLY delivery-bucket docs, with index-frozen statistics") {
     val out = SparkEntry.queries("q155_incremental_bm25")(spark, d).collect()
     assert(out.nonEmpty, "the 10% delivery bucket must hit some standing query term")
