@@ -1125,12 +1125,7 @@ object Warehouse {
     Q(
       "q154_zonemap_scan",
       (s, d) => {
-        val dir = graft.Scratch.fresh("zm_")
-        val fact = Tables.lineitem(s, d)
-          .select(
-            col("l_orderkey"), col("l_quantity"),
-            to_date(col("l_shipdate")).as("ship_date"))
-        clusterCommit(fact, dir, "ship_date", 16, statsCols = Seq("ship_date"))
+        val dir = shipDateClusteredFact(s, d)
         Snapshots
           .scanRange(s, dir, "ship_date",
             java.sql.Date.valueOf("1995-02-01"), java.sql.Date.valueOf("1995-04-30"))
@@ -1147,6 +1142,59 @@ object Warehouse {
         FROM lineitem
         WHERE CAST(l_shipdate AS DATE) BETWEEN DATE '1995-02-01' AND DATE '1995-04-30'
         GROUP BY 1 ORDER BY 1""")
+    ),
+
+    // The HEADLINE analytic q02 (filter + project, time window +
+    // equality) served through zone-map data skipping (round 10): the
+    // same user-facing shape, but reading the SHARED ship_date-
+    // clustered snapshot through Snapshots.scanRange, so a date-
+    // windowed query users already run exercises manifest file
+    // skipping — not only the purpose-built q154 rollup. The driver
+    // drops provably-disjoint files before any task launches (≤3 of
+    // 16 for a 6-month window of a ~7-year span, pinned in
+    // SnapshotSpec); the result must hash-match the plain full-scan
+    // oracle (skipping never changes an answer).
+    Q(
+      "q158_zonemap_filter_project",
+      (s, d) => {
+        val dir = shipDateClusteredFact(s, d)
+        Snapshots
+          .scanRange(s, dir, "ship_date",
+            java.sql.Date.valueOf("1995-02-01"), java.sql.Date.valueOf("1995-07-31"))
+          .filter(col("l_returnflag") === "R")
+          .select(
+            col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("ship_date"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"))
+      },
+      Some("""
+        SELECT l_orderkey, l_linenumber, l_quantity,
+               CAST(l_shipdate AS DATE) AS ship_date
+        FROM lineitem
+        WHERE CAST(l_shipdate AS DATE) BETWEEN DATE '1995-02-01' AND DATE '1995-07-31'
+          AND l_returnflag = 'R'
+        ORDER BY l_orderkey, l_linenumber""")
     )
   )
+
+  /** The ship_date-clustered fact snapshot SHARED by q154/q158 —
+    * built at most once per (JVM, dataset) like a real warehouse's
+    * clustered table (clustered once, hit by many queries), not
+    * re-clustered per query. 16 files with disjoint ship_date ranges
+    * + per-file min/max stats in the manifest; lives under the
+    * per-JVM [[graft.Scratch]] root, removed at JVM exit.
+    */
+  private val factSnapCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def shipDateClusteredFact(
+      s: org.apache.spark.sql.SparkSession, d: String): String =
+    factSnapCache.computeIfAbsent(d, _ => {
+      val dir = graft.Scratch.fresh("zm_")
+      val fact = Tables.lineitem(s, d)
+        .select(
+          col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_returnflag"), to_date(col("l_shipdate")).as("ship_date"))
+      clusterCommit(fact, dir, "ship_date", 16, statsCols = Seq("ship_date"))
+      dir
+    })
 }

@@ -478,4 +478,34 @@ class SnapshotSpec extends SparkSpec {
       s"a clustered 16-file layout should localize the range to <=2 files, got ${pr.inputFiles.length}")
     assert(pr.count() > 0)
   }
+
+  test("q158: the headline filter-project reads a strict file subset of the shared snapshot") {
+    val d = "/root/testdata/sf0.001"
+    // the SHARED clustered snapshot: built once per (JVM, dataset),
+    // hit by both q154 and q158 — clustering is a table property, not
+    // a per-query cost
+    val dir = operators.Warehouse.shipDateClusteredFact(spark, d)
+    assert(operators.Warehouse.shipDateClusteredFact(spark, d) == dir,
+      "the clustered snapshot must be memoized per dataset")
+    val total = Snapshots.files(spark, dir).size
+    val scan = Snapshots.scanRange(spark, dir, "ship_date",
+      java.sql.Date.valueOf("1995-02-01"), java.sql.Date.valueOf("1995-07-31"))
+    assert(scan.inputFiles.length < total,
+      s"6 months of a ~7-year span must prune: ${scan.inputFiles.length} of $total")
+    assert(scan.inputFiles.length <= 3,
+      s"a clustered 16-file layout localizes 6 months to <=3 files, got ${scan.inputFiles.length}")
+    // file skipping must never change the answer the user sees.
+    // (l_orderkey, l_linenumber) is NOT unique in the synthetic data,
+    // so compare canonically — full-row sort, the driver-gate shape
+    val got = SparkEntry.queries("q158_zonemap_filter_project")(spark, d)
+      .collect().map(_.toSeq.mkString("|")).sorted.toSeq
+    val exp = Tables.lineitem(spark, d)
+      .filter(to_date(col("l_shipdate")).between("1995-02-01", "1995-07-31")
+        && col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        to_date(col("l_shipdate")).as("ship_date"))
+      .collect().map(_.toSeq.mkString("|")).sorted.toSeq
+    assert(got == exp, "pruned scan must equal the full-table scan as a multiset")
+    assert(got.nonEmpty)
+  }
 }
