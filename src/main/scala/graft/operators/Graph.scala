@@ -57,16 +57,18 @@ object Graph {
     * The projected 2-column lineitem is cached because it feeds both
     * sides of the self-join (no exchange reuse across a self-join).
     */
-  private def buildCoEdges(s: SparkSession, d: String): DataFrame = {
-    val li = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pid"))
-      .cache()
+  private def edgesOf(liRaw: DataFrame): DataFrame = {
+    val li = liRaw.cache()
     li.select(col("ok"), col("pid").as("src"))
       .join(li.select(col("ok"), col("pid").as("dst")), "ok")
       .filter(col("src") =!= col("dst"))
       .groupBy(col("src"), col("dst"))
       .agg(count(lit(1)).as("w"))
   }
+
+  private def buildCoEdges(s: SparkSession, d: String): DataFrame =
+    edgesOf(Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pid")))
 
   /** The edge list MATERIALIZED once per (JVM, dataset) as a scratch
     * parquet table shared by the whole graph family (q149/q150/q151/
@@ -309,17 +311,28 @@ object Graph {
     // node-sized rank frame moves — the big side never re-shuffles
     val ed = edRaw.repartition(col("src")).cache()
     val deg = ed.groupBy(col("src")).agg(sum(col("w")).as("deg"))
-    var pr = nodes.join(deg, nodes("part_id") === deg("src"), "left")
+    val init = nodes.join(deg, nodes("part_id") === deg("src"), "left")
       .select(col("part_id"), coalesce(col("deg"), lit(0L)).as("deg"),
         lit(1000000L).as("pr"))
-      .localCheckpoint(true)
-    // checkpoint every SECOND round, not every round: each eager
-    // localCheckpoint is a driver-sequenced job, and 6 of them in a
-    // row made the wall time driver-latency-bound (round-9 bench saw
-    // 8× swings). A 2-round lineage (two join+agg layers) is cheap
-    // for Catalyst; the cadence halves the sequenced materializations
-    // while still keeping the plan iteration-deep, not lineage-deep.
-    for (i <- 1 to PrIters) {
+    prIterate(init, ed, PrIters).orderBy(col("part_id"))
+  }
+
+  /** `iters` rounds of the q150 recurrence from an explicit
+    * (part_id, deg, pr) frame over already-pinned (src, dst, w)
+    * edges (contract: the caller repartitions on src and caches —
+    * the big side must never re-shuffle per round). Shared by the
+    * cold start (q150) and the warm start (q159).
+    *
+    * Checkpoint every SECOND round, not every round: each eager
+    * localCheckpoint is a driver-sequenced job, and 6 of them in a
+    * row made the wall time driver-latency-bound (round-9 bench saw
+    * 8× swings). A 2-round lineage (two join+agg layers) is cheap
+    * for Catalyst; the cadence halves the sequenced materializations
+    * while still keeping the plan iteration-deep, not lineage-deep.
+    */
+  private def prIterate(init: DataFrame, ed: DataFrame, iters: Int): DataFrame = {
+    var pr = init.localCheckpoint(true)
+    for (i <- 1 to iters) {
       val contrib = ed.join(pr, ed("src") === pr("part_id"))
         .filter(col("deg") > 0)
         .select(col("dst"), expr("(pr * w) div deg").as("c"))
@@ -330,9 +343,9 @@ object Graph {
           (lit(150000L) + expr("(85 * coalesce(inr, CAST(0 AS BIGINT))) div 100")).as("pr"))
       // the rank frame is consumed twice next round (contribution join
       // + carry): cache on off-rounds so the lineage doesn't double
-      pr = if (i % 2 == 0 && i < PrIters) pr.localCheckpoint(true) else pr.cache()
+      pr = if (i % 2 == 0 && i < iters) pr.localCheckpoint(true) else pr.cache()
     }
-    pr.orderBy(col("part_id"))
+    pr
   }
 
   /** Per-round CTEs materialized — pr_{i-1} is referenced twice per
@@ -670,12 +683,153 @@ object Graph {
              AS global_cc_micro
     FROM tri t CROSS JOIN wdg w"""
 
+  // ---------------------------------------------------------------
+  // q159: delivery-time incremental PageRank (warm start from a
+  // pinned snapshot index) — the graph member of the incremental
+  // delivery family (q119 dedup / q130 neardup / q144 spans / q155
+  // BM25)
+  // ---------------------------------------------------------------
+
+  private[graft] val WarmIters = 2
+
+  /** Warm-start core: merge the pinned base ranks into the merged
+    * graph's node frame (new nodes cold-start at 1e6; base nodes keep
+    * their converged rank) and run [[WarmIters]] rounds of the q150
+    * recurrence over the merged edges. Output carries pr_base (0 for
+    * delivery-only nodes — a real rank never floors below 150000) so
+    * movers are visible. The unit GraphSpec drives with an exact
+    * scalar replay.
+    */
+  private[graft] def warmStart(
+      nodes: DataFrame, basePr: DataFrame, edMRaw: DataFrame): DataFrame = {
+    val edM = edMRaw.repartition(col("src")).cache()
+    val degM = edM.groupBy(col("src")).agg(sum(col("w")).as("deg"))
+    val base = basePr.select(col("part_id"), col("pr").as("pr_base"))
+    val init = nodes.select(col("part_id"))
+      .join(degM.withColumnRenamed("src", "part_id"), Seq("part_id"), "left")
+      .join(base, Seq("part_id"), "left")
+      .select(
+        col("part_id"),
+        coalesce(col("deg"), lit(0L)).as("deg"),
+        coalesce(col("pr_base"), lit(1000000L)).as("pr"))
+    prIterate(init, edM, WarmIters)
+      .join(base, Seq("part_id"), "left")
+      .select(
+        col("part_id"), col("deg"),
+        coalesce(col("pr_base"), lit(0L)).as("pr_base"),
+        col("pr").as("pr_warm"))
+      .orderBy(col("part_id"))
+  }
+
+  /** The standing base index built ONCE per (JVM, dataset) — q155's
+    * lifecycle for the graph surface: the 90% md5 bucket of ORDERS is
+    * the standing corpus; its edge list and its 5-round converged
+    * ranks are committed as two snapshot tables. Serving (the q159
+    * query body) reads the PINNED versions — at delivery time only
+    * the 10% batch scans the fact; the base graph comes from the
+    * persisted index, so a delivery costs one delta edge build + one
+    * edge-sized weight merge + [[WarmIters]] edge-linear rounds,
+    * never a full-corpus rescan or a cold 5-round rerun.
+    */
+  private val prIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  private[graft] def basePrIndex(s: SparkSession, d: String): (String, String) =
+    prIndexCache.computeIfAbsent(d, _ => {
+      val bli = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pid"))
+        .filter(graft.functions.TextFns.h60(col("l_orderkey").cast("string")) % 100 < 90)
+      val edB = edgesOf(bli).repartition(col("src")).cache()
+      val degB = edB.groupBy(col("src")).agg(sum(col("w")).as("deg"))
+      val nodesB = bli.select(col("pid").as("part_id")).distinct()
+      val init = nodesB.join(degB.withColumnRenamed("src", "part_id"), Seq("part_id"), "left")
+        .select(col("part_id"), coalesce(col("deg"), lit(0L)).as("deg"),
+          lit(1000000L).as("pr"))
+      val base = prIterate(init, edB, PrIters)
+      val edDir = graft.Scratch.fresh("ipre_")
+      val prDir = graft.Scratch.fresh("iprr_")
+      Snapshots.commit(edB, edDir, replace = true)
+      Snapshots.commit(base.select(col("part_id"), col("pr")), prDir, replace = true)
+      (edDir, prDir)
+    })
+
+  private[graft] def incrementalPagerank(s: SparkSession, d: String): DataFrame = {
+    val (edDir, prDir) = basePrIndex(s, d)
+    // ---- serving side: everything below reads the PINNED index
+    val edB = Snapshots.read(s, edDir)
+    val basePr = Snapshots.read(s, prDir)
+    val dli = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pid"))
+      .filter(graft.functions.TextFns.h60(col("l_orderkey").cast("string")) % 100 >= 90)
+    val edM = edB.unionByName(edgesOf(dli))
+      .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+    val nodes = Tables.lineitem(s, d).select(col("l_partkey").as("part_id")).distinct()
+    warmStart(nodes, basePr, edM)
+  }
+
+  /** Oracle: replays index build + delivery merge + warm rounds
+    * CTE-for-CTE, every iterated CTE materialized (see [[kcoreSql]]).
+    */
+  private[graft] val incrementalPagerankSql: String = {
+    val h = graft.functions.TextFns.Sql.h60("CAST(l_orderkey AS VARCHAR)")
+    def prRounds(pfx: String, ed: String, n: Int): String =
+      (1 to n).map { i =>
+        s"""$pfx$i AS MATERIALIZED (
+           SELECT p.part_id, p.deg,
+                  CAST(150000 + (85 * COALESCE(c.inr, 0)) // 100 AS BIGINT) AS pr
+           FROM $pfx${i - 1} p
+           LEFT JOIN (SELECT e.dst, CAST(SUM((p.pr * e.w) // p.deg) AS BIGINT) AS inr
+                      FROM $ed e JOIN $pfx${i - 1} p ON e.src = p.part_id
+                      WHERE p.deg > 0 GROUP BY e.dst) c
+           ON p.part_id = c.dst)"""
+      }.mkString(",\n    ")
+    s"""
+    WITH bli AS MATERIALIZED (
+      SELECT l_orderkey AS ok, l_partkey AS pid FROM lineitem
+      WHERE ($h % 100) < 90),
+    edb AS MATERIALIZED (
+      SELECT a.pid AS src, b.pid AS dst, CAST(COUNT(*) AS BIGINT) AS w
+      FROM bli a JOIN bli b ON a.ok = b.ok
+      WHERE a.pid <> b.pid GROUP BY 1, 2),
+    degb AS (SELECT src, CAST(SUM(w) AS BIGINT) AS deg FROM edb GROUP BY 1),
+    bp0 AS MATERIALIZED (
+      SELECT n.part_id, COALESCE(d.deg, 0) AS deg, CAST(1000000 AS BIGINT) AS pr
+      FROM (SELECT DISTINCT pid AS part_id FROM bli) n
+      LEFT JOIN degb d ON n.part_id = d.src),
+    ${prRounds("bp", "edb", PrIters)},
+    dli AS MATERIALIZED (
+      SELECT l_orderkey AS ok, l_partkey AS pid FROM lineitem
+      WHERE ($h % 100) >= 90),
+    edd AS MATERIALIZED (
+      SELECT a.pid AS src, b.pid AS dst, CAST(COUNT(*) AS BIGINT) AS w
+      FROM dli a JOIN dli b ON a.ok = b.ok
+      WHERE a.pid <> b.pid GROUP BY 1, 2),
+    edm AS MATERIALIZED (
+      SELECT src, dst, CAST(SUM(w) AS BIGINT) AS w FROM (
+        SELECT * FROM edb UNION ALL SELECT * FROM edd)
+      GROUP BY 1, 2),
+    degm AS (SELECT src, CAST(SUM(w) AS BIGINT) AS deg FROM edm GROUP BY 1),
+    wp0 AS MATERIALIZED (
+      SELECT n.part_id, COALESCE(dm.deg, 0) AS deg,
+             COALESCE(b.pr, 1000000) AS pr
+      FROM (SELECT DISTINCT l_partkey AS part_id FROM lineitem) n
+      LEFT JOIN degm dm ON n.part_id = dm.src
+      LEFT JOIN bp$PrIters b ON n.part_id = b.part_id),
+    ${prRounds("wp", "edm", WarmIters)}
+    SELECT w.part_id, w.deg, COALESCE(b.pr, 0) AS pr_base, w.pr AS pr_warm
+    FROM wp$WarmIters w
+    LEFT JOIN bp$PrIters b ON w.part_id = b.part_id
+    ORDER BY w.part_id"""
+  }
+
   val all: Seq[Q] = Seq(
     Q("q149_gat_embedding", (s, d) => gatEmbedding(s, d), Some(gatEmbeddingSql)),
     Q("q150_pagerank", (s, d) => pagerank(s, d), Some(pagerankSql)),
     Q("q151_triangle_count", (s, d) => triangles(s, d), Some(trianglesSql)),
     Q("q156_personalized_pagerank", (s, d) => personalizedPagerank(s, d),
       Some(personalizedPagerankSql)),
-    Q("q157_kcore", (s, d) => kcore(s, d), Some(kcoreSql))
+    Q("q157_kcore", (s, d) => kcore(s, d), Some(kcoreSql)),
+    Q("q159_incremental_pagerank", (s, d) => incrementalPagerank(s, d),
+      Some(incrementalPagerankSql))
   )
 }

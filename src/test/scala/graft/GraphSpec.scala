@@ -170,6 +170,63 @@ class GraphSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  // --- q159 incremental pagerank -----------------------------------
+
+  /** Plain-Scala replay of the q150 recurrence from an explicit
+    * initial rank vector — covers both the cold and the warm start.
+    */
+  private def simPr(nodes: Seq[Long], es: Seq[(Long, Long, Long)],
+                    init: Map[Long, Long], iters: Int): Map[Long, Long] = {
+    val deg = es.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    var pr = nodes.map(i => i -> init(i)).toMap
+    for (_ <- 1 to iters) {
+      val inflow = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      for ((s2, d2, w) <- es; dg = deg.getOrElse(s2, 0L); if dg > 0)
+        inflow(d2) += (pr(s2) * w) / dg
+      pr = pr.map { case (k, _) => k -> (150000L + 85 * inflow(k) / 100) }
+    }
+    pr
+  }
+
+  test("incremental pagerank: warm start equals the exact scalar replay; new nodes surface") {
+    // base: symmetric path 1—2—3; delivery adds node 4 (3—4) and
+    // reinforces 1→2 by +2
+    val baseNodes = (1L to 3L)
+    val baseEs = Seq((1L, 2L, 1L), (2L, 1L, 1L), (2L, 3L, 1L), (3L, 2L, 1L))
+    val mergedEs = Seq((1L, 2L, 3L), (2L, 1L, 1L), (2L, 3L, 1L), (3L, 2L, 1L),
+      (3L, 4L, 1L), (4L, 3L, 1L))
+    val basePr = Graph.pagerankOf(baseNodes.toDF("part_id"), edges(baseEs: _*))
+    val out = Graph.warmStart(
+      (1L to 4L).toDF("part_id"), basePr, edges(mergedEs: _*))
+      .collect()
+      .map(r => r.getAs[Long]("part_id") ->
+        (r.getAs[Long]("deg"), r.getAs[Long]("pr_base"), r.getAs[Long]("pr_warm"))).toMap
+    val baseSim = simPr(baseNodes, baseEs, baseNodes.map(_ -> 1000000L).toMap, Graph.PrIters)
+    val warmSim = simPr(1L to 4L, mergedEs,
+      (1L to 4L).map(i => i -> baseSim.getOrElse(i, 1000000L)).toMap, Graph.WarmIters)
+    (1L to 4L).foreach { i =>
+      assert(out(i)._3 == warmSim(i), s"node $i: warm rank must equal the scalar replay")
+    }
+    assert(out(4L)._2 == 0L, "a delivery-only node carries pr_base = 0")
+    (1L to 3L).foreach(i => assert(out(i)._2 == baseSim(i), s"node $i keeps its base rank"))
+    val mdeg = mergedEs.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    (1L to 4L).foreach(i => assert(out(i)._1 == mdeg(i), s"node $i: merged degree"))
+    spark.catalog.clearCache()
+  }
+
+  test("incremental pagerank: an empty delivery is the base's deterministic continuation") {
+    val nodes = (1L to 3L)
+    val es = Seq((1L, 2L, 1L), (2L, 1L, 1L), (2L, 3L, 1L), (3L, 2L, 1L))
+    val basePr = Graph.pagerankOf(nodes.toDF("part_id"), edges(es: _*))
+    val out = Graph.warmStart(nodes.toDF("part_id"), basePr, edges(es: _*))
+      .collect().map(r => r.getAs[Long]("part_id") -> r.getAs[Long]("pr_warm")).toMap
+    val cont = simPr(nodes, es,
+      simPr(nodes, es, nodes.map(_ -> 1000000L).toMap, Graph.PrIters), Graph.WarmIters)
+    nodes.foreach(i => assert(out(i) == cont(i),
+      s"node $i: empty delta = ${Graph.PrIters}+${Graph.WarmIters} rounds of the base graph"))
+    spark.catalog.clearCache()
+  }
+
   // --- q157 k-core -------------------------------------------------
 
   test("kcore: K4 survives peeling, pendant chain falls out, fixpoint in 2 rounds") {
