@@ -763,7 +763,13 @@ object Graph {
       .filter(graft.functions.TextFns.h60(col("l_orderkey").cast("string")) % 100 >= 90)
     val edM = edB.unionByName(edgesOf(dli))
       .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
-    val nodes = Tables.lineitem(s, d).select(col("l_partkey").as("part_id")).distinct()
+    // node universe = index nodes ∪ delivery nodes — NOT a third
+    // full-fact scan: every part in some order is either in the base
+    // bucket (hence in the pinned rank table) or in the delivery, so
+    // the union is exactly DISTINCT l_partkey, at delta + index cost
+    val nodes = basePr.select(col("part_id"))
+      .unionByName(dli.select(col("pid").as("part_id")))
+      .distinct()
     warmStart(nodes, basePr, edM)
   }
 
