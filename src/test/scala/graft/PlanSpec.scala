@@ -466,4 +466,32 @@ class PlanSpec extends SparkSpec {
     assert(single <= 1, s"only the vocab ranking may single-partition:\n$p")
     spark.catalog.clearCache()
   }
+
+  test("q159 serving plan: ONE fact scan (the delta) — the base graph comes from the index") {
+    val d = sf("sf0.001")
+    // build the index first so the pin sees the SERVING plan, not the
+    // one-time build (the memoized basePrIndex makes the distinction
+    // real: every later execution is delivery-only)
+    operators.Graph.basePrIndex(spark, d)
+    val p = SparkEntry.queries("q159_incremental_pagerank")(spark, d)
+      .queryExecution.executedPlan.toString
+    // the cached delta subtree prints once per reference pre-execution,
+    // so COUNTING FileScan lines over-reports; the property that
+    // matters is that every lineitem access in the serving plan is the
+    // SAME delta-projected scan — i.e. no second access pattern (a
+    // full unfiltered scan for the node universe would show up as a
+    // distinct FileScan line)
+    val scans = p.linesIterator
+      .filter(l => l.contains("FileScan") && l.contains("lineitem"))
+      .map(l => l.substring(l.indexOf("FileScan")).replaceAll("#\\d+L?", "#x"))
+      .toSet
+    assert(scans.size == 1,
+      s"every lineitem access must be the one delta scan, found ${scans.size}:\n${scans.mkString("\n")}")
+    val readSchema = scans.head.split("ReadSchema").last
+    val cols = "l_\\w+".r.findAllIn(readSchema).toSet
+    assert(cols == Set("l_orderkey", "l_partkey"),
+      s"the delta scan must read only (orderkey, partkey): $cols")
+    assert(!p.contains("CartesianProduct"), s"q159 plans a cartesian product:\n$p")
+    spark.catalog.clearCache()
+  }
 }
