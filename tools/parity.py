@@ -9,10 +9,17 @@ mismatch so oracle drift is visible before the driver round runs.
 
 Usage: tools/parity.py <sfDir> <verifyOutDir> [query ...]
 """
-import sys, json, glob, os
+import sys, json, glob, os, time
 import duckdb
 import pandas as pd
 import numpy as np
+
+# An oracle slower than this at sf0.01 is a red flag: the driver's
+# sweep runs every oracle sequentially, and one pathological statement
+# (e.g. a multiply-referenced non-materialized CTE chain that DuckDB
+# inlines exponentially) can hang the sweep and blank the round's
+# correctness record — exactly what round 9's q157 did.
+SLOW_ORACLE_SEC = 20.0
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
@@ -43,6 +50,7 @@ def main():
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = n_bad = 0
+    slow = []
     for name in sorted(oracle):
         if only and name not in only:
             continue
@@ -53,11 +61,18 @@ def main():
             continue
         got = canon(pd.concat([pd.read_parquet(f) for f in sorted(files)]))
         try:
+            t0 = time.monotonic()
             exp = canon(con.sql(oracle[name]).df())
+            oracle_sec = time.monotonic() - t0
         except Exception as e:
             print(f"ORACLE-ERR {name}: {e}")
             n_bad += 1
             continue
+        if oracle_sec > SLOW_ORACLE_SEC:
+            print(f"SLOW-ORACLE {name}: {oracle_sec:.1f}s — the driver's sweep "
+                  f"runs these sequentially; materialize CTEs or simplify "
+                  f"before this becomes a hung round record")
+            slow.append((name, oracle_sec))
         if got.shape != exp.shape:
             print(f"SHAPE    {name}: spark {got.shape} vs duckdb {exp.shape}")
             print(f"  spark cols:  {list(got.columns)}")
@@ -92,6 +107,9 @@ def main():
             n_ok += 1
         else:
             n_bad += 1
+    if slow:
+        worst = ", ".join(f"{n}={s:.1f}s" for n, s in slow)
+        print(f"\nWARNING: {len(slow)} slow oracle(s): {worst}")
     print(f"\n{n_ok} ok, {n_bad} bad")
     sys.exit(1 if n_bad else 0)
 
