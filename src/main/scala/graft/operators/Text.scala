@@ -1116,6 +1116,80 @@ object Text {
           FROM scored)
         WHERE rnk <= 3
         ORDER BY token, rnk""")
+    ),
+
+    // Corpus report card: the one-row health summary a corpus owner
+    // runs before every training cut — doc/lang counts, exact-dup
+    // incidence (md5 identity census), PII-shaped incidence (q90's
+    // email/URL patterns), token volume, and language concentration
+    // as an integer-rational Gini (1e6 − Σ share², the ln()-free
+    // diversity statistic; entropy is not engine-portable, Gini is).
+    // ONE cached corpus scan feeds the per-lang rollup and the global
+    // aggregate; the only other shuffle is the exact distinct on the
+    // 16-byte md5 (at 100 TB the q71/q146 sketches are the declared
+    // swap-out for that term). All arithmetic decimal-exact / integer
+    // div so the row hash-matches.
+    Q(
+      "q160_corpus_report",
+      (s, d) => {
+        def cnt(pat: String): Column =
+          size(regexp_extract_all(col("text"), lit(pat), lit(0)))
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        val base = Tables.documents(s, d)
+          .select(
+            col("doc_id"), col("lang"),
+            size(TextFns.tokens(col("text"))).cast("long").as("ntok"),
+            md5(col("text")).as("h"),
+            ((cnt("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+") > 0) ||
+              (cnt("https?://[^ ]+") > 0)).cast("long").as("pii"))
+          .cache()
+        val tot = base.agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("h")).as("n_h"),
+          sum(col("ntok")).as("total_tokens"),
+          sum(col("pii")).as("pii_docs"),
+          countDistinct(col("lang")).as("n_langs"))
+        val langCnt = base.groupBy(col("lang")).agg(count(lit(1)).as("c"))
+        val conc = langCnt.crossJoin(broadcast(tot.select(col("n_docs").as("n"))))
+          .select(expr(
+            "CAST((CAST(c AS DECIMAL(38,0)) * c * 1000000) div (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)")
+            .as("t"))
+          .agg(sum(col("t")).as("conc"))
+        tot.crossJoin(broadcast(conc))
+          .select(
+            col("n_docs"), col("n_langs"), col("total_tokens"),
+            expr("(total_tokens * 1000000) div n_docs").as("mean_tokens_micro"),
+            (col("n_docs") - col("n_h")).as("exact_dup_docs"),
+            col("pii_docs"),
+            (lit(1000000L) - col("conc")).as("lang_gini_micro"))
+      },
+      Some(s"""
+        WITH b AS MATERIALIZED (
+          SELECT doc_id, lang,
+                 CAST(len(${T.tokens}) AS BIGINT) AS ntok,
+                 md5(text) AS h,
+                 CAST(len(regexp_extract_all(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+')) > 0
+                   OR len(regexp_extract_all(text, 'https?://[^ ]+')) > 0
+                   AS BIGINT) AS pii
+          FROM documents),
+        t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST(COUNT(DISTINCT h) AS BIGINT) AS n_h,
+                     CAST(SUM(ntok) AS BIGINT) AS total_tokens,
+                     CAST(SUM(pii) AS BIGINT) AS pii_docs,
+                     CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+              FROM b),
+        lc AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY 1),
+        g AS (SELECT CAST(SUM(
+                 (CAST(c AS HUGEINT) * c * 1000000) // (CAST(t.n_docs AS HUGEINT) * t.n_docs))
+                 AS BIGINT) AS conc
+              FROM lc, t)
+        SELECT t.n_docs, t.n_langs, t.total_tokens,
+               CAST((t.total_tokens * 1000000) // t.n_docs AS BIGINT) AS mean_tokens_micro,
+               CAST(t.n_docs - t.n_h AS BIGINT) AS exact_dup_docs,
+               t.pii_docs,
+               CAST(1000000 - g.conc AS BIGINT) AS lang_gini_micro
+        FROM t, g""")
     )
   )
 }

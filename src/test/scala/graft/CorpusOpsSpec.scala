@@ -342,6 +342,31 @@ class CorpusOpsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q160 report card matches a plain-Scala recomputation of every statistic") {
+    val row = SparkEntry.queries("q160_corpus_report")(spark, d).collect().head
+    val docs = Tables.documents(spark, d)
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => (r.getAs[Any]("doc_id"), r.getString(1), r.getString(2)))
+    val n = docs.length.toLong
+    val email = java.util.regex.Pattern.compile(
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+")
+    val url = java.util.regex.Pattern.compile("https?://[^ ]+")
+    assert(row.getAs[Long]("n_docs") == n)
+    assert(row.getAs[Long]("n_langs") == docs.map(_._2).distinct.length.toLong)
+    val totalTok = docs.map(_._3.trim.split("\\s+").length.toLong).sum
+    assert(row.getAs[Long]("total_tokens") == totalTok)
+    assert(row.getAs[Long]("mean_tokens_micro") == totalTok * 1000000L / n)
+    assert(row.getAs[Long]("exact_dup_docs") == n - docs.map(_._3).distinct.length)
+    assert(row.getAs[Long]("pii_docs") ==
+      docs.count(t => email.matcher(t._3).find() || url.matcher(t._3).find()).toLong)
+    val conc = docs.groupBy(_._2).values
+      .map(g => BigInt(g.length) * g.length * 1000000 / (BigInt(n) * n)).sum
+    assert(row.getAs[Long]("lang_gini_micro") == 1000000L - conc.toLong)
+    val gini = row.getAs[Long]("lang_gini_micro")
+    assert(gini >= 0L && gini < 1000000L, s"Gini must be a valid scaled share: $gini")
+    spark.catalog.clearCache()
+  }
+
   test("bm25 corpus invariant: no document tokenizes to empty on any SF") {
     // q153/q155 define the retrieval corpus as "documents owning ≥1
     // token" and BOTH engines compute the (n_docs, Σlen) scalars from
