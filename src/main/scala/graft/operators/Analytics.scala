@@ -745,6 +745,69 @@ object Analytics {
                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0)
                / 100.0 AS slope
         FROM m ORDER BY o_orderpriority""")
+    ),
+
+    // Association rules over order baskets — THE product-mix
+    // analytic (support / confidence / lift, Agrawal-Srikant market
+    // basket shape): baskets are DISTINCT (order, part) pairs (a part
+    // twice in one order is one basket membership, unlike the graph
+    // family's lineitem-pair edge weights), rule a→b needs both in
+    // the same basket, min support 3 baskets, top-50 by lift. All
+    // three statistics are integer rationals in 1e6 micro-units
+    // (decimal numerators — counts² × 1e6 overflows int64 at corpus
+    // scale), so the row set is engine-exact. Scale shape: the pair
+    // explode is bounded by basket size (≤7 for this fact); item
+    // counts broadcast onto the pair aggregate; the basket-count
+    // scalar broadcasts; top-50 is distributed TakeOrderedAndProject,
+    // never a global sort.
+    Q(
+      "q161_basket_rules",
+      (s, d) => {
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        val b = Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pid"))
+          .distinct()
+          .cache()
+        val nOrders = b.agg(countDistinct(col("ok")).as("n_orders"))
+        val item = b.groupBy(col("pid")).agg(count(lit(1)).as("c"))
+        val pair = b.select(col("ok"), col("pid").as("a"))
+          .join(b.select(col("ok"), col("pid").as("bb")), "ok")
+          .filter(col("a") =!= col("bb"))
+          .groupBy(col("a"), col("bb")).agg(count(lit(1)).as("cab"))
+          .filter(col("cab") >= 3)
+        pair
+          .join(broadcast(item.select(col("pid").as("a"), col("c").as("ca"))), "a")
+          .join(broadcast(item.select(col("pid").as("bb"), col("c").as("cb"))), "bb")
+          .crossJoin(broadcast(nOrders))
+          .select(
+            col("a").as("antecedent"), col("bb").as("consequent"), col("cab").as("n_baskets"),
+            expr("(CAST(cab AS DECIMAL(38,0)) * 1000000) div n_orders").as("support_micro"),
+            expr("(CAST(cab AS DECIMAL(38,0)) * 1000000) div ca").as("confidence_micro"),
+            expr("(CAST(cab AS DECIMAL(38,0)) * n_orders * 1000000) div (CAST(ca AS DECIMAL(38,0)) * cb)")
+              .as("lift_micro"))
+          .orderBy(col("lift_micro").desc, col("antecedent"), col("consequent"))
+          .limit(50)
+      },
+      Some("""
+        WITH b AS MATERIALIZED (
+          SELECT DISTINCT l_orderkey AS ok, l_partkey AS pid FROM lineitem),
+        n AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_orders FROM b),
+        item AS (SELECT pid, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY 1),
+        pair AS (SELECT x.pid AS a, y.pid AS bb, CAST(COUNT(*) AS BIGINT) AS cab
+                 FROM b x JOIN b y ON x.ok = y.ok
+                 WHERE x.pid <> y.pid GROUP BY 1, 2
+                 HAVING COUNT(*) >= 3)
+        SELECT p.a AS antecedent, p.bb AS consequent, p.cab AS n_baskets,
+               CAST((CAST(p.cab AS HUGEINT) * 1000000) // n.n_orders AS BIGINT) AS support_micro,
+               CAST((CAST(p.cab AS HUGEINT) * 1000000) // ia.c AS BIGINT) AS confidence_micro,
+               CAST((CAST(p.cab AS HUGEINT) * n.n_orders * 1000000)
+                    // (CAST(ia.c AS HUGEINT) * ib.c) AS BIGINT) AS lift_micro
+        FROM pair p
+        JOIN item ia ON p.a = ia.pid
+        JOIN item ib ON p.bb = ib.pid
+        CROSS JOIN n
+        ORDER BY lift_micro DESC, antecedent, consequent
+        LIMIT 50""")
     )
   )
 }

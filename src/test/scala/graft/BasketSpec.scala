@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** q161 association rules: the distributed top-50 must equal a
+  * plain-Scala recomputation of the full Agrawal-Srikant statistics
+  * (support / confidence / lift in exact integer micro-units) on the
+  * real corpus — the oracle gate pins engine parity, this pins the
+  * SEMANTICS against an independent implementation.
+  */
+class BasketSpec extends SparkSpec {
+
+  test("q161 top-50 rules equal a plain-Scala recomputation, exactly and in order") {
+    val d = sf("sf0.001")
+    val rows = SparkEntry.queries("q161_basket_rules")(spark, d).collect()
+    // independent recomputation
+    val b = Tables.lineitem(spark, d)
+      .select(col("l_orderkey"), col("l_partkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.distinct
+    val nOrders = b.map(_._1).distinct.length.toLong
+    val item = b.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val pair = b.groupBy(_._1).values.flatMap { basket =>
+      val pids = basket.map(_._2)
+      for (a <- pids; c <- pids; if a != c) yield (a, c)
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val rules = pair.toSeq.filter(_._2 >= 3L).map { case ((a, c), cab) =>
+      val lift = (BigInt(cab) * nOrders * 1000000 / (BigInt(item(a)) * item(c))).toLong
+      (a, c, cab,
+        (BigInt(cab) * 1000000 / nOrders).toLong,
+        (BigInt(cab) * 1000000 / item(a)).toLong,
+        lift)
+    }.sortBy(t => (-t._6, t._1, t._2)).take(50)
+    assert(rules.nonEmpty, "sf0.001 must yield at least one rule at min-support 3")
+    val got = rows.map(r => (
+      r.getAs[Long]("antecedent"), r.getAs[Long]("consequent"), r.getAs[Long]("n_baskets"),
+      r.getAs[Long]("support_micro"), r.getAs[Long]("confidence_micro"),
+      r.getAs[Long]("lift_micro"))).toSeq
+    assert(got == rules, s"rule list diverges:\n got=${got.take(3)}\n exp=${rules.take(3)}")
+    // structural sanity on the shipped statistics
+    got.foreach { case (a, c, cab, sup, conf, lift) =>
+      assert(a != c, "no self-rules")
+      assert(cab >= 3L, "min support respected")
+      assert(sup in (0L, 1000000L), s"support is a valid scaled share: $sup")
+      assert(conf in (0L, 1000001L), s"confidence is a valid scaled share: $conf")
+      assert(lift > 0L)
+    }
+    spark.catalog.clearCache()
+  }
+
+  private implicit class InRange(private val v: Long) {
+    def in(lohi: (Long, Long)): Boolean = v >= lohi._1 && v <= lohi._2
+  }
+}
