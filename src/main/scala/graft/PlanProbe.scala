@@ -24,6 +24,8 @@ object PlanProbe {
         if (n > 0) println(s"  $t scans: $n")
       }
       println("  single-partition exchanges: " + p.linesIterator.count(_.contains("Exchange SinglePartition")))
+      println("  cached reads (InMemoryTableScan): " + p.linesIterator.count(_.contains("InMemoryTableScan")))
+      println("  distributed top-k (TakeOrderedAndProject): " + p.linesIterator.count(_.contains("TakeOrderedAndProject")))
       println("  expands: " + p.linesIterator.count(_.contains("Expand")))
       println("  window execs: " + p.linesIterator.count(_.contains("Window")))
       println("  object hash aggs: " + p.linesIterator.count(_.contains("ObjectHashAggregate")))

@@ -494,4 +494,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"q159 plans a cartesian product:\n$p")
     spark.catalog.clearCache()
   }
+
+  test("basket rules: cached basket frame, broadcast-only stat joins, distributed top-k (q161)") {
+    val p = plan("q161_basket_rules")
+    // every consumer of the basket frame (self-join both sides, item
+    // counts ×2, order-count scalar) must read the ONE cached build
+    assert(p.linesIterator.count(_.contains("InMemoryTableScan")) == 5,
+      s"expected 5 cached reads of the basket frame:\n$p")
+    // item counts and the n_orders scalar ride broadcasts onto the
+    // pair aggregate — at 100 TB the pair frame never re-shuffles for
+    // dimension-sized statistics
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) == 3,
+      s"expected 3 broadcast stat joins:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no stat join may sort-merge:\n$p")
+    // top-50 by lift is TakeOrderedAndProject (per-partition heads +
+    // driver merge), never a global sort of the full rule set
+    assert(p.contains("TakeOrderedAndProject"), s"top-k must be distributed:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q161 plans a cartesian product:\n$p")
+    spark.catalog.clearCache()
+  }
 }
