@@ -763,11 +763,7 @@ object Analytics {
     Q(
       "q161_basket_rules",
       (s, d) => {
-        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
-        val b = Tables.lineitem(s, d)
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pid"))
-          .distinct()
-          .cache()
+        val b = baskets(s, d).distinct().cache()
         val nOrders = b.agg(countDistinct(col("ok")).as("n_orders"))
         val item = b.groupBy(col("pid")).agg(count(lit(1)).as("c"))
         val pair = b.select(col("ok"), col("pid").as("a"))
@@ -808,6 +804,148 @@ object Analytics {
         CROSS JOIN n
         ORDER BY lift_micro DESC, antecedent, consequent
         LIMIT 50""")
-    )
+    ),
+
+    // Delivery-time incremental basket rules — q161's statistics
+    // maintained against a PINNED pair/item/basket-count index: the
+    // market-basket member of the incremental delivery family (q119
+    // dedup / q130 neardup / q144 spans / q155 BM25 / q159 PageRank).
+    // The standing corpus (90% md5 bucket of ORDERS) commits its
+    // UNFILTERED pair counts, item counts, and basket count as
+    // snapshot tables once per (JVM, dataset); each delivery (the 10%
+    // bucket) scans only itself, merges counts with one pair-sized
+    // full-outer sum, and emits the merged top-50 rules. Orders live
+    // whole in one bucket, so merged counts EQUAL a full recompute —
+    // BasketSpec pins incremental == q161 column-for-column — and
+    // cab_base rides along (0 for rules born in this delivery) so
+    // movers are visible. At 100 TB a delivery costs one delta
+    // basket build + one index-sized merge, never a corpus rescan.
+    Q(
+      "q162_incremental_basket_rules",
+      (s, d) => incrementalBasketRules(s, d),
+      Some(incrementalBasketRulesSql))
   )
+
+  // ---------------------------------------------------------------
+  // q161/q162 shared market-basket machinery
+  // ---------------------------------------------------------------
+
+  private def baskets(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pid"))
+
+  /** Basket co-occurrence counts (ordered pairs, a ≠ b). Input must
+    * already be DISTINCT (ok, pid) memberships.
+    */
+  private def pairCounts(b: org.apache.spark.sql.DataFrame) =
+    b.select(col("ok"), col("pid").as("a"))
+      .join(b.select(col("ok"), col("pid").as("bb")), "ok")
+      .filter(col("a") =!= col("bb"))
+      .groupBy(col("a"), col("bb")).agg(count(lit(1)).as("cab"))
+
+  private val basketIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String, String)]()
+
+  /** The standing basket index, built ONCE per (JVM, dataset): pair
+    * counts kept UNFILTERED (min-support is applied after the merge —
+    * an index that pre-filtered would silently lose rules that cross
+    * the threshold only with delivery mass), item counts, and the
+    * basket-count scalar, each a committed snapshot table.
+    */
+  private[graft] def basketIndex(
+      s: org.apache.spark.sql.SparkSession, d: String): (String, String, String) =
+    basketIndexCache.computeIfAbsent(d, _ => {
+      val b90 = baskets(s, d)
+        .filter(graft.functions.TextFns.h60(col("ok").cast("string")) % 100 < 90)
+        .distinct().cache()
+      val pairDir = graft.Scratch.fresh("bkp_")
+      val itemDir = graft.Scratch.fresh("bki_")
+      val nDir = graft.Scratch.fresh("bkn_")
+      Snapshots.commit(pairCounts(b90), pairDir, replace = true)
+      Snapshots.commit(
+        b90.groupBy(col("pid")).agg(count(lit(1)).as("c")), itemDir, replace = true)
+      Snapshots.commit(
+        b90.agg(countDistinct(col("ok")).as("n_orders")), nDir, replace = true)
+      b90.unpersist()
+      (pairDir, itemDir, nDir)
+    })
+
+  private def incrementalBasketRules(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val (pairDir, itemDir, nDir) = basketIndex(s, d)
+    // ---- serving side: everything below reads the PINNED index;
+    // only the delivery bucket scans the fact
+    val pair90 = Snapshots.read(s, pairDir)
+    val item90 = Snapshots.read(s, itemDir)
+    val n90 = Snapshots.read(s, nDir)
+    val bd = baskets(s, d)
+      .filter(graft.functions.TextFns.h60(col("ok").cast("string")) % 100 >= 90)
+      .distinct().cache()
+    val pairM = pair90.select(col("a"), col("bb"), col("cab").as("c0"))
+      .join(pairCounts(bd).select(col("a"), col("bb"), col("cab").as("c1")),
+        Seq("a", "bb"), "full_outer")
+      .select(col("a"), col("bb"),
+        (coalesce(col("c0"), lit(0L)) + coalesce(col("c1"), lit(0L))).as("cab"),
+        coalesce(col("c0"), lit(0L)).as("cab_base"))
+      .filter(col("cab") >= 3)
+    val itemM = item90.select(col("pid"), col("c").as("c0"))
+      .join(bd.groupBy(col("pid")).agg(count(lit(1)).as("c1")), Seq("pid"), "full_outer")
+      .select(col("pid"),
+        (coalesce(col("c0"), lit(0L)) + coalesce(col("c1"), lit(0L))).as("c"))
+    // an order lives whole in one bucket, so the merged basket count
+    // is a plain sum of the two scalars
+    val nRow = n90.select(col("n_orders").as("n0"))
+      .crossJoin(bd.agg(countDistinct(col("ok")).as("n1")))
+      .select((col("n0") + col("n1")).as("n_orders"))
+    pairM
+      .join(broadcast(itemM.select(col("pid").as("a"), col("c").as("ca"))), "a")
+      .join(broadcast(itemM.select(col("pid").as("bb"), col("c").as("cb"))), "bb")
+      .crossJoin(broadcast(nRow))
+      .select(
+        col("a").as("antecedent"), col("bb").as("consequent"),
+        col("cab").as("n_baskets"), col("cab_base").as("n_base"),
+        expr("(CAST(cab AS DECIMAL(38,0)) * 1000000) div n_orders").as("support_micro"),
+        expr("(CAST(cab AS DECIMAL(38,0)) * 1000000) div ca").as("confidence_micro"),
+        expr("(CAST(cab AS DECIMAL(38,0)) * n_orders * 1000000) div (CAST(ca AS DECIMAL(38,0)) * cb)")
+          .as("lift_micro"))
+      .orderBy(col("lift_micro").desc, col("antecedent"), col("consequent"))
+      .limit(50)
+  }
+
+  /** Oracle: the merged statistics equal a full-corpus recompute (the
+    * invariant BasketSpec also pins against q161), so the oracle is
+    * q161's statement plus the base-bucket pair counts joined in for
+    * cab_base — the split replayed with the same md5 bucketing.
+    */
+  // lazy: referenced from `all`, which initializes first
+  private lazy val incrementalBasketRulesSql: String = {
+    val h = graft.functions.TextFns.Sql.h60("CAST(ok AS VARCHAR)")
+    s"""
+    WITH b AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pid FROM lineitem),
+    b90 AS MATERIALIZED (SELECT * FROM b WHERE ($h % 100) < 90),
+    p90 AS MATERIALIZED (
+      SELECT x.pid AS a, y.pid AS bb, CAST(COUNT(*) AS BIGINT) AS cab
+      FROM b90 x JOIN b90 y ON x.ok = y.ok
+      WHERE x.pid <> y.pid GROUP BY 1, 2),
+    n AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_orders FROM b),
+    item AS (SELECT pid, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY 1),
+    pair AS (SELECT x.pid AS a, y.pid AS bb, CAST(COUNT(*) AS BIGINT) AS cab
+             FROM b x JOIN b y ON x.ok = y.ok
+             WHERE x.pid <> y.pid GROUP BY 1, 2
+             HAVING COUNT(*) >= 3)
+    SELECT p.a AS antecedent, p.bb AS consequent, p.cab AS n_baskets,
+           CAST(COALESCE(p90.cab, 0) AS BIGINT) AS n_base,
+           CAST((CAST(p.cab AS HUGEINT) * 1000000) // n.n_orders AS BIGINT) AS support_micro,
+           CAST((CAST(p.cab AS HUGEINT) * 1000000) // ia.c AS BIGINT) AS confidence_micro,
+           CAST((CAST(p.cab AS HUGEINT) * n.n_orders * 1000000)
+                // (CAST(ia.c AS HUGEINT) * ib.c) AS BIGINT) AS lift_micro
+    FROM pair p
+    LEFT JOIN p90 ON p.a = p90.a AND p.bb = p90.bb
+    JOIN item ia ON p.a = ia.pid
+    JOIN item ib ON p.bb = ib.pid
+    CROSS JOIN n
+    ORDER BY lift_micro DESC, antecedent, consequent
+    LIMIT 50"""
+  }
 }

@@ -47,6 +47,32 @@ class BasketSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q162 incremental rules equal the q161 batch recompute column-for-column") {
+    val d = sf("sf0.001")
+    // orders live whole in one md5 bucket, so index + delivery merge
+    // must reproduce the full-corpus statistics EXACTLY — the same
+    // invariant the delivery family pins for dedup/BM25/PageRank
+    val inc = SparkEntry.queries("q162_incremental_basket_rules")(spark, d).collect()
+    val batch = SparkEntry.queries("q161_basket_rules")(spark, d).collect()
+    assert(inc.length == batch.length && inc.nonEmpty)
+    val incStripped = inc.map(r => (
+      r.getAs[Long]("antecedent"), r.getAs[Long]("consequent"), r.getAs[Long]("n_baskets"),
+      r.getAs[Long]("support_micro"), r.getAs[Long]("confidence_micro"),
+      r.getAs[Long]("lift_micro"))).toSeq
+    val batchT = batch.map(r => (
+      r.getAs[Long]("antecedent"), r.getAs[Long]("consequent"), r.getAs[Long]("n_baskets"),
+      r.getAs[Long]("support_micro"), r.getAs[Long]("confidence_micro"),
+      r.getAs[Long]("lift_micro"))).toSeq
+    assert(incStripped == batchT, "incremental must equal batch, order included")
+    // n_base is a real decomposition: base mass never exceeds the
+    // merged count, and strictly-new rules are visible as n_base = 0
+    inc.foreach { r =>
+      val base = r.getAs[Long]("n_base")
+      assert(base >= 0L && base <= r.getAs[Long]("n_baskets"))
+    }
+    spark.catalog.clearCache()
+  }
+
   private implicit class InRange(private val v: Long) {
     def in(lohi: (Long, Long)): Boolean = v >= lohi._1 && v <= lohi._2
   }

@@ -513,4 +513,28 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"q161 plans a cartesian product:\n$p")
     spark.catalog.clearCache()
   }
+
+  test("q162 serving plan: ONE fact scan (the delivery) — base stats come from the index") {
+    val d = sf("sf0.001")
+    // build the index first so the pin sees the SERVING plan (the
+    // memoized basketIndex makes every later execution delivery-only)
+    operators.Analytics.basketIndex(spark, d)
+    val p = SparkEntry.queries("q162_incremental_basket_rules")(spark, d)
+      .queryExecution.executedPlan.toString
+    // same discipline as the q159 pin: the cached delta subtree may
+    // print per reference, but every lineitem access must be the SAME
+    // delta-projected scan — a full-corpus rescan would surface as a
+    // second distinct FileScan pattern
+    val scans = p.linesIterator
+      .filter(l => l.contains("FileScan") && l.contains("lineitem"))
+      .map(l => l.substring(l.indexOf("FileScan")).replaceAll("#\\d+L?", "#x"))
+      .toSet
+    assert(scans.size == 1,
+      s"every lineitem access must be the one delivery scan, found ${scans.size}:\n${scans.mkString("\n")}")
+    val cols = "l_\\w+".r.findAllIn(scans.head.split("ReadSchema").last).toSet
+    assert(cols == Set("l_orderkey", "l_partkey"),
+      s"the delivery scan must read only (orderkey, partkey): $cols")
+    assert(!p.contains("CartesianProduct"), s"q162 plans a cartesian product:\n$p")
+    spark.catalog.clearCache()
+  }
 }
