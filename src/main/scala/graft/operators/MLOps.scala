@@ -1056,6 +1056,110 @@ object MLOps {
     fitted.join(broadcast(relabel), "raw_cluster").drop("raw_cluster", "fv")
   }
 
+  // ---------------------------------------------------------------
+  // q163: elbow sweep — the model-selection step the reference
+  // performs by eye (k=4 is asserted, never derived;
+  // data_clustering.ipynb cell 21 / LSTM_features_learning.ipynb
+  // cell 22). For k = 2..6 run the replayable fixed-iteration Lloyd
+  // (the q56/q148 recipe) from the k lowest-part_id z-rows (q148's
+  // data-derived seed policy — generalizes to any k, unlike q56's
+  // fixed k=4 literals) and report each cluster's EXACT within-
+  // cluster sum of squares: z values in integer micro-units, WSS via
+  // the sufficient-statistics identity Σ‖x−mean‖² = Σx² − (Σx)²/n
+  // per feature, the cross-term n·Σx² − (Σx)² computed in
+  // DECIMAL(38,0)/HUGEINT (counts × Σx² overflows int64 at corpus
+  // scale), divided ONCE with integer div — no doubles anywhere, so
+  // the elbow curve is engine-exact. Scale shape: per k,
+  // LloydIters+1 passes over the tiny z-matrix against a broadcast
+  // 1-row centroid frame (the distributed-Lloyd posture: centroids
+  // are k·dim scalars however large the corpus), one hash aggregate
+  // for the stats.
+  // ---------------------------------------------------------------
+
+  private[graft] val ElbowKs: Range = 2 to 6
+
+  private val Dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+
+  /** The labeled z-matrix for one sweep entry — the sweep's internals
+    * exposed so KMeansSpec can recompute the WSS stats independently
+    * from the SAME assignment.
+    */
+  private[graft] def elbowLabeledForTest(s: SparkSession, d: String, k: Int): DataFrame = {
+    val zFeats = MatrixFeatures.map(f => s"z_$f")
+    elbowLabeled(zscored(s, d).localCheckpoint(true), zFeats, k)
+  }
+
+  private def elbowLabeled(zs: DataFrame, zFeats: Seq[String], k: Int): DataFrame = {
+    val seeds = zs.orderBy(col("part_id")).limit(k)
+      .withColumn("rn", row_number().over(Window.orderBy(col("part_id"))))
+    val cent0Aggs = (0 until k).flatMap(c => zFeats.map(f =>
+      max(when(col("rn") === c + 1, col(f))).as(s"c${c}_$f")))
+    val cent0 = seeds.groupBy().agg(cent0Aggs.head, cent0Aggs.tail: _*)
+    lloydAssignFrom(zs.sparkSession, zs, zFeats, cent0, k, LloydIters)
+  }
+
+  private[graft] def elbowSweep(s: SparkSession, d: String): DataFrame = {
+    val zFeats = MatrixFeatures.map(f => s"z_$f")
+    val zs = zscored(s, d).localCheckpoint(true)
+    val perK = ElbowKs.map { k =>
+      val labeled = elbowLabeled(zs, zFeats, k)
+        .select(col("cluster") +:
+          zFeats.map(f => round(col(f) * 1000000).cast("long").as(s"i_$f")): _*)
+      val aggs = count(lit(1)).as("n") +: zFeats.flatMap(f => Seq(
+        sum(col(s"i_$f").cast(Dec38)).as(s"s1_$f"),
+        // zi² is per-row long-safe (|z| ≤ ~2·10³ would be needed to
+        // overflow); the SUM is where corpus scale lives → decimal
+        sum((col(s"i_$f") * col(s"i_$f")).cast(Dec38)).as(s"s2_$f")))
+      val num = zFeats.map(f =>
+        s"(CAST(n AS DECIMAL(38,0)) * s2_$f - s1_$f * s1_$f)").mkString(" + ")
+      labeled.groupBy(col("cluster"))
+        .agg(aggs.head, aggs.tail: _*)
+        .select(
+          lit(k).cast(IntegerType).as("k"), col("cluster"),
+          col("n").as("n_parts"),
+          expr(s"($num) div (CAST(n AS DECIMAL(38,0)) * 1000000)").as("wss_micro"))
+    }
+    perK.reduce(_.unionByName(_)).orderBy(col("k"), col("cluster"))
+  }
+
+  /** Oracle: replays every k's seed + training chain CTE-for-CTE
+    * ([[lloydSqlCtes]], the q56/q148 machinery). The z-matrix and the
+    * per-k seeds are `AS MATERIALIZED` — five chains each reference
+    * the source multiply per round, the inlining hazard class the
+    * k-core oracle documented.
+    */
+  private lazy val elbowSweepSql: String = {
+    val zFeats = MatrixFeatures.map(f => s"z_$f")
+    val chains = ElbowKs.map { k =>
+      val c0 = s"""w${k}seed AS MATERIALIZED (
+           SELECT *, CAST(row_number() OVER (ORDER BY part_id) AS INT) AS rn
+           FROM zsm ORDER BY part_id LIMIT $k),
+    w${k}c0 AS MATERIALIZED (SELECT ${(0 until k).flatMap(c => zFeats.map(f =>
+        s"MAX(CASE WHEN rn = ${c + 1} THEN $f END) AS c${c}_$f")).mkString(",\n             ")}
+           FROM w${k}seed)"""
+      lloydSqlCtes(s"w$k", "zsm", zFeats, k, LloydIters, c0)
+    }
+    def zi(f: String) = s"CAST(ROUND($f * 1000000) AS BIGINT)"
+    val num = zFeats.map(f =>
+      s"(CAST(COUNT(*) AS HUGEINT) * SUM(${zi(f)} * ${zi(f)}) - SUM(${zi(f)}) * SUM(${zi(f)}))")
+      .mkString("\n               + ")
+    val sels = ElbowKs.map { k =>
+      s"""SELECT CAST($k AS INT) AS k, cluster,
+               CAST(COUNT(*) AS BIGINT) AS n_parts,
+               CAST(($num)
+                    // (CAST(COUNT(*) AS HUGEINT) * 1000000) AS BIGINT) AS wss_micro
+        FROM w${k}labF GROUP BY cluster"""
+    }
+    s"""
+    WITH $featuresSql,
+    $zscoredSql,
+    zsm AS MATERIALIZED (SELECT * FROM zs),
+    ${chains.mkString(",\n    ")}
+    SELECT * FROM (
+      ${sels.mkString("\n      UNION ALL\n      ")}
+    ) ORDER BY k, cluster"""
+  }
+
   val all: Seq[Q] = Seq(
     Q(
       "q54_product_features",
@@ -1415,6 +1519,15 @@ object MLOps {
                  / CAST(COUNT(*) AS DOUBLE) AS centroid
         FROM e GROUP BY label, dim
         ORDER BY label, dim""")
-    )
+    ),
+
+    // Model selection for the product-mix clustering: the elbow curve
+    // (see [[elbowSweep]] — exact integer WSS per (k, cluster) for
+    // k = 2..6, the step the reference's notebook skips by asserting
+    // k=4)
+    Q(
+      "q163_elbow_wss",
+      (s, d) => elbowSweep(s, d),
+      Some(elbowSweepSql))
   )
 }

@@ -93,4 +93,38 @@ class KMeansSpec extends SparkSpec {
     assert(sizes.map(_._2).toSeq == sizes.map(_._2).sortBy(-_).toSeq,
       "canonical ids must be ordered by descending cluster size")
   }
+
+  test("q163 elbow: exact WSS decomposition, full partition per k, BigInt recompute") {
+    val d = sf("sf0.001")
+    val rows = SparkEntry.queries("q163_elbow_wss")(spark, d).collect()
+    val ks = MLOps.ElbowKs.toSeq
+    // one row per realized cluster; every k partitions the SAME z-matrix
+    val perK = rows.groupBy(_.getAs[Int]("k"))
+    assert(perK.keySet == ks.toSet)
+    val totals = perK.view.mapValues(_.map(_.getAs[Long]("n_parts")).sum).toMap
+    assert(totals.values.toSet.size == 1,
+      s"every k must partition the same row set: $totals")
+    rows.foreach(r => assert(r.getAs[Long]("wss_micro") >= 0L))
+    // independent recomputation for k=3: label via the same Lloyd core,
+    // then rebuild each cluster's WSS from raw micro-z values in BigInt
+    // (the oracle pins engine parity; this pins the STATS themselves)
+    val feats = Seq("profit", "profit_margin", "average_unit_price",
+      "avg_quantity_sold", "nunique_customer", "customer_loyalty",
+      "revenue_growth", "selling_duration").map(f => s"z_$f")
+    val labeled = MLOps.elbowLabeledForTest(spark, d, 3)
+      .select(col("cluster") +: feats.map(f => round(col(f) * 1000000).cast("long").as(f)): _*)
+      .collect()
+    val expected = labeled.groupBy(_.getAs[Int]("cluster")).map { case (c, rs) =>
+      val n = BigInt(rs.length)
+      val wss = feats.map { f =>
+        val xs = rs.map(r => BigInt(r.getAs[Long](f)))
+        n * xs.map(x => x * x).sum - xs.sum * xs.sum
+      }.sum
+      c -> (rs.length.toLong, (wss / (n * 1000000)).toLong)
+    }
+    val got = perK(3).map(r =>
+      r.getAs[Int]("cluster") -> (r.getAs[Long]("n_parts"), r.getAs[Long]("wss_micro"))).toMap
+    assert(got == expected, s"k=3 WSS diverges:\n got=$got\n exp=$expected")
+    spark.catalog.clearCache()
+  }
 }
