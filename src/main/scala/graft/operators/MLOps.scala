@@ -1160,6 +1160,124 @@ object MLOps {
     ) ORDER BY k, cluster"""
   }
 
+  // ---------------------------------------------------------------
+  // q164: Calinski-Harabasz validity index per k — the elbow's
+  // (q163) separation-aware complement: CH(k) = (B/(k−1))/(W/(n−k))
+  // with B = TSS − W, computed from the SAME per-cluster sufficient
+  // statistics and the SAME labeled assignments as q163. Every
+  // statistic is the deterministic micro-floored form (per-cluster
+  // n·Σx² − (Σx)² div (n·1e6), exactly q163's W), so TSS, W, B and
+  // the final ratio are engine-exact integers — the floor slack is
+  // < k+1 micro-units and identical in both engines. The k
+  // maximizing ch_micro is the index's model choice.
+  // ---------------------------------------------------------------
+
+  private[graft] def chIndex(s: SparkSession, d: String): DataFrame = {
+    val zFeats = MatrixFeatures.map(f => s"z_$f")
+    val zs = zscored(s, d).localCheckpoint(true)
+    val perK = ElbowKs.map { k =>
+      val labeled = elbowLabeled(zs, zFeats, k)
+        .select(col("cluster") +:
+          zFeats.map(f => round(col(f) * 1000000).cast("long").as(s"i_$f")): _*)
+      val aggs = count(lit(1)).as("n") +: zFeats.flatMap(f => Seq(
+        sum(col(s"i_$f").cast(Dec38)).as(s"s1_$f"),
+        sum((col(s"i_$f") * col(s"i_$f")).cast(Dec38)).as(s"s2_$f")))
+      val num = zFeats.map(f =>
+        s"(CAST(n AS DECIMAL(38,0)) * s2_$f - s1_$f * s1_$f)").mkString(" + ")
+      val pcCols = Seq(col("n"),
+        expr(s"($num) div (CAST(n AS DECIMAL(38,0)) * 1000000)").as("w_micro")) ++
+        zFeats.map(f => col(s"s1_$f")) ++ zFeats.map(f => col(s"s2_$f"))
+      val perCluster = labeled.groupBy(col("cluster"))
+        .agg(aggs.head, aggs.tail: _*)
+        .select(pcCols: _*)
+      // TSS from the GLOBAL sufficient stats (the k=1 "clustering"),
+      // W as the sum of the per-cluster micro floors — ≤6 rows here
+      val tssNum = zFeats.map(f =>
+        s"(CAST(n AS DECIMAL(38,0)) * ts2_$f - ts1_$f * ts1_$f)").mkString(" + ")
+      perCluster.agg(
+        (sum(col("n").cast(Dec38))).as("n"),
+        sum(col("w_micro")).as("w_micro") +:
+          zFeats.flatMap(f => Seq(
+            sum(col(s"s1_$f")).as(s"ts1_$f"),
+            sum(col(s"s2_$f")).as(s"ts2_$f"))): _*)
+        .select(
+          lit(k).cast(IntegerType).as("k"),
+          col("n").cast("long").as("n_parts"),
+          expr(s"($tssNum) div (CAST(n AS DECIMAL(38,0)) * 1000000)").cast("long")
+            .as("tss_micro"),
+          col("w_micro").cast("long").as("w_micro"))
+        .select(col("k"), col("n_parts"), col("tss_micro"), col("w_micro"),
+          (col("tss_micro") - col("w_micro")).as("b_micro"),
+          expr(s"""(CAST(tss_micro - w_micro AS DECIMAL(38,0))
+                    * (n_parts - $k) * 1000000)
+                   div (CAST(w_micro AS DECIMAL(38,0)) * ${k - 1})""").as("ch_micro"))
+    }
+    perK.reduce(_.unionByName(_)).orderBy(col("k"))
+  }
+
+  /** Oracle: the q163 chains verbatim, finished with the per-cluster →
+    * per-k two-stage rollup above (the per-cluster micro floors summed,
+    * TSS from the global sums).
+    */
+  private lazy val chIndexSql: String = {
+    val zFeats = MatrixFeatures.map(f => s"z_$f")
+    val chains = ElbowKs.map { k =>
+      val c0 = s"""x${k}seed AS MATERIALIZED (
+           SELECT *, CAST(row_number() OVER (ORDER BY part_id) AS INT) AS rn
+           FROM zsm ORDER BY part_id LIMIT $k),
+    x${k}c0 AS MATERIALIZED (SELECT ${(0 until k).flatMap(c => zFeats.map(f =>
+        s"MAX(CASE WHEN rn = ${c + 1} THEN $f END) AS c${c}_$f")).mkString(",\n             ")}
+           FROM x${k}seed)"""
+      lloydSqlCtes(s"x$k", "zsm", zFeats, k, LloydIters, c0)
+    }
+    def zi(f: String) = s"CAST(ROUND($f * 1000000) AS BIGINT)"
+    val clusterStats = zFeats.flatMap(f => Seq(
+      s"SUM(${zi(f)}) AS s1_$f",
+      s"SUM(${zi(f)} * ${zi(f)}) AS s2_$f")).mkString(",\n               ")
+    val wNum = zFeats.map(f =>
+      s"(CAST(n AS HUGEINT) * s2_$f - s1_$f * s1_$f)").mkString(" + ")
+    val tssNum = zFeats.map(f =>
+      s"(CAST(n AS HUGEINT) * ts2_$f - ts1_$f * ts1_$f)").mkString(" + ")
+    val tSums = zFeats.flatMap(f => Seq(
+      s"SUM(s1_$f) AS ts1_$f", s"SUM(s2_$f) AS ts2_$f")).mkString(",\n               ")
+    // per-cluster stats → per-cluster micro floor → per-k rollup,
+    // one CTE trio per k
+    val statCtes = ElbowKs.map { k =>
+      s"""x${k}cs AS (
+        SELECT cluster, COUNT(*) AS n,
+               $clusterStats
+        FROM x${k}labF GROUP BY cluster),
+    x${k}w AS (
+        SELECT cluster, n, ($wNum) // (CAST(n AS HUGEINT) * 1000000) AS w_micro,
+               ${zFeats.flatMap(f => Seq(s"s1_$f", s"s2_$f")).mkString(", ")}
+        FROM x${k}cs),
+    x${k}roll AS (
+        SELECT SUM(n) AS n, SUM(w_micro) AS w_micro, $tSums
+        FROM x${k}w),
+    x${k}fin AS (
+        SELECT CAST($k AS INT) AS k, CAST(n AS BIGINT) AS n_parts,
+               CAST(($tssNum) // (CAST(n AS HUGEINT) * 1000000) AS BIGINT) AS tss_micro,
+               CAST(w_micro AS BIGINT) AS w_micro
+        FROM x${k}roll)"""
+    }
+    val finSels = ElbowKs.map { k =>
+      s"""SELECT k, n_parts, tss_micro, w_micro,
+               tss_micro - w_micro AS b_micro,
+               CAST((CAST(tss_micro - w_micro AS HUGEINT) * (n_parts - $k) * 1000000)
+                    // (CAST(w_micro AS HUGEINT) * ${k - 1}) AS BIGINT) AS ch_micro
+        FROM x${k}fin"""
+    }
+    s"""
+    WITH $featuresSql,
+    $zscoredSql,
+    zsm AS MATERIALIZED (SELECT * FROM zs),
+    ${chains.mkString(",\n    ")},
+    ${statCtes.mkString(",\n    ")}
+    SELECT * FROM (
+      ${finSels.mkString("\n      UNION ALL\n      ")}
+    ) ORDER BY k"""
+  }
+
   val all: Seq[Q] = Seq(
     Q(
       "q54_product_features",
@@ -1528,6 +1646,14 @@ object MLOps {
     Q(
       "q163_elbow_wss",
       (s, d) => elbowSweep(s, d),
-      Some(elbowSweepSql))
+      Some(elbowSweepSql)),
+
+    // Calinski-Harabasz validity per k (see [[chIndex]]) — the
+    // separation-aware half of model selection; argmax(ch_micro) is
+    // the index's k choice
+    Q(
+      "q164_ch_index",
+      (s, d) => chIndex(s, d),
+      Some(chIndexSql))
   )
 }

@@ -127,4 +127,30 @@ class KMeansSpec extends SparkSpec {
     assert(got == expected, s"k=3 WSS diverges:\n got=$got\n exp=$expected")
     spark.catalog.clearCache()
   }
+
+  test("q164 CH index: TSS invariant, exact W/B decomposition, ties to q163's floors") {
+    val d = sf("sf0.001")
+    val ch = SparkEntry.queries("q164_ch_index")(spark, d).collect()
+      .map(r => r.getAs[Int]("k") -> r).toMap
+    val elbow = SparkEntry.queries("q163_elbow_wss")(spark, d).collect()
+    assert(ch.keySet == MLOps.ElbowKs.toSet)
+    // TSS is a property of the z-matrix alone — identical for every k
+    assert(ch.values.map(_.getAs[Long]("tss_micro")).toSet.size == 1)
+    ch.foreach { case (k, r) =>
+      val (tss, w, b) = (r.getAs[Long]("tss_micro"),
+        r.getAs[Long]("w_micro"), r.getAs[Long]("b_micro"))
+      assert(w + b == tss, s"k=$k: W + B must equal TSS exactly")
+      assert(w > 0L && b >= 0L)
+      // the same assignments and the same micro floors as the elbow:
+      // q164's W is exactly the sum of q163's per-cluster rows
+      val elbowW = elbow.filter(_.getAs[Int]("k") == k)
+        .map(_.getAs[Long]("wss_micro")).sum
+      assert(w == elbowW, s"k=$k: W diverges from q163's floors ($w vs $elbowW)")
+      // exact CH formula replay in BigInt
+      val n = r.getAs[Long]("n_parts")
+      val expCh = (BigInt(b) * (n - k) * 1000000 / (BigInt(w) * (k - 1))).toLong
+      assert(r.getAs[Long]("ch_micro") == expCh, s"k=$k: CH formula diverges")
+    }
+    spark.catalog.clearCache()
+  }
 }
