@@ -153,4 +153,70 @@ class KMeansSpec extends SparkSpec {
     }
     spark.catalog.clearCache()
   }
+
+  test("q165 incremental assign: delivery-only rows, frozen-model exact replay (BigInt)") {
+    val d = sf("sf0.001")
+    val out = SparkEntry.queries("q165_incremental_cluster_assign")(spark, d).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert((0 until MLOps.ServeK).contains(r.getAs[Int]("cluster")))
+      assert(r.getAs[Long]("dist2_micro") >= 0L)
+    }
+    // the pinned model: standing z-moments + fitted centroids
+    val (statsDir, centDir) = MLOps.clusterModel(spark, d)
+    val stats = operators.Snapshots.read(spark, statsDir).collect().head
+    val cent = operators.Snapshots.read(spark, centDir).collect().head
+    // the delivery universe: features filtered by part bucket — the
+    // output must cover EXACTLY the >= 90 bucket (so the model never
+    // saw these parts, and no delivery part is dropped)
+    val bucket = graft.functions.TextFns.h60(col("part_id").cast("string")) % 100
+    val fd = MLOps.features(spark, d).na.drop().filter(bucket >= 90).collect()
+    assert(out.map(_.getAs[Long]("part_id")).toSet ==
+      fd.map(_.getAs[Long]("part_id")).toSet,
+      "output must be exactly the delivery-bucket feature rows")
+    // plain-Scala replay of the serve: z-score with the FROZEN standing
+    // moments (never the delivery's own), argmin over the FROZEN
+    // centroids, integer distance in BigInt
+    val feats = Seq("profit", "profit_margin", "average_unit_price",
+      "avg_quantity_sold", "nunique_customer", "customer_loyalty",
+      "revenue_growth", "selling_duration")
+    val n = stats.getAs[Double]("n")
+    def num(r: org.apache.spark.sql.Row, c: String): Double =
+      r.getAs[Any](c) match {
+        case v: Double => v
+        case v: Long   => v.toDouble
+        case v: Int    => v.toDouble
+      }
+    def half(v: Double): Long =
+      BigDecimal(v).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val expected = fd.map { r =>
+      val zv = feats.map { c =>
+        val mean = stats.getAs[Double](s"sum_$c") / n
+        val meansq = stats.getAs[Double](s"sumsq_$c") / n
+        val std = math.sqrt(math.max(meansq - mean * mean, 0.0))
+        c -> BigDecimal((num(r, c) - mean) / std)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }.toMap
+      val dists = (0 until MLOps.ServeK).map(cl =>
+        feats.map { c =>
+          val dz = zv(c) - cent.getAs[Double](s"c${cl}_z_$c")
+          dz * dz
+        }.reduceLeft(_ + _))
+      val cl = dists.indexOf(dists.min)
+      val dist2 = feats.map { c =>
+        val dz = BigInt(half(zv(c) * 1000000)) -
+          BigInt(half(cent.getAs[Double](s"c${cl}_z_$c") * 1000000))
+        dz * dz
+      }.sum / 1000000
+      r.getAs[Long]("part_id") -> (cl, dist2.toLong)
+    }.toMap
+    val got = out.map(r => r.getAs[Long]("part_id") ->
+      (r.getAs[Int]("cluster"), r.getAs[Long]("dist2_micro"))).toMap
+    assert(got == expected, {
+      val diff = (got.keySet ++ expected.keySet)
+        .filter(k => got.get(k) != expected.get(k)).take(5)
+      s"frozen-model replay diverges on ${diff.map(k => (k, got.get(k), expected.get(k)))}"
+    })
+    spark.catalog.clearCache()
+  }
 }

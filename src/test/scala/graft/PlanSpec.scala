@@ -537,4 +537,29 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"q162 plans a cartesian product:\n$p")
     spark.catalog.clearCache()
   }
+
+  test("q165 serving plan: ONE fact scan (the delivery) — the model comes from the snapshot") {
+    val d = sf("sf0.001")
+    // train + commit the model first so the pin sees the SERVING plan
+    // (the memoized clusterModel makes every later execution
+    // delivery-only: frozen stats + frozen centroids read from parquet)
+    operators.MLOps.clusterModel(spark, d)
+    val p = SparkEntry.queries("q165_incremental_cluster_assign")(spark, d)
+      .queryExecution.executedPlan.toString
+    // q159/q162 discipline: every lineitem access must be the SAME
+    // delta-projected scan — a standing-corpus rescan (or a retrain)
+    // would surface as a second distinct FileScan pattern
+    val scans = p.linesIterator
+      .filter(l => l.contains("FileScan") && l.contains("lineitem"))
+      .map(l => l.substring(l.indexOf("FileScan")).replaceAll("#\\d+L?", "#x"))
+      .toSet
+    assert(scans.size == 1,
+      s"every lineitem access must be the one delivery scan, found ${scans.size}:\n${scans.mkString("\n")}")
+    val cols = "l_\\w+".r.findAllIn(scans.head.split("ReadSchema").last).toSet
+    assert(cols == Set("l_orderkey", "l_partkey", "l_extendedprice",
+      "l_discount", "l_quantity"),
+      s"the delivery scan must read only the five feature columns: $cols")
+    assert(!p.contains("CartesianProduct"), s"q165 plans a cartesian product:\n$p")
+    spark.catalog.clearCache()
+  }
 }
