@@ -1328,6 +1328,134 @@ object MLOps {
   }
 
   // ---------------------------------------------------------------
+  // q166: clustering stability as the exact-integer Adjusted Rand
+  // Index between adjacent-k model-selection candidates — the third
+  // leg of the selection story (q163 elbow = compactness, q164 CH =
+  // separation, q166 ARI = how much the PARTITION ITSELF reshuffles
+  // when k moves): a k whose neighbors agree (high ARI) is a stable
+  // choice; a cliff (low ARI) means the clustering is an artifact of
+  // k. ARI is a pure contingency-table statistic — every term is a
+  // pair count C(·,2) — so unlike its usual floating form it is
+  // computable EXACTLY: with S = Σij C(nij,2), a = Σi C(ai,2),
+  // b = Σj C(bj,2), N = C(n,2),
+  //   ARI = (2·N·S − 2·a·b) / (N·(a+b) − 2·a·b)
+  // (the (Index − Expected)/(Max − Expected) form multiplied through
+  // by 2N — all integers). The numerator CAN be negative (worse than
+  // chance), and Spark `div` ≡ DuckDB `//` only on positive operands,
+  // so ari_micro floors the ABSOLUTE value and reapplies the sign —
+  // truncation toward zero, identical in both engines. The (4,4)
+  // self-pair rides along as a live scale anchor (ARI ≡ 1e6).
+  // DECIMAL(38,0) bound: 2·N·S·1e6 ≤ 1e38 holds to n ≈ 1.2e8 parts —
+  // past that, rescale the micro factor (the catalog-entity frame, not
+  // the 100 TB fact, is what n counts).
+  // Scale shape: 3 trainings (TRAINING cost class, q163's shape), then
+  // one part-keyed join + a ≤k² contingency per pair — the heavy
+  // frames never leave the per-part key, the scalars broadcast.
+  // ---------------------------------------------------------------
+
+  private[graft] val AriPairs: Seq[(Int, Int)] = Seq((3, 4), (4, 4), (4, 5))
+
+  private def ariRow(la: DataFrame, lb: DataFrame, ka: Int, kb: Int): DataFrame = {
+    val cont = la.select(col("part_id"), col("cluster").as("ca"))
+      .join(lb.select(col("part_id"), col("cluster").as("cb")), "part_id")
+      .groupBy(col("ca"), col("cb")).agg(count(lit(1)).as("nij"))
+      .cache() // ≤ ka·kb rows, three consumers (S+n, row marginal, col marginal)
+    val sn = cont.agg(
+      expr("SUM((CAST(nij AS DECIMAL(38,0)) * (nij - 1)) div 2)").as("s"),
+      sum(col("nij")).as("nn"))
+    val am = cont.groupBy(col("ca")).agg(sum(col("nij")).as("ai"))
+      .agg(expr("SUM((CAST(ai AS DECIMAL(38,0)) * (ai - 1)) div 2)").as("a"))
+    val bm = cont.groupBy(col("cb")).agg(sum(col("nij")).as("bi"))
+      .agg(expr("SUM((CAST(bi AS DECIMAL(38,0)) * (bi - 1)) div 2)").as("b"))
+    // Spark's `div` returns LONG whatever the operands, so s/a/b/c2n
+    // land as longs — every cross product below re-widens to
+    // DECIMAL(38,0) (a·b alone passes int64 at ~2e5 parts)
+    sn.crossJoin(am).crossJoin(bm)
+      .select(col("nn"), col("s"), col("a"), col("b"),
+        expr("(CAST(nn AS DECIMAL(38,0)) * (nn - 1)) div 2").as("c2n"))
+      .select(col("nn"), col("s"), col("a"), col("b"),
+        expr("2 * CAST(c2n AS DECIMAL(38,0)) * s - 2 * CAST(a AS DECIMAL(38,0)) * b").as("num"),
+        expr("CAST(c2n AS DECIMAL(38,0)) * (a + b) - 2 * CAST(a AS DECIMAL(38,0)) * b").as("den"))
+      .select(
+        lit(ka).cast(IntegerType).as("k_a"),
+        lit(kb).cast(IntegerType).as("k_b"),
+        col("nn").cast("long").as("n_parts"),
+        col("s").cast("long").as("s_pairs"),
+        col("a").cast("long").as("a_pairs"),
+        col("b").cast("long").as("b_pairs"),
+        expr("""CASE WHEN num >= 0 THEN (num * 1000000) div den
+                     ELSE -(((- num) * 1000000) div den) END""")
+          .cast("long").as("ari_micro"))
+  }
+
+  private[graft] def ariSweep(s: SparkSession, d: String): DataFrame = {
+    val zFeats = MatrixFeatures.map(f => s"z_$f")
+    val zs = zscored(s, d).localCheckpoint(true)
+    val lab = AriPairs.flatMap(p => Seq(p._1, p._2)).distinct.map(k =>
+      k -> elbowLabeled(zs, zFeats, k).select(col("part_id"), col("cluster"))
+        .localCheckpoint(true)).toMap
+    AriPairs.map { case (ka, kb) => ariRow(lab(ka), lab(kb), ka, kb) }
+      .reduce(_.unionByName(_)).orderBy(col("k_a"), col("k_b"))
+  }
+
+  /** Oracle: the k = 3/4/5 training chains replayed CTE-for-CTE (the
+    * q163 machinery, prefix `r`), then each pair's contingency,
+    * marginals and the exact integer ARI — contingencies materialized
+    * (three consumers each).
+    */
+  private lazy val ariSweepSql: String = {
+    val zFeats = MatrixFeatures.map(f => s"z_$f")
+    val ks = AriPairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val chains = ks.map { k =>
+      val c0 = s"""r${k}seed AS MATERIALIZED (
+           SELECT *, CAST(row_number() OVER (ORDER BY part_id) AS INT) AS rn
+           FROM zsm ORDER BY part_id LIMIT $k),
+    r${k}c0 AS MATERIALIZED (SELECT ${(0 until k).flatMap(c => zFeats.map(f =>
+        s"MAX(CASE WHEN rn = ${c + 1} THEN $f END) AS c${c}_$f")).mkString(",\n             ")}
+           FROM r${k}seed)"""
+      lloydSqlCtes(s"r$k", "zsm", zFeats, k, LloydIters, c0)
+    }
+    val labs = ks.map(k =>
+      s"rl$k AS MATERIALIZED (SELECT part_id, cluster FROM r${k}labF)")
+    val pairCtes = AriPairs.map { case (ka, kb) =>
+      val p = s"p$ka$kb"
+      s"""${p}ct AS MATERIALIZED (
+        SELECT a.cluster AS ca, b.cluster AS cb, CAST(COUNT(*) AS BIGINT) AS nij
+        FROM rl$ka a JOIN rl$kb b ON a.part_id = b.part_id GROUP BY 1, 2),
+    ${p}sn AS (SELECT SUM((CAST(nij AS HUGEINT) * (nij - 1)) // 2) AS s,
+                      SUM(nij) AS nn FROM ${p}ct),
+    ${p}a AS (SELECT SUM((CAST(ai AS HUGEINT) * (ai - 1)) // 2) AS a
+              FROM (SELECT SUM(nij) AS ai FROM ${p}ct GROUP BY ca)),
+    ${p}b AS (SELECT SUM((CAST(bi AS HUGEINT) * (bi - 1)) // 2) AS b
+              FROM (SELECT SUM(nij) AS bi FROM ${p}ct GROUP BY cb)),
+    ${p}f AS (
+        SELECT CAST($ka AS INT) AS k_a, CAST($kb AS INT) AS k_b,
+               CAST(nn AS BIGINT) AS n_parts, CAST(s AS BIGINT) AS s_pairs,
+               CAST(a AS BIGINT) AS a_pairs, CAST(b AS BIGINT) AS b_pairs,
+               CAST(CASE WHEN num >= 0 THEN (num * 1000000) // den
+                         ELSE -(((- num) * 1000000) // den) END AS BIGINT) AS ari_micro
+        FROM (
+          SELECT nn, s, a, b,
+                 2 * c2n * s - 2 * a * b AS num,
+                 c2n * (a + b) - 2 * a * b AS den
+          FROM (
+            SELECT nn, s, a, b, (CAST(nn AS HUGEINT) * (nn - 1)) // 2 AS c2n
+            FROM ${p}sn CROSS JOIN ${p}a CROSS JOIN ${p}b)))"""
+    }
+    val sels = AriPairs.map { case (ka, kb) => s"SELECT * FROM p$ka${kb}f" }
+    s"""
+    WITH $featuresSql,
+    $zscoredSql,
+    zsm AS MATERIALIZED (SELECT * FROM zs),
+    ${chains.mkString(",\n    ")},
+    ${labs.mkString(",\n    ")},
+    ${pairCtes.mkString(",\n    ")}
+    SELECT * FROM (
+      ${sels.mkString("\n      UNION ALL\n      ")}
+    ) ORDER BY k_a, k_b"""
+  }
+
+  // ---------------------------------------------------------------
   // q165: delivery-time incremental cluster assignment — the
   // CLUSTERING member of the incremental delivery family (q119 dedup
   // / q130 neardup / q144 spans / q155 BM25 / q159 PageRank / q162
@@ -1854,6 +1982,14 @@ object MLOps {
     Q(
       "q165_incremental_cluster_assign",
       (s, d) => incrementalAssign(s, d),
-      Some(incrementalAssignSql))
+      Some(incrementalAssignSql)),
+
+    // Clustering stability (see [[ariSweep]]): exact-integer Adjusted
+    // Rand Index between adjacent-k candidates, with the (4,4)
+    // self-pair as a live ARI ≡ 1e6 anchor
+    Q(
+      "q166_ari_stability",
+      (s, d) => ariSweep(s, d),
+      Some(ariSweepSql))
   )
 }

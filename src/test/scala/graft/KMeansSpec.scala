@@ -154,6 +154,51 @@ class KMeansSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q166 ARI: self-pair anchor = 1e6, BigInt contingency replay, bounds") {
+    val d = sf("sf0.001")
+    val rows = SparkEntry.queries("q166_ari_stability")(spark, d).collect()
+    assert(rows.map(r => (r.getAs[Int]("k_a"), r.getAs[Int]("k_b"))).toSeq ==
+      MLOps.AriPairs)
+    // ARI never exceeds 1; the self-pair is EXACTLY 1e6 (the live
+    // scale anchor: identical partitions agree perfectly)
+    rows.foreach(r => assert(r.getAs[Long]("ari_micro") <= 1000000L))
+    val self = rows.find(r =>
+      r.getAs[Int]("k_a") == 4 && r.getAs[Int]("k_b") == 4).get
+    assert(self.getAs[Long]("ari_micro") == 1000000L)
+    assert(self.getAs[Long]("s_pairs") == self.getAs[Long]("a_pairs") &&
+      self.getAs[Long]("a_pairs") == self.getAs[Long]("b_pairs"))
+    // independent BigInt replay of the (3,4) row from the SAME
+    // labelings (the oracle pins engine parity; this pins the math)
+    def labelsOf(k: Int): Map[Long, Int] =
+      MLOps.elbowLabeledForTest(spark, d, k)
+        .select(col("part_id"), col("cluster")).collect()
+        .map(r => r.getAs[Long]("part_id") -> r.getAs[Int]("cluster")).toMap
+    val la = labelsOf(3)
+    val lb = labelsOf(4)
+    assert(la.keySet == lb.keySet)
+    val cont = la.keys.toSeq.map(p => (la(p), lb(p)))
+      .groupBy(identity).view.mapValues(xs => BigInt(xs.size)).toMap
+    def c2(x: BigInt): BigInt = x * (x - 1) / 2
+    val sP = cont.values.map(c2).sum
+    val aP = cont.toSeq.groupBy(_._1._1).values
+      .map(xs => c2(xs.map(_._2).sum)).sum
+    val bP = cont.toSeq.groupBy(_._1._2).values
+      .map(xs => c2(xs.map(_._2).sum)).sum
+    val c2n = c2(BigInt(la.size))
+    val num = 2 * c2n * sP - 2 * aP * bP
+    val den = c2n * (aP + bP) - 2 * aP * bP
+    val ari = if (num >= 0) num * 1000000 / den else -((-num) * 1000000 / den)
+    val r34 = rows.find(r =>
+      r.getAs[Int]("k_a") == 3 && r.getAs[Int]("k_b") == 4).get
+    assert(r34.getAs[Long]("n_parts") == la.size.toLong)
+    assert(r34.getAs[Long]("s_pairs") == sP.toLong)
+    assert(r34.getAs[Long]("a_pairs") == aP.toLong)
+    assert(r34.getAs[Long]("b_pairs") == bP.toLong)
+    assert(r34.getAs[Long]("ari_micro") == ari.toLong,
+      s"ARI replay diverges: got ${r34.getAs[Long]("ari_micro")}, expected $ari")
+    spark.catalog.clearCache()
+  }
+
   test("q165 incremental assign: delivery-only rows, frozen-model exact replay (BigInt)") {
     val d = sf("sf0.001")
     val out = SparkEntry.queries("q165_incremental_cluster_assign")(spark, d).collect()
