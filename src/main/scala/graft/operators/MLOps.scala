@@ -1147,11 +1147,42 @@ object MLOps {
     lloydAssignFrom(zs.sparkSession, zs, zFeats, cent0, k, LloydIters)
   }
 
+  /** Model-selection assignments for every candidate k, trained ONCE
+    * per (JVM, dataset) and persisted as a k-partitioned scratch
+    * table shared by the whole selection family (q163 elbow, q164
+    * CH, q166 ARI) — the production shape: a sweep trains each
+    * candidate once, then every validity index reads the SAME
+    * persisted assignment, instead of each index re-running ~30
+    * driver-sequenced Lloyd rounds (the [[graft.operators.Graph]]
+    * co-purchase edge table precedent). Parquet round-trips the
+    * double z coordinates bit-exactly, so downstream statistics are
+    * unchanged; per-k partition pruning keeps a consumer that wants
+    * a subset of ks (q166) from scanning the rest.
+    */
+  private val selectionCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def selectionLabels(s: SparkSession, d: String): DataFrame = {
+    val path = selectionCache.computeIfAbsent(d, _ => {
+      val p = graft.Scratch.fresh("sel_")
+      val zFeats = MatrixFeatures.map(f => s"z_$f")
+      val zs = zscored(s, d).localCheckpoint(true)
+      ElbowKs.map(k => elbowLabeled(zs, zFeats, k)
+          .withColumn("k", lit(k).cast(IntegerType)))
+        .reduce(_.unionByName(_))
+        .write.partitionBy("k").parquet(p)
+      p
+    })
+    s.read.parquet(path)
+  }
+
+  private def labeledFor(s: SparkSession, d: String, k: Int): DataFrame =
+    selectionLabels(s, d).filter(col("k") === lit(k)).drop("k")
+
   private[graft] def elbowSweep(s: SparkSession, d: String): DataFrame = {
     val zFeats = MatrixFeatures.map(f => s"z_$f")
-    val zs = zscored(s, d).localCheckpoint(true)
     val perK = ElbowKs.map { k =>
-      val labeled = elbowLabeled(zs, zFeats, k)
+      val labeled = labeledFor(s, d, k)
         .select(col("cluster") +:
           zFeats.map(f => round(col(f) * 1000000).cast("long").as(s"i_$f")): _*)
       val aggs = count(lit(1)).as("n") +: zFeats.flatMap(f => Seq(
@@ -1223,9 +1254,8 @@ object MLOps {
 
   private[graft] def chIndex(s: SparkSession, d: String): DataFrame = {
     val zFeats = MatrixFeatures.map(f => s"z_$f")
-    val zs = zscored(s, d).localCheckpoint(true)
     val perK = ElbowKs.map { k =>
-      val labeled = elbowLabeled(zs, zFeats, k)
+      val labeled = labeledFor(s, d, k)
         .select(col("cluster") +:
           zFeats.map(f => round(col(f) * 1000000).cast("long").as(s"i_$f")): _*)
       val aggs = count(lit(1)).as("n") +: zFeats.flatMap(f => Seq(
@@ -1389,11 +1419,8 @@ object MLOps {
   }
 
   private[graft] def ariSweep(s: SparkSession, d: String): DataFrame = {
-    val zFeats = MatrixFeatures.map(f => s"z_$f")
-    val zs = zscored(s, d).localCheckpoint(true)
     val lab = AriPairs.flatMap(p => Seq(p._1, p._2)).distinct.map(k =>
-      k -> elbowLabeled(zs, zFeats, k).select(col("part_id"), col("cluster"))
-        .localCheckpoint(true)).toMap
+      k -> labeledFor(s, d, k).select(col("part_id"), col("cluster"))).toMap
     AriPairs.map { case (ka, kb) => ariRow(lab(ka), lab(kb), ka, kb) }
       .reduce(_.unionByName(_)).orderBy(col("k_a"), col("k_b"))
   }
