@@ -37,9 +37,12 @@ object Scratch {
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     if (java.nio.file.Files.exists(p)) {
-      java.nio.file.Files.walk(p)
-        .sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => { try java.nio.file.Files.deleteIfExists(f) catch { case _: Exception => () } })
+      val walk = java.nio.file.Files.walk(p)
+      try {
+        walk
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => { try java.nio.file.Files.deleteIfExists(f) catch { case _: Exception => () } })
+      } finally walk.close()
     }
   }
 }

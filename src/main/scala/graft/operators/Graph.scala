@@ -332,6 +332,10 @@ object Graph {
     */
   private def prIterate(init: DataFrame, ed: DataFrame, iters: Int): DataFrame = {
     var pr = init.localCheckpoint(true)
+    // off-round caches are freed once the NEXT eager checkpoint has
+    // consumed them — otherwise ~iters/2 node-sized frames pile up in
+    // the cache manager per execution until the harness's clearCache
+    var prevCached: DataFrame = null
     for (i <- 1 to iters) {
       val contrib = ed.join(pr, ed("src") === pr("part_id"))
         .filter(col("deg") > 0)
@@ -343,7 +347,13 @@ object Graph {
           (lit(150000L) + expr("(85 * coalesce(inr, CAST(0 AS BIGINT))) div 100")).as("pr"))
       // the rank frame is consumed twice next round (contribution join
       // + carry): cache on off-rounds so the lineage doesn't double
-      pr = if (i % 2 == 0 && i < iters) pr.localCheckpoint(true) else pr.cache()
+      if (i % 2 == 0 && i < iters) {
+        pr = pr.localCheckpoint(true)
+        if (prevCached != null) { prevCached.unpersist(false); prevCached = null }
+      } else {
+        pr = pr.cache()
+        prevCached = pr
+      }
     }
     pr
   }
@@ -421,7 +431,9 @@ object Graph {
         coalesce(col("seed"), lit(0L)).as("seed"),
         (coalesce(col("seed"), lit(0L)) * lit(1000000L)).as("pr"))
       .localCheckpoint(true)
-    // 2-round checkpoint cadence — see [[pagerankOf]].
+    // 2-round checkpoint cadence + off-round cache release — see
+    // [[prIterate]].
+    var prevCached: DataFrame = null
     for (i <- 1 to PrIters) {
       val contrib = ed.join(pr, ed("src") === pr("part_id"))
         .filter(col("deg") > 0 && col("pr") > 0)
@@ -432,7 +444,13 @@ object Graph {
         .select(col("part_id"), col("deg"), col("seed"),
           (col("seed") * lit(150000L)
             + expr("(85 * coalesce(inr, CAST(0 AS BIGINT))) div 100")).as("pr"))
-      pr = if (i % 2 == 0 && i < PrIters) pr.localCheckpoint(true) else pr.cache()
+      if (i % 2 == 0 && i < PrIters) {
+        pr = pr.localCheckpoint(true)
+        if (prevCached != null) { prevCached.unpersist(false); prevCached = null }
+      } else {
+        pr = pr.cache()
+        prevCached = pr
+      }
     }
     pr.filter(col("pr") > 0)
       .orderBy(col("pr").desc, col("part_id"))
@@ -522,6 +540,7 @@ object Graph {
     // projections + the semi-join left side), so the between-
     // checkpoint rounds still need the frame pinned: cache() marks it
     // for reuse without forcing a driver-sequenced materialization.
+    var prevCached: DataFrame = null
     for (i <- 1 to PeelRounds) {
       val deg = und.select(col("u").as("n"))
         .unionByName(und.select(col("v").as("n")))
@@ -531,8 +550,14 @@ object Graph {
         .join(kept.withColumnRenamed("n", "u"), Seq("u"), "left_semi")
         .join(kept.withColumnRenamed("n", "v"), Seq("v"), "left_semi")
         .select(col("u"), col("v"))
-      und = if (i % 2 == 0 && i < PeelRounds) und.localCheckpoint(true)
-            else und.cache()
+      // off-round cache release — see [[prIterate]]
+      if (i % 2 == 0 && i < PeelRounds) {
+        und = und.localCheckpoint(true)
+        if (prevCached != null) { prevCached.unpersist(false); prevCached = null }
+      } else {
+        und = und.cache()
+        prevCached = und
+      }
     }
     und.select(col("u").as("n")).unionByName(und.select(col("v").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("core_deg"))

@@ -597,24 +597,29 @@ object MLOps {
       val whens = (0 until k - 1).map(c => s"WHEN ${winsRest(c)} THEN $c").mkString(" ")
       s"CAST(CASE $whens ELSE ${k - 1} END AS INT) AS cluster"
     }
+    // Every round CTE is AS MATERIALIZED: `${pfx}c$i` is referenced
+    // TWICE (next round's distance cross join AND the next centroid's
+    // fallback arm), so DuckDB 1.0's default inlining would duplicate
+    // the whole chain 2^iters times — the exact hazard class that
+    // blanked round 9's record (see graft-parity-recipes).
     def distsCte(name: String, centName: String): String =
-      s"""$name AS (SELECT z.*,
+      s"""$name AS MATERIALIZED (SELECT z.*,
              ${(0 until k).map(c => s"${distC(c)} AS d$c").mkString(",\n             ")}
            FROM $src z CROSS JOIN $centName)"""
     val ctes = scala.collection.mutable.ArrayBuffer[String](c0Cte)
     for (i <- 1 to iters) {
       ctes += distsCte(s"${pfx}ld$i", s"${pfx}c${i - 1}")
-      ctes += s"""${pfx}lab$i AS (SELECT *, $labCase FROM ${pfx}ld$i)"""
+      ctes += s"""${pfx}lab$i AS MATERIALIZED (SELECT *, $labCase FROM ${pfx}ld$i)"""
       val statCols = (0 until k).flatMap { c =>
         s"COUNT(CASE WHEN cluster = $c THEN 1 END) AS n$c" +:
           feats.map(f =>
             s"CAST(SUM(CASE WHEN cluster = $c THEN CAST($f AS DECIMAL(38,12)) END) AS DOUBLE) AS s${c}_$f")
       }.mkString(",\n             ")
-      ctes += s"${pfx}st$i AS (SELECT $statCols FROM ${pfx}lab$i)"
+      ctes += s"${pfx}st$i AS MATERIALIZED (SELECT $statCols FROM ${pfx}lab$i)"
       val newCent = (0 until k).flatMap(c => feats.map(f =>
         s"CASE WHEN st.n$c > 0 THEN st.s${c}_$f / CAST(st.n$c AS DOUBLE) ELSE p.c${c}_$f END AS c${c}_$f"))
         .mkString(",\n             ")
-      ctes += s"${pfx}c$i AS (SELECT $newCent FROM ${pfx}st$i st CROSS JOIN ${pfx}c${i - 1} p)"
+      ctes += s"${pfx}c$i AS MATERIALIZED (SELECT $newCent FROM ${pfx}st$i st CROSS JOIN ${pfx}c${i - 1} p)"
     }
     ctes += distsCte(s"${pfx}ldF", s"${pfx}c$iters")
     ctes += s"""${pfx}labF AS (SELECT *, $labCase FROM ${pfx}ldF)"""
@@ -1741,9 +1746,9 @@ object MLOps {
         val kk = 10
         val xCols = (1 to EmbedDim).map(j => s"x$j")
         val xSel = (1 to EmbedDim).map(j => s"CAST(e$j AS DOUBLE) AS x$j").mkString(", ")
-        val c0 = s"""eseed AS (SELECT *, CAST(row_number() OVER (ORDER BY part_id) AS INT) AS rn
+        val c0 = s"""eseed AS MATERIALIZED (SELECT *, CAST(row_number() OVER (ORDER BY part_id) AS INT) AS rn
              FROM ezs ORDER BY part_id LIMIT $kk),
-    ec0 AS (SELECT ${(0 until kk).flatMap(c => xCols.map(f =>
+    ec0 AS MATERIALIZED (SELECT ${(0 until kk).flatMap(c => xCols.map(f =>
           s"MAX(CASE WHEN rn = ${c + 1} THEN $f END) AS c${c}_$f")).mkString(",\n             ")}
            FROM eseed)"""
         s"""

@@ -1158,7 +1158,11 @@ object Text {
         tot.crossJoin(broadcast(conc))
           .select(
             col("n_docs"), col("n_langs"), col("total_tokens"),
-            expr("(total_tokens * 1000000) div n_docs").as("mean_tokens_micro"),
+            // DECIMAL(38,0) widening: raw 64-bit total_tokens*1e6 would
+            // silently wrap in Spark (ANSI off) past ~9.2e12 tokens while
+            // DuckDB's BIGINT errors — same treatment as the conc term.
+            expr("CAST((CAST(total_tokens AS DECIMAL(38,0)) * 1000000) div n_docs AS BIGINT)")
+              .as("mean_tokens_micro"),
             (col("n_docs") - col("n_h")).as("exact_dup_docs"),
             col("pii_docs"),
             (lit(1000000L) - col("conc")).as("lang_gini_micro"))
@@ -1185,7 +1189,7 @@ object Text {
                  AS BIGINT) AS conc
               FROM lc, t)
         SELECT t.n_docs, t.n_langs, t.total_tokens,
-               CAST((t.total_tokens * 1000000) // t.n_docs AS BIGINT) AS mean_tokens_micro,
+               CAST((CAST(t.total_tokens AS HUGEINT) * 1000000) // t.n_docs AS BIGINT) AS mean_tokens_micro,
                CAST(t.n_docs - t.n_h AS BIGINT) AS exact_dup_docs,
                t.pii_docs,
                CAST(1000000 - g.conc AS BIGINT) AS lang_gini_micro
