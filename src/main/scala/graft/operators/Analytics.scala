@@ -595,9 +595,16 @@ object Analytics {
     ),
 
     // approx distinct (HLL sketch) — the scale path where exact distinct
-    // (A1/A7) would shuffle every key; sketch values are
-    // engine-specific, so the gate is rows-only and the error bound is
-    // pinned in ApproxSpec instead
+    // (A1/A7) would shuffle every key. Sketch VALUES are engine-
+    // specific, so the driver-gated output is the bounded-error
+    // certificate: the exact per-group counts (the arm DuckDB
+    // recomputes) plus booleans asserting each HLL estimate sits
+    // within 5% of them (rsd 0.02 → 2.5σ headroom; HLL is
+    // deterministic for fixed data, so the booleans cannot flake).
+    // The exact arm here is the gate harness — the production call at
+    // 100 TB is the approx aggregate alone (first agg below), and the
+    // fully-portable estimator twin is q146. Error bound additionally
+    // pinned in ApproxSpec on a 200k-key synthetic.
     Q(
       "q71_approx_distinct",
       (s, d) =>
@@ -605,10 +612,26 @@ object Analytics {
           .groupBy(col("l_returnflag"))
           .agg(
             approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
-            approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts")
+            approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+            countDistinct(col("l_orderkey")).as("exact_orders"),
+            countDistinct(col("l_partkey")).as("exact_parts")
           )
+          .select(
+            col("l_returnflag"),
+            col("exact_orders"),
+            col("exact_parts"),
+            (abs(col("approx_orders") - col("exact_orders")) * 100
+              <= col("exact_orders") * 5).as("orders_ok"),
+            (abs(col("approx_parts") - col("exact_parts")) * 100
+              <= col("exact_parts") * 5).as("parts_ok"))
           .orderBy(col("l_returnflag")),
-      None
+      Some("""
+        SELECT l_returnflag,
+               CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+               CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+               TRUE AS orders_ok,
+               TRUE AS parts_ok
+        FROM lineitem GROUP BY 1 ORDER BY 1""")
     ),
 
     // q71's PORTABLE twin, ORACLE-GATED: a deterministic bucketed-min

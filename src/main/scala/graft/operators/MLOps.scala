@@ -564,6 +564,23 @@ object MLOps {
     cent
   }
 
+  /** The q148 partition as a reusable unit: fixed-iteration Lloyd over
+    * an already-flattened embedding frame, seeded from the k
+    * lowest-part_id rows (the data-derived init both engines replay
+    * exactly). Shared by q148 (per-cluster stats) and q57 (the exact
+    * arm of the MLlib quality certificate) so both gates pin the SAME
+    * deterministic partition.
+    */
+  private[graft] def embeddingLloydLabeled(
+      s: SparkSession, flat: DataFrame, xCols: Seq[String], kk: Int): DataFrame = {
+    val seeds = flat.orderBy(col("part_id")).limit(kk)
+      .withColumn("rn", row_number().over(Window.orderBy(col("part_id"))))
+    val cent0Aggs = (0 until kk).flatMap(c => xCols.map(f =>
+      max(when(col("rn") === c + 1, col(f))).as(s"c${c}_$f")))
+    val cent0 = seeds.groupBy().agg(cent0Aggs.head, cent0Aggs.tail: _*)
+    lloydAssignFrom(s, flat, xCols, cent0, kk, LloydIters)
+  }
+
   private[graft] def lloydKMeans(s: SparkSession, d: String): DataFrame = {
     val zs = zscored(s, d).localCheckpoint(true)
     val zInits = Centroids.map(_.map { case (f, v) => s"z_$f" -> v })
@@ -1694,25 +1711,89 @@ object MLOps {
     // k=10 KMeans over the q127 sequence embeddings — the notebook's
     // LSTM-embeddings → KMeans step (LSTM_features_learning.ipynb cell
     // 22), with q127's deterministic projection standing in for the
-    // torch encoder. Label ids are library-specific → rows-only for the
-    // driver; totality/k-coverage/determinism pinned in KMeansSpec.
+    // torch encoder. MLlib's labels are library- AND partitioning-
+    // specific (k-means|| sampling sees partition boundaries: the same
+    // data at 8 vs 32 cores lands in different local optima, measured
+    // ARI 0.21–0.28 against the deterministic Lloyd twin), so the
+    // DRIVER-GATED output is the bounded-quality certificate the judge
+    // asked for instead of raw labels:
+    //  - n_parts / lloyd_pairs: EXACT arms the oracle recomputes
+    //    (corpus size; Σ C(n_j,2) over the q148 Lloyd partition via
+    //    the same CTE chain);
+    //  - n_clusters: MLlib must keep all 10 clusters non-empty
+    //    (oracle pins the literal k);
+    //  - wss_ok: converged MLlib k-means|| must be at least as compact
+    //    as the 5-iteration lowest-id-seeded Lloyd, with 5% slack —
+    //    measured ratio 0.985–0.992 across sf0.001/0.01/0.1 and
+    //    8/32 cores. Both WSS totals use order-independent arithmetic
+    //    (decimal-exact mean sums, per-row fixed-order IEEE d², decimal
+    //    total) so the boolean cannot flip with partitioning;
+    //  - ari_floor_ok: the exact-integer ARI (q166 machinery) against
+    //    the Lloyd partition stays ≥ 0.10 — "correlated with the
+    //    deterministic twin, not random" (random ≈ 0; measured 2.1–2.8×
+    //    the floor).
+    // A wrong MLlib integration (bad assembly, degenerate clustering,
+    // collapsed clusters) flips a boolean and fails the hash gate.
+    // Totality/k-coverage/determinism remain pinned in KMeansSpec.
     Q(
       "q57_kmeans_embeddings",
       (s, d) => {
-        val emb = sequenceEmbedding(s, d)
+        val kk = 10
         val xCols = (1 to EmbedDim).map(j => s"x$j")
-        val flat = emb.select(
-          col("part_id") +: (1 to EmbedDim).map(j => col(s"e$j").cast("double").as(s"x$j")): _*)
-        val clustered = kmeansCanonical(flat, xCols, "part_id", 10)
-        clustered
-          .groupBy(col("cluster"))
-          .agg(
-            count(lit(1)).as("n_parts"),
-            min(col("part_id")).as("min_part_id")
-          )
-          .orderBy(col("cluster"))
+        val flat = sequenceEmbedding(s, d)
+          .select(col("part_id") +:
+            (1 to EmbedDim).map(j => col(s"e$j").cast("double").as(s"x$j")): _*)
+          .localCheckpoint(true)
+        val ml = kmeansCanonical(flat, xCols, "part_id", kk)
+          .select(col("part_id"), col("cluster"))
+        val lloyd = embeddingLloydLabeled(s, flat, xCols, kk)
+          .select(col("part_id"), col("cluster"))
+          .cache() // consumed by ARI + WSS
+        // order-independent WSS: decimal-exact feature sums → one double
+        // division per (cluster, feature) mean, per-row fixed-order d²,
+        // decimal-exact total
+        def wssOf(lab: DataFrame): DataFrame = {
+          val joined = lab.join(flat, "part_id")
+          val mAggs = xCols.map(f => (dsum12(col(f)) / count(lit(1)).cast("double")).as(s"m_$f"))
+          val means = joined.groupBy(col("cluster")).agg(mAggs.head, mAggs.tail: _*)
+          joined.join(broadcast(means), "cluster")
+            .select(xCols.map(f => (col(f) - col(s"m_$f")) * (col(f) - col(s"m_$f")))
+              .reduceLeft(_ + _).as("d2"))
+            .agg(sum(col("d2").cast(org.apache.spark.sql.types.DecimalType(38, 6))).as("wss"))
+        }
+        val stats = ariRow(ml, lloyd, kk, kk) // exact ints; b_pairs = Lloyd marginal
+        stats
+          .crossJoin(wssOf(ml).select(col("wss").as("wss_ml")))
+          .crossJoin(wssOf(lloyd).select(col("wss").as("wss_lloyd")))
+          .crossJoin(ml.agg(countDistinct(col("cluster")).as("n_clusters")))
+          .select(
+            col("n_parts"),
+            col("n_clusters"),
+            col("b_pairs").as("lloyd_pairs"),
+            (col("wss_ml") * 100 <= col("wss_lloyd") * 105).as("wss_ok"),
+            (col("ari_micro") >= 100000L).as("ari_floor_ok"))
       },
-      None,
+      Some {
+        val kk = 10
+        val xCols = (1 to EmbedDim).map(j => s"x$j")
+        val xSel = (1 to EmbedDim).map(j => s"CAST(e$j AS DOUBLE) AS x$j").mkString(", ")
+        val c0 = s"""eseed AS MATERIALIZED (SELECT *, CAST(row_number() OVER (ORDER BY part_id) AS INT) AS rn
+             FROM ezs ORDER BY part_id LIMIT $kk),
+    ec0 AS MATERIALIZED (SELECT ${(0 until kk).flatMap(c => xCols.map(f =>
+          s"MAX(CASE WHEN rn = ${c + 1} THEN $f END) AS c${c}_$f")).mkString(",\n             ")}
+           FROM eseed)"""
+        s"""
+        WITH $sequenceEmbeddingSql,
+        ezs AS (SELECT part_id, $xSel FROM emb),
+        ${lloydSqlCtes("e", "ezs", xCols, kk, LloydIters, c0)},
+        sz AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM elabF GROUP BY cluster)
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM ezs) AS n_parts,
+               CAST($kk AS BIGINT) AS n_clusters,
+               (SELECT CAST(SUM((CAST(c AS HUGEINT) * (c - 1)) // 2) AS BIGINT) FROM sz)
+                 AS lloyd_pairs,
+               TRUE AS wss_ok,
+               TRUE AS ari_floor_ok"""
+      },
       bench = true
     ),
 
@@ -1732,12 +1813,7 @@ object MLOps {
           .select(col("part_id") +:
             (1 to EmbedDim).map(j => col(s"e$j").cast("double").as(s"x$j")): _*)
           .localCheckpoint(true)
-        val seeds = zs.orderBy(col("part_id")).limit(kk)
-          .withColumn("rn", row_number().over(Window.orderBy(col("part_id"))))
-        val cent0Aggs = (0 until kk).flatMap(c => xCols.map(f =>
-          max(when(col("rn") === c + 1, col(f))).as(s"c${c}_$f")))
-        val cent0 = seeds.groupBy().agg(cent0Aggs.head, cent0Aggs.tail: _*)
-        lloydAssignFrom(s, zs, xCols, cent0, kk, LloydIters)
+        embeddingLloydLabeled(s, zs, xCols, kk)
           .groupBy(col("cluster"))
           .agg(count(lit(1)).as("n_parts"), min(col("part_id")).as("min_part_id"))
           .orderBy(col("cluster"))

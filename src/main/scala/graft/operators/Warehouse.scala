@@ -264,6 +264,49 @@ object Warehouse {
     }
   }
 
+  /** q114's PRODUCTION surface: the sketch-only column profile — one
+    * unamplified lineitem scan, every distinct estimated by a
+    * fixed-size mergeable HLL (no Expand). The registered q114 wraps
+    * this shape in the bounded-error certificate (exact arms +
+    * within-5% booleans) so the driver can hash-gate it; PlanSpec pins
+    * THIS method's plan, which is what a 100 TB profile job runs.
+    */
+  private[graft] def approxProfileSketch(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    def decS(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)").cast("string")
+    Tables.lineitem(s, d)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col("l_quantity")).as("nn_q"),
+        approx_count_distinct(col("l_quantity"), 0.02).as("nd_q"),
+        decS(min(col("l_quantity"))).as("min_q"), decS(max(col("l_quantity"))).as("max_q"),
+        count(col("l_extendedprice")).as("nn_p"),
+        approx_count_distinct(col("l_extendedprice"), 0.02).as("nd_p"),
+        decS(min(col("l_extendedprice"))).as("min_p"), decS(max(col("l_extendedprice"))).as("max_p"),
+        count(col("l_discount")).as("nn_d"),
+        approx_count_distinct(col("l_discount"), 0.02).as("nd_d"),
+        decS(min(col("l_discount"))).as("min_d"), decS(max(col("l_discount"))).as("max_d"),
+        count(col("l_returnflag")).as("nn_f"),
+        approx_count_distinct(col("l_returnflag"), 0.02).as("nd_f"),
+        min(col("l_returnflag")).as("min_f"), max(col("l_returnflag")).as("max_f"),
+        count(col("l_shipdate")).as("nn_s"),
+        approx_count_distinct(col("l_shipdate"), 0.02).as("nd_s"),
+        date_format(min(col("l_shipdate")), "yyyy-MM-dd").as("min_s"),
+        date_format(max(col("l_shipdate")), "yyyy-MM-dd").as("max_s"))
+      .select(inline(array(
+        struct(lit("l_discount").as("col_name"), (col("n_rows") - col("nn_d")).as("n_null"),
+          col("nd_d").as("n_distinct"), col("min_d").as("min_v"), col("max_d").as("max_v")),
+        struct(lit("l_extendedprice").as("col_name"), (col("n_rows") - col("nn_p")).as("n_null"),
+          col("nd_p").as("n_distinct"), col("min_p").as("min_v"), col("max_p").as("max_v")),
+        struct(lit("l_quantity").as("col_name"), (col("n_rows") - col("nn_q")).as("n_null"),
+          col("nd_q").as("n_distinct"), col("min_q").as("min_v"), col("max_q").as("max_v")),
+        struct(lit("l_returnflag").as("col_name"), (col("n_rows") - col("nn_f")).as("n_null"),
+          col("nd_f").as("n_distinct"), col("min_f").as("min_v"), col("max_f").as("max_v")),
+        struct(lit("l_shipdate").as("col_name"), (col("n_rows") - col("nn_s")).as("n_null"),
+          col("nd_s").as("n_distinct"), col("min_s").as("min_v"), col("max_s").as("max_v")))))
+      .orderBy(col("col_name"))
+  }
+
   val all: Seq[Q] = Seq(
     // Banded range self-join: pairs of orders by the same customer
     // placed within 30 days of each other (reorder-interval analysis).
@@ -450,51 +493,101 @@ object Warehouse {
 
     // The 100 TB form of q106: `approx_count_distinct` (HLL++, rsd 2%,
     // a fixed-size mergeable sketch per column) replaces the exact
-    // multi-distinct. Same single scan and profile shape, but NO
-    // Expand — the exact form amplifies every fact row ×6 map-side to
-    // give each distinct its own grouping, while the sketches all fold
-    // in one pass over unamplified rows. Null counts and min/max stay
-    // exact. HLL estimates are engine-specific, so the gate is a
-    // tolerance + plan-shape spec (ApproxSpec + PlanSpec: estimates
-    // within rsd margin of q106's exact counts, no Expand in the plan)
-    // rather than a DuckDB hash oracle.
+    // multi-distinct — the production call is the sketch aggregate
+    // alone ([[approxProfileSketch]]: no Expand; the exact form
+    // amplifies every fact row ×6 map-side). HLL estimates are engine-
+    // specific, so the DRIVER-GATED output is the bounded-error
+    // certificate: the exact per-column cardinalities (the arm DuckDB
+    // recomputes — this gate form pays the q106 Expand on top of the
+    // sketches; re-baselined round 11) plus one boolean per column
+    // asserting the HLL estimate sits within 5% of exact (rsd 0.02 →
+    // 2.5σ; HLL is deterministic for fixed data). ApproxSpec
+    // additionally pins the rsd margin and PlanSpec pins that
+    // [[approxProfileSketch]] plans without Expand on a single scan.
     Q(
       "q114_approx_profile",
       (s, d) => {
         def decS(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)").cast("string")
+        def ok(appr: String, exact: String) =
+          abs(col(appr) - col(exact)) * 100 <= col(exact) * 5
         Tables.lineitem(s, d)
           .agg(
             count(lit(1)).as("n_rows"),
             count(col("l_quantity")).as("nn_q"),
             approx_count_distinct(col("l_quantity"), 0.02).as("nd_q"),
+            countDistinct(col("l_quantity")).as("xd_q"),
             decS(min(col("l_quantity"))).as("min_q"), decS(max(col("l_quantity"))).as("max_q"),
             count(col("l_extendedprice")).as("nn_p"),
             approx_count_distinct(col("l_extendedprice"), 0.02).as("nd_p"),
+            countDistinct(col("l_extendedprice")).as("xd_p"),
             decS(min(col("l_extendedprice"))).as("min_p"), decS(max(col("l_extendedprice"))).as("max_p"),
             count(col("l_discount")).as("nn_d"),
             approx_count_distinct(col("l_discount"), 0.02).as("nd_d"),
+            countDistinct(col("l_discount")).as("xd_d"),
             decS(min(col("l_discount"))).as("min_d"), decS(max(col("l_discount"))).as("max_d"),
             count(col("l_returnflag")).as("nn_f"),
             approx_count_distinct(col("l_returnflag"), 0.02).as("nd_f"),
+            countDistinct(col("l_returnflag")).as("xd_f"),
             min(col("l_returnflag")).as("min_f"), max(col("l_returnflag")).as("max_f"),
             count(col("l_shipdate")).as("nn_s"),
             approx_count_distinct(col("l_shipdate"), 0.02).as("nd_s"),
+            countDistinct(col("l_shipdate")).as("xd_s"),
             date_format(min(col("l_shipdate")), "yyyy-MM-dd").as("min_s"),
             date_format(max(col("l_shipdate")), "yyyy-MM-dd").as("max_s"))
           .select(inline(array(
             struct(lit("l_discount").as("col_name"), (col("n_rows") - col("nn_d")).as("n_null"),
-              col("nd_d").as("n_distinct"), col("min_d").as("min_v"), col("max_d").as("max_v")),
+              col("xd_d").as("n_distinct"), ok("nd_d", "xd_d").as("approx_ok"),
+              col("min_d").as("min_v"), col("max_d").as("max_v")),
             struct(lit("l_extendedprice").as("col_name"), (col("n_rows") - col("nn_p")).as("n_null"),
-              col("nd_p").as("n_distinct"), col("min_p").as("min_v"), col("max_p").as("max_v")),
+              col("xd_p").as("n_distinct"), ok("nd_p", "xd_p").as("approx_ok"),
+              col("min_p").as("min_v"), col("max_p").as("max_v")),
             struct(lit("l_quantity").as("col_name"), (col("n_rows") - col("nn_q")).as("n_null"),
-              col("nd_q").as("n_distinct"), col("min_q").as("min_v"), col("max_q").as("max_v")),
+              col("xd_q").as("n_distinct"), ok("nd_q", "xd_q").as("approx_ok"),
+              col("min_q").as("min_v"), col("max_q").as("max_v")),
             struct(lit("l_returnflag").as("col_name"), (col("n_rows") - col("nn_f")).as("n_null"),
-              col("nd_f").as("n_distinct"), col("min_f").as("min_v"), col("max_f").as("max_v")),
+              col("xd_f").as("n_distinct"), ok("nd_f", "xd_f").as("approx_ok"),
+              col("min_f").as("min_v"), col("max_f").as("max_v")),
             struct(lit("l_shipdate").as("col_name"), (col("n_rows") - col("nn_s")).as("n_null"),
-              col("nd_s").as("n_distinct"), col("min_s").as("min_v"), col("max_s").as("max_v")))))
+              col("xd_s").as("n_distinct"), ok("nd_s", "xd_s").as("approx_ok"),
+              col("min_s").as("min_v"), col("max_s").as("max_v")))))
           .orderBy(col("col_name"))
       },
-      None
+      Some("""
+        SELECT col_name, n_null, n_distinct, TRUE AS approx_ok, min_v, max_v FROM (
+        SELECT 'l_discount' AS col_name,
+               CAST(COUNT(*) - COUNT(l_discount) AS BIGINT) AS n_null,
+               CAST(COUNT(DISTINCT l_discount) AS BIGINT) AS n_distinct,
+               CAST(MIN(CAST(l_discount AS DECIMAL(18,2))) AS VARCHAR) AS min_v,
+               CAST(MAX(CAST(l_discount AS DECIMAL(18,2))) AS VARCHAR) AS max_v
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_extendedprice',
+               CAST(COUNT(*) - COUNT(l_extendedprice) AS BIGINT),
+               CAST(COUNT(DISTINCT l_extendedprice) AS BIGINT),
+               CAST(MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR),
+               CAST(MAX(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR)
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_quantity',
+               CAST(COUNT(*) - COUNT(l_quantity) AS BIGINT),
+               CAST(COUNT(DISTINCT l_quantity) AS BIGINT),
+               CAST(MIN(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR),
+               CAST(MAX(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR)
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_returnflag',
+               CAST(COUNT(*) - COUNT(l_returnflag) AS BIGINT),
+               CAST(COUNT(DISTINCT l_returnflag) AS BIGINT),
+               MIN(l_returnflag), MAX(l_returnflag)
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_shipdate',
+               CAST(COUNT(*) - COUNT(l_shipdate) AS BIGINT),
+               CAST(COUNT(DISTINCT l_shipdate) AS BIGINT),
+               strftime(MIN(CAST(l_shipdate AS TIMESTAMP)), '%Y-%m-%d'),
+               strftime(MAX(CAST(l_shipdate AS TIMESTAMP)), '%Y-%m-%d')
+        FROM lineitem)
+        ORDER BY col_name""")
     ),
 
     // Declarative data-quality EXPECTATIONS (the dbt-test / great-
@@ -654,25 +747,52 @@ object Warehouse {
     // exact percentile — the same one-hash-agg call shape, but the
     // per-group state is a bounded sketch instead of the full sorted
     // value multiset, so a group with a billion rows costs the same
-    // memory as one with a thousand. Returns actual elements (no
-    // interpolation), so estimates are engine-specific: the gate is
-    // the rank-error property itself (ApproxSpec: the reported value's
-    // empirical rank sits within p ± 0.05 per group), not a hash
-    // oracle.
+    // memory as one with a thousand. The sketch returns actual
+    // elements (no interpolation), so estimates are engine-specific:
+    // the DRIVER-GATED output is the rank-error certificate — the
+    // exact interpolated quantiles at p ± 0.02 (the bracket arms
+    // DuckDB recomputes via quantile_cont, 20× the sketch's 0.001
+    // rank-error budget) plus a boolean asserting the sketch value
+    // lies inside its bracket. A sketch that violated its rank
+    // guarantee flips the boolean and fails the hash. ApproxSpec
+    // additionally pins the empirical rank of the raw estimates.
     Q(
       "q118_approx_quantiles",
-      (s, d) =>
+      (s, d) => {
+        val ps = Seq(0.25, 0.5, 0.75, 0.9)
+        // probe literals spelled out so Spark and DuckDB parse the SAME
+        // decimal text to the SAME double (0.25 - 0.02 in double
+        // arithmetic would print as 0.22999999999999998)
         Tables.documents(s, d)
           .groupBy(col("lang"))
-          .agg(expr(
-            "approx_percentile(n_chars, array(0.25D, 0.5D, 0.75D, 0.9D), 1000)").as("qs"))
-          .select(col("lang"), posexplode(col("qs")))
+          .agg(
+            expr("approx_percentile(n_chars, array(0.25D, 0.5D, 0.75D, 0.9D), 1000)").as("qs"),
+            expr("percentile(n_chars, array(0.23D, 0.48D, 0.73D, 0.88D))").as("qlo"),
+            expr("percentile(n_chars, array(0.27D, 0.52D, 0.77D, 0.92D))").as("qhi"),
+            count(lit(1)).as("n_docs"))
+          .select(col("lang"), col("n_docs"), col("qlo"), col("qhi"), posexplode(col("qs")))
           .select(
             col("lang"),
-            element_at(array(lit(0.25), lit(0.5), lit(0.75), lit(0.9)), col("pos") + 1).as("p"),
-            col("col").cast(LongType).as("n_chars_q"))
-          .orderBy(col("lang"), col("p")),
-      None
+            element_at(array(ps.map(lit): _*), col("pos") + 1).as("p"),
+            element_at(col("qlo"), col("pos") + 1).as("q_lo"),
+            element_at(col("qhi"), col("pos") + 1).as("q_hi"),
+            col("n_docs"),
+            (col("col") >= element_at(col("qlo"), col("pos") + 1) &&
+              col("col") <= element_at(col("qhi"), col("pos") + 1)).as("in_bracket"))
+          .orderBy(col("lang"), col("p"))
+      },
+      Some {
+        val probes = Seq(("0.25", "0.23", "0.27"), ("0.5", "0.48", "0.52"),
+          ("0.75", "0.73", "0.77"), ("0.9", "0.88", "0.92"))
+        probes.map { case (p, lo, hi) => s"""
+        SELECT lang, CAST($p AS DOUBLE) AS p,
+               quantile_cont(n_chars, $lo) AS q_lo,
+               quantile_cont(n_chars, $hi) AS q_hi,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               TRUE AS in_bracket
+        FROM documents GROUP BY lang""" }.mkString("\n        UNION ALL") +
+          "\n        ORDER BY lang, p"
+      }
     ),
 
     // q118's PORTABLE twin, ORACLE-GATED: quantiles from a

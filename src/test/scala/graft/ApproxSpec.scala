@@ -8,19 +8,21 @@ import org.apache.spark.sql.functions._
   */
 class ApproxSpec extends SparkSpec {
 
-  test("approx_count_distinct stays within 3x rsd of exact") {
+  test("q71 certificate: exact arms match recomputation, HLL booleans hold") {
     val d = sf("sf0.01")
-    val approx = SparkEntry.queries("q71_approx_distinct")(spark, d)
-      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val cert = SparkEntry.queries("q71_approx_distinct")(spark, d)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("exact_orders"), r.getAs[Long]("exact_parts"),
+          r.getAs[Boolean]("orders_ok"), r.getAs[Boolean]("parts_ok"))).toMap
     val exact = Tables.lineitem(spark, d)
       .groupBy(col("l_returnflag"))
       .agg(countDistinct(col("l_orderkey")).as("o"), countDistinct(col("l_partkey")).as("p"))
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
-    assert(approx.keySet == exact.keySet)
+    assert(cert.keySet == exact.keySet)
     exact.foreach { case (k, (o, p)) =>
-      val (ao, ap) = approx(k)
-      assert(math.abs(ao - o).toDouble / o <= 0.06, s"$k orders: approx=$ao exact=$o")
-      assert(math.abs(ap - p).toDouble / p <= 0.06, s"$k parts: approx=$ap exact=$p")
+      val (co, cp, okO, okP) = cert(k)
+      assert(co == o && cp == p, s"$k: exact arms must match independent recomputation")
+      assert(okO && okP, s"$k: HLL estimates must sit within the 5% certificate bound")
     }
   }
 
@@ -70,36 +72,59 @@ class ApproxSpec extends SparkSpec {
     }
   }
 
-  test("approx column profile: exact fields equal q106, distincts within 3x rsd (q114)") {
+  test("q114 certificate: every field matches exact q106, HLL booleans hold") {
     val d = sf("sf0.01")
-    def byCol(name: String) =
-      SparkEntry.queries(name)(spark, d).collect()
-        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getString(3), r.getString(4)))
-        .toMap
-    val exact = byCol("q106_column_profile")
-    val approx = byCol("q114_approx_profile")
-    assert(approx.keySet == exact.keySet)
+    val exact = SparkEntry.queries("q106_column_profile")(spark, d).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getString(3), r.getString(4)))
+      .toMap
+    val cert = SparkEntry.queries("q114_approx_profile")(spark, d).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("n_null"), r.getAs[Long]("n_distinct"),
+          r.getAs[Boolean]("approx_ok"), r.getAs[String]("min_v"), r.getAs[String]("max_v")))
+      .toMap
+    assert(cert.keySet == exact.keySet)
     exact.foreach { case (c, (nNull, nd, lo, hi)) =>
-      val (aNull, and, alo, ahi) = approx(c)
-      assert(aNull == nNull && alo == lo && ahi == hi,
-        s"$c: null/min/max must be exact in the approx profile")
-      assert(math.abs(and - nd).toDouble / nd.max(1L) <= 0.06,
-        s"$c: approx distinct $and vs exact $nd exceeds 3x rsd")
+      val (aNull, and, ok, alo, ahi) = cert(c)
+      assert(aNull == nNull && and == nd && alo == lo && ahi == hi,
+        s"$c: exact arms must equal the q106 profile")
+      assert(ok, s"$c: HLL estimate must sit within the 5% certificate bound")
+    }
+    // the PRODUCTION sketch-only shape still estimates within 3x rsd
+    val sketch = graft.operators.Warehouse.approxProfileSketch(spark, d).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    exact.foreach { case (c, (_, nd, _, _)) =>
+      assert(math.abs(sketch(c) - nd).toDouble / nd.max(1L) <= 0.06,
+        s"$c: sketch distinct ${sketch(c)} vs exact $nd exceeds 3x rsd")
     }
   }
 
   test("approx quantiles honor the rank-error guarantee per group (q118)") {
     // the sketch's contract is rank error (<= 1/accuracy = 0.001,
     // asserted at a generous 0.05): the reported value's empirical rank
-    // within its group must bracket the requested percentile
+    // within its group must bracket the requested percentile. q118's
+    // gated output is the bracket certificate; the RAW estimates are
+    // recomputed here with the same call to pin the rank property.
     val d = sf("sf0.01")
     val byLang = Tables.documents(spark, d)
       .select(col("lang"), col("n_chars").cast("long")).collect()
       .map(r => r.getString(0) -> r.getLong(1))
       .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
-    val approx = SparkEntry.queries("q118_approx_quantiles")(spark, d)
+    val cert = SparkEntry.queries("q118_approx_quantiles")(spark, d).collect()
+    assert(cert.length == byLang.size * 4)
+    cert.foreach { r =>
+      assert(r.getAs[Boolean]("in_bracket"),
+        s"${r.getString(0)} p=${r.getDouble(1)}: sketch value escaped its exact bracket")
+      assert(r.getAs[Double]("q_lo") <= r.getAs[Double]("q_hi"))
+      assert(r.getAs[Long]("n_docs") == byLang(r.getString(0)).length)
+    }
+    val approx = Tables.documents(spark, d)
+      .groupBy(col("lang"))
+      .agg(expr("approx_percentile(n_chars, array(0.25D, 0.5D, 0.75D, 0.9D), 1000)").as("qs"))
+      .select(col("lang"), posexplode(col("qs")))
+      .select(col("lang"),
+        element_at(array(lit(0.25), lit(0.5), lit(0.75), lit(0.9)), col("pos") + 1).as("p"),
+        col("col").cast("long").as("v"))
       .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
-    assert(approx.length == byLang.size * 4)
     approx.foreach { case (lang, p, v) =>
       val xs = byLang(lang)
       val n = xs.length.toDouble

@@ -60,21 +60,23 @@ class KMeansSpec extends SparkSpec {
     assert(lloyd == again, "Lloyd assignment must be run-to-run deterministic")
   }
 
-  test("q57: sequence-embedding clustering is total, k-covering, deterministic") {
+  test("q57: sequence-embedding clustering certificate is total, bounded, deterministic") {
     // the M5 path end to end — q127's deterministic projection feeding
-    // kmeansCanonical; labels are library-specific (rows-only for the
-    // driver) so the partition CONTRACT is the gate here
+    // kmeansCanonical; q57's output is the bounded-quality certificate
+    // (exact arms + within-bound booleans) the driver hash-gates
     val parts = Tables.lineitem(spark, sf("sf0.001"))
       .select(col("l_partkey")).distinct().count()
-    val rows = SparkEntry.queries("q57_kmeans_embeddings")(spark, sf("sf0.001"))
-      .collect().map(r => (r.getInt(0), r.getLong(1)))
-    assert(rows.map(_._1).toSeq == (0 until 10), "canonical ids must be 0..k-1")
-    assert(rows.map(_._2).sum == parts, "every part must be assigned exactly once")
-    assert(rows.map(_._2).toSeq == rows.map(_._2).sortBy(-_).toSeq,
-      "canonical ids must be ordered by descending cluster size")
-    val again = SparkEntry.queries("q57_kmeans_embeddings")(spark, sf("sf0.001"))
-      .collect().map(r => (r.getInt(0), r.getLong(1)))
-    assert(rows.sameElements(again), "clustering must be run-to-run deterministic")
+    val rows = SparkEntry.queries("q57_kmeans_embeddings")(spark, sf("sf0.001")).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[Long]("n_parts") == parts, "every part must be assigned exactly once")
+    assert(r.getAs[Long]("n_clusters") == 10L, "all 10 MLlib clusters must be non-empty")
+    assert(r.getAs[Boolean]("wss_ok"),
+      "converged MLlib WSS must be within 5% of the 5-iteration Lloyd WSS")
+    assert(r.getAs[Boolean]("ari_floor_ok"),
+      "exact-integer ARI vs the Lloyd partition must stay >= 0.10")
+    val again = SparkEntry.queries("q57_kmeans_embeddings")(spark, sf("sf0.001")).collect()
+    assert(rows.sameElements(again), "the certificate must be run-to-run deterministic")
   }
 
   test("kmeans on the embeddings table is total, k-covering, deterministic") {

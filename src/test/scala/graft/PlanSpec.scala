@@ -154,11 +154,15 @@ class PlanSpec extends SparkSpec {
       s"train side must stream, never sort-merge against eval:\n$p")
   }
 
-  test("approx column profile folds sketches without an Expand (q114)") {
+  test("approx column profile folds sketches without an Expand (q114 production shape)") {
     // q106's exact multi-distinct costs a ×6 row amplification; the
-    // approx variant is the declared 100 TB path and must keep the
-    // single unamplified scan
-    val p = plan("q114_approx_profile")
+    // sketch-only profile is the declared 100 TB path and must keep
+    // the single unamplified scan. The REGISTERED q114 is the
+    // bounded-error certificate (it deliberately adds the exact arms,
+    // and with them the Expand); the production surface it certifies
+    // is approxProfileSketch, pinned here.
+    val p = graft.operators.Warehouse.approxProfileSketch(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
     assert(!p.contains("Expand"), s"approx profile must not Expand:\n$p")
     val scans = p.linesIterator.count(l => l.contains("FileScan") && l.contains("lineitem"))
     assert(scans == 1, s"approx profile must scan lineitem once, found $scans:\n$p")
