@@ -253,7 +253,10 @@ object Warehouse {
       key: String,
       salts: Int,
       threshold: Double): (org.apache.spark.sql.DataFrame, Boolean) = {
-    val salted = topKeyShare(fact, key) > threshold
+    // threshold <= 0 means "force the salted arm": any share beats it,
+    // so the profiling aggregate would be a wasted full pass over the
+    // fact — skip it (this pass was q137's round-10 0.3 s regression)
+    val salted = threshold <= 0.0 || topKeyShare(fact, key) > threshold
     if (!salted) (fact.join(dim, Seq(key)), false)
     else {
       val f = fact.withColumn(
