@@ -853,6 +853,184 @@ object Graph {
     ORDER BY w.part_id"""
   }
 
+  // ---------------------------------------------------------------
+  // q167: delivery-time incremental triangle census — the census
+  // family's delta verb (q159's lifecycle applied to q151). Batch
+  // triangle counting is the library's one declared superlinear
+  // operator (O(m^1.5)); re-running it per delivery batch is exactly
+  // what a 100 TB graph cannot afford. Instead the standing corpus
+  // (90% md5 bucket of ORDERS) pays the census ONCE into a pinned
+  // index (edge snapshot + base census stats), and a delivery costs
+  // only delta-bounded work via the exact inclusion-exclusion
+  //   T_merged = T_base + S − A + T3
+  // where, with Δ the delta edges NOT already in the base edge set,
+  //   S  = Σ_{(u,v)∈Δ} |N_M(u) ∩ N_M(v)|   (M = merged graph; counts
+  //        each new triangle once per Δ edge it contains: T1+2T2+3T3),
+  //   A  = # wedges of two Δ edges sharing a vertex whose closing
+  //        pair is in M (counts T2 + 3·T3),
+  //   T3 = triangles entirely inside Δ.
+  // Every term is an exact integer join-count; the oracle does NOT
+  // replay this algebra — it recounts BOTH censuses with the naive
+  // batch three-way join, so the gate proves the incremental identity
+  // equals a full recomputation (the q151 plan-independent-equality
+  // treatment, which is the strongest statement an incremental verb
+  // can make). Scale shape: S streams the delta adjacency against the
+  // index-read merged edge list (edge-linear read, delta-bounded
+  // output); A and T3 are delta-sized self-joins; nothing re-runs the
+  // O(m^1.5) wedge enumeration at delivery time.
+  // ---------------------------------------------------------------
+
+  /** Delta-side arithmetic of the incremental census against the
+    * PINNED base adjacency-array table (node, nbrs): 1 row
+    * (n_edges_delta_new, tri_touched). The serving plan never
+    * materializes the merged edge set — merged neighbor arrays are
+    * built only for DELTA-TOUCHED nodes (base array ∪ delta array),
+    * S is a per-delta-edge `array_intersect` size (zero row
+    * amplification — the edge-list formulation fanned out to
+    * Σ_Δ deg(u) ≈ 14.7M rows at sf0.1 and its semi-join dominated
+    * the serve), A checks wedge closure via `array_contains` on the
+    * touched arrays, and T3 is a delta-only three-way join.
+    */
+  private[graft] def triangleDeltaFromArrays(arrB: DataFrame, undD: DataFrame): DataFrame = {
+    val emptyArr = typedLit(Seq.empty[Long])
+    // an edge already in the base adds nothing: membership via the
+    // u-side base array (delta-sized join against the node-sized table)
+    val deltaNew = undD.select(col("u"), col("v"))
+      .join(arrB.select(col("node").as("u"), col("nbrs").as("nbu")), Seq("u"), "left")
+      .filter(col("nbu").isNull || !array_contains(col("nbu"), col("v")))
+      .select(col("u"), col("v"))
+      .cache()
+    val adjD = deltaNew.select(col("u").as("node"), col("v").as("nb"))
+      .unionByName(deltaNew.select(col("v").as("node"), col("u").as("nb")))
+    val arrD = adjD.groupBy(col("node")).agg(collect_set(col("nb")).as("dnbrs"))
+    val touched = arrD.join(arrB, Seq("node"), "left")
+      .select(col("node"),
+        array_union(coalesce(col("nbrs"), emptyArr), col("dnbrs")).as("mnbrs"))
+      .cache()
+    val sCnt = deltaNew
+      .join(touched.select(col("node").as("u"), col("mnbrs").as("nu")), Seq("u"))
+      .join(touched.select(col("node").as("v"), col("mnbrs").as("nv")), Seq("v"))
+      .select(size(array_intersect(col("nu"), col("nv"))).cast(LongType).as("cn"))
+      .agg(sum(col("cn")).as("s_cnt"))
+    val aCnt = adjD.as("x").join(adjD.as("y"), col("x.node") === col("y.node"))
+      .filter(col("x.nb") < col("y.nb"))
+      .select(col("x.nb").as("p"), col("y.nb").as("q"))
+      .join(touched.select(col("node").as("p"), col("mnbrs")), Seq("p"))
+      .filter(array_contains(col("mnbrs"), col("q")))
+      .agg(count(lit(1)).as("a_cnt"))
+    val t3 = deltaNew.as("e1")
+      .join(deltaNew.as("e2"), col("e2.u") === col("e1.v"))
+      .join(deltaNew.as("e3"),
+        col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"))
+      .agg(count(lit(1)).as("t3"))
+    deltaNew.agg(count(lit(1)).as("n_edges_delta_new"))
+      .crossJoin(sCnt).crossJoin(aCnt).crossJoin(t3)
+      .select(
+        col("n_edges_delta_new"),
+        (coalesce(col("s_cnt"), lit(0L)) - col("a_cnt") + col("t3")).as("tri_touched"))
+  }
+
+  /** [[triangleDeltaFromArrays]] from explicit (u < v) edge lists —
+    * the unit GraphSpec drives on synthetic hand-checkable graphs.
+    */
+  private[graft] def triangleDelta(undB: DataFrame, undD: DataFrame): DataFrame =
+    triangleDeltaFromArrays(adjacencyArrays(undB), undD)
+
+  private def adjacencyArrays(und: DataFrame): DataFrame =
+    und.select(col("u").as("node"), col("v").as("nb"))
+      .unionByName(und.select(col("v").as("node"), col("u").as("nb")))
+      .groupBy(col("node")).agg(collect_set(col("nb")).as("nbrs"))
+
+  /** The pinned base index, built ONCE per (JVM, dataset): the 90%
+    * bucket's adjacency-array table and its census stats, committed
+    * as two snapshot tables (q159's first-run-pays-index lifecycle).
+    * Serving reads the PINNED versions only.
+    */
+  private val triIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  private[graft] def baseTriIndex(s: SparkSession, d: String): (String, String) =
+    triIndexCache.computeIfAbsent(d, _ => {
+      val bli = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pid"))
+        .filter(graft.functions.TextFns.h60(col("l_orderkey").cast("string")) % 100 < 90)
+      val undB = edgesOf(bli)
+        .filter(col("src") < col("dst"))
+        .select(col("src").as("u"), col("dst").as("v"))
+        .repartition(col("u"))
+        .cache()
+      val stats = trianglesOf(undB).select(col("n_edges"), col("n_triangles"))
+      val arDir = graft.Scratch.fresh("itra_")
+      val stDir = graft.Scratch.fresh("itrs_")
+      Snapshots.commit(adjacencyArrays(undB), arDir, replace = true)
+      Snapshots.commit(stats, stDir, replace = true)
+      (arDir, stDir)
+    })
+
+  private[graft] def incrementalTriangles(s: SparkSession, d: String): DataFrame = {
+    val (arDir, stDir) = baseTriIndex(s, d)
+    // ---- serving side: everything below reads the PINNED index
+    val arrB = Snapshots.read(s, arDir)
+    val baseStats = Snapshots.read(s, stDir)
+    val dli = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pid"))
+      .filter(graft.functions.TextFns.h60(col("l_orderkey").cast("string")) % 100 >= 90)
+    val undD = edgesOf(dli)
+      .filter(col("src") < col("dst"))
+      .select(col("src").as("u"), col("dst").as("v"))
+    baseStats
+      .select(
+        col("n_edges").as("n_edges_base"),
+        col("n_triangles").as("n_triangles_base"))
+      .crossJoin(triangleDeltaFromArrays(arrB, undD))
+      .select(
+        col("n_edges_base"),
+        col("n_edges_delta_new"),
+        col("n_triangles_base"),
+        col("tri_touched").as("new_triangles"),
+        (col("n_triangles_base") + col("tri_touched")).as("n_triangles"))
+  }
+
+  /** Oracle: the base and merged censuses recounted from scratch with
+    * the naive three-way join (NO incremental algebra — the gate is
+    * incremental-equals-batch). Every multiply-referenced CTE
+    * materialized (see [[kcoreSql]]).
+    */
+  private[graft] val incrementalTrianglesSql: String = {
+    val h = graft.functions.TextFns.Sql.h60("CAST(l_orderkey AS VARCHAR)")
+    s"""
+    WITH bli AS MATERIALIZED (
+      SELECT l_orderkey AS ok, l_partkey AS pid FROM lineitem
+      WHERE ($h % 100) < 90),
+    undb AS MATERIALIZED (
+      SELECT DISTINCT a.pid AS u, b.pid AS v
+      FROM bli a JOIN bli b ON a.ok = b.ok AND a.pid < b.pid),
+    dli AS MATERIALIZED (
+      SELECT l_orderkey AS ok, l_partkey AS pid FROM lineitem
+      WHERE ($h % 100) >= 90),
+    deltanew AS MATERIALIZED (
+      SELECT DISTINCT a.pid AS u, b.pid AS v
+      FROM dli a JOIN dli b ON a.ok = b.ok AND a.pid < b.pid
+      EXCEPT
+      SELECT u, v FROM undb),
+    m AS MATERIALIZED (
+      SELECT u, v FROM undb UNION ALL SELECT u, v FROM deltanew),
+    trib AS (SELECT CAST(COUNT(*) AS BIGINT) AS n
+             FROM undb e1
+             JOIN undb e2 ON e1.v = e2.u
+             JOIN undb e3 ON e3.u = e1.u AND e3.v = e2.v),
+    trim AS (SELECT CAST(COUNT(*) AS BIGINT) AS n
+             FROM m e1
+             JOIN m e2 ON e1.v = e2.u
+             JOIN m e3 ON e3.u = e1.u AND e3.v = e2.v)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM undb) AS n_edges_base,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM deltanew) AS n_edges_delta_new,
+           trib.n AS n_triangles_base,
+           trim.n - trib.n AS new_triangles,
+           trim.n AS n_triangles
+    FROM trib CROSS JOIN trim"""
+  }
+
   val all: Seq[Q] = Seq(
     Q("q149_gat_embedding", (s, d) => gatEmbedding(s, d), Some(gatEmbeddingSql)),
     Q("q150_pagerank", (s, d) => pagerank(s, d), Some(pagerankSql)),
@@ -861,6 +1039,8 @@ object Graph {
       Some(personalizedPagerankSql)),
     Q("q157_kcore", (s, d) => kcore(s, d), Some(kcoreSql)),
     Q("q159_incremental_pagerank", (s, d) => incrementalPagerank(s, d),
-      Some(incrementalPagerankSql))
+      Some(incrementalPagerankSql)),
+    Q("q167_incremental_triangles", (s, d) => incrementalTriangles(s, d),
+      Some(incrementalTrianglesSql))
   )
 }

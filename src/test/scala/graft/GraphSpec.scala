@@ -108,6 +108,40 @@ class GraphSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  // --- q167 incremental triangles ----------------------------------
+
+  test("triangle delta: exercises all three inclusion-exclusion terms by hand") {
+    // base: path 1—2—3 plus edge (4,5). delta adds (1,3) [closes a
+    // T1 triangle via two base edges], (2,4) and (2,5) [two delta
+    // edges at center 2 whose closing pair (4,5) is base → a T2
+    // triangle], and the delta-only triangle (6,7),(7,8),(6,8) [T3].
+    // Duplicate delta edge (1,2) must be ignored (already in base).
+    val base = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("u", "v")
+    val delta = Seq((1L, 3L), (2L, 4L), (2L, 5L), (6L, 7L), (7L, 8L), (6L, 8L), (1L, 2L))
+      .toDF("u", "v")
+    val r = Graph.triangleDelta(base, delta).collect().head
+    assert(r.getAs[Long]("n_edges_delta_new") == 6L, "the (1,2) duplicate must not count")
+    assert(r.getAs[Long]("tri_touched") == 3L, "one T1 + one T2 + one T3 triangle")
+    spark.catalog.clearCache()
+  }
+
+  test("incremental triangles equal the batch census on the corpus (sf0.001)") {
+    val d = sf("sf0.001")
+    val out = SparkEntry.queries("q167_incremental_triangles")(spark, d).collect().head
+    val batch = Graph.trianglesOf(
+      Graph.coEdges(spark, d)
+        .filter(col("src") < col("dst"))
+        .select(col("src").as("u"), col("dst").as("v"))).collect().head
+    assert(out.getAs[Long]("n_triangles") == batch.getAs[Long]("n_triangles"),
+      "incremental total must equal the batch recount of the merged graph")
+    assert(out.getAs[Long]("n_edges_base") + out.getAs[Long]("n_edges_delta_new")
+      == batch.getAs[Long]("n_edges"),
+      "base + new delta edges must partition the merged edge set")
+    assert(out.getAs[Long]("new_triangles")
+      == out.getAs[Long]("n_triangles") - out.getAs[Long]("n_triangles_base"))
+    spark.catalog.clearCache()
+  }
+
   // --- q156 personalized pagerank ----------------------------------
 
   /** Plain-Scala replay of the fixed-point PPR recurrence — the
