@@ -43,6 +43,12 @@ object GenData {
     val src = args(0)
     val out = args(1)
     val copies = if (args.length > 2) args(2).toInt else 10
+    // optional 4th arg: comma-separated table subset (e.g.
+    // "lineitem,orders" for a graph-only sweep) — the sf10 probe wants
+    // 10x the graph inputs without paying the documents token shuffle
+    val only: Option[Set[String]] =
+      if (args.length > 3) Some(args(3).split(",").map(_.trim).toSet) else None
+    def wanted(t: String): Boolean = only.forall(_.contains(t))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -78,15 +84,17 @@ object GenData {
         .select(df.columns.toIndexedSeq.map(col): _*)
     }
 
-    write(read("region"), "region")
-    write(read("nation"), "nation")
-    write(shifted("customer", Seq("c_custkey")), "customer")
-    write(shifted("supplier", Seq("s_suppkey")), "supplier")
-    write(shifted("part", Seq("p_partkey")), "part")
-    write(shifted("orders", Seq("o_orderkey", "o_custkey")), "orders")
-    write(shifted("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey")), "lineitem")
-    write(shifted("events", Seq("event_id", "user_id")), "events")
+    if (wanted("region")) write(read("region"), "region")
+    if (wanted("nation")) write(read("nation"), "nation")
+    if (wanted("customer")) write(shifted("customer", Seq("c_custkey")), "customer")
+    if (wanted("supplier")) write(shifted("supplier", Seq("s_suppkey")), "supplier")
+    if (wanted("part")) write(shifted("part", Seq("p_partkey")), "part")
+    if (wanted("orders")) write(shifted("orders", Seq("o_orderkey", "o_custkey")), "orders")
+    if (wanted("lineitem"))
+      write(shifted("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey")), "lineitem")
+    if (wanted("events")) write(shifted("events", Seq("event_id", "user_id")), "events")
 
+    if (wanted("documents")) {
     val docs = read("documents")
     val extra = docs.crossJoin(cps.filter(col("cp") >= 1))
     val salted = extra
@@ -120,7 +128,9 @@ object GenData {
         col("doc_id"), col("text"), col("lang"), col("source"),
         length(col("text")).cast("long").as("n_chars"))
     write(docs.unionByName(shuffledText), "documents")
+    }
 
+    if (wanted("embeddings")) {
     val emb = read("embeddings")
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
     val rotated = emb.crossJoin(cps)
@@ -132,6 +142,7 @@ object GenData {
             expr("slice(embedding, 1, CAST(cp AS INT))"))).as("embedding"),
         col("label"))
     write(rotated, "embeddings")
+    }
 
     spark.stop()
   }
