@@ -653,7 +653,17 @@ object Graph {
   /** [[triangles]]'s core over an explicit undirected (u < v) edge
     * list — the unit the spec drives on synthetic graphs.
     */
-  private[graft] def trianglesOf(undRaw: DataFrame): DataFrame = {
+  private[graft] def trianglesOf(undRaw: DataFrame): DataFrame =
+    triCensusRaw(undRaw).select(
+      col("n_nodes"), col("n_edges"), col("n_triangles"),
+      expr("(3 * n_triangles * 1000000) div wdg").as("global_cc_micro"))
+
+  /** The census with its raw wedge total (`wdg`) still exposed —
+    * [[trianglesOf]] folds it into the clustering coefficient; the
+    * sampled estimator (q168) needs it separately because the
+    * 1/p² wedge and 1/p³ triangle corrections scale differently.
+    */
+  private[graft] def triCensusRaw(undRaw: DataFrame): DataFrame = {
     val und = undRaw.cache()
     val deg = und.select(col("u").as("n"))
       .unionByName(und.select(col("v").as("n")))
@@ -684,9 +694,7 @@ object Graph {
       count(lit(1)).as("n_nodes"),
       sum(expr("(dg * (dg - 1)) div 2")).as("wdg"))
     nn.crossJoin(sizes).crossJoin(tri)
-      .select(
-        col("n_nodes"), col("n_edges"), col("n_triangles"),
-        expr("(3 * n_triangles * 1000000) div wdg").as("global_cc_micro"))
+      .select(col("n_nodes"), col("n_edges"), col("n_triangles"), col("wdg"))
   }
 
   private[graft] val trianglesSql: String =
@@ -707,6 +715,82 @@ object Graph {
            CAST((3 * t.n_triangles * 1000000) // NULLIF(w.wdg, 0) AS BIGINT)
              AS global_cc_micro
     FROM tri t CROSS JOIN wdg w"""
+
+  // ---------------------------------------------------------------
+  // q168: edge-sampled triangle census (DOULION) — the declared
+  // approximate scale path for the O(m^1.5) exact census
+  // ---------------------------------------------------------------
+
+  /** Edge-sampling keep probability, percent. p = 1/4 cuts the wedge
+    * join (the census's dominant O(m^1.5) term) by p^1.5 = 8× while
+    * the estimator variance stays O(1/(p³·T)) — negligible on any
+    * graph whose census is worth approximating (T ≫ 64).
+    */
+  private[graft] val TriSampleP = 25
+
+  /** Approximate triangle census via deterministic edge sampling —
+    * Tsourakakis/DOULION: keep each undirected edge iff an md5 toss
+    * on its endpoint pair lands below p, run the EXACT degree-ordered
+    * kernel on the survivor graph, and scale counts back by 1/p³
+    * (each triangle survives with p³) and wedges by 1/p² — unbiased,
+    * and every toss replays identically in the oracle, so the gate is
+    * full hash parity, not a tolerance band. This is q151's declared
+    * scale path: at 100 TB the exact census's wedge join is the one
+    * superlinear stage in the library (measured α 0.90); sampling is
+    * how a production census survives a hub-heavy co-purchase graph
+    * when the exact form breaches the batch budget, with q151 kept as
+    * the correctness anchor (the q106-exact/q114-approx pattern).
+    * Reference anchor: the co-purchase graph the reference feeds its
+    * GAT (/root/reference/src/models/GAT.py:18-25) — census = the
+    * structure report a graph ETL tier publishes alongside it.
+    */
+  private[graft] def sampledTriangles(s: SparkSession, d: String): DataFrame =
+    sampledTrianglesOf(coEdges(s, d)
+      .filter(col("src") < col("dst"))
+      .select(col("src").as("u"), col("dst").as("v")))
+
+  private[graft] def sampledTrianglesOf(undRaw: DataFrame): DataFrame = {
+    val p = TriSampleP
+    val sampled = undRaw.filter(
+      graft.functions.TextFns.h60(
+        concat_ws(":", col("u"), col("v"))) % 100 < p)
+    // 1/p³ = 64, 1/p² = 16 at p = 1/4; cc widens through DECIMAL(38,0)
+    // before the single integer div (3·T/p³ can pass int64 on a 100 TB
+    // graph — same overflow class the q166 ARI fix covered)
+    triCensusRaw(sampled).select(
+      col("n_edges").as("n_edges_sampled"),
+      (col("n_edges") * lit(4L)).as("n_edges_est"),
+      col("n_triangles").as("n_triangles_sampled"),
+      (col("n_triangles") * lit(64L)).as("n_triangles_est"),
+      expr("""(CAST(n_triangles AS DECIMAL(38,0)) * 64 * 3 * 1000000)
+              div (CAST(wdg AS DECIMAL(38,0)) * 16)""")
+        .cast("long").as("global_cc_est_micro"))
+  }
+
+  private[graft] val sampledTrianglesSql: String = {
+    val toss = graft.functions.TextFns.Sql.h60(
+      "CAST(u AS VARCHAR) || ':' || CAST(v AS VARCHAR)")
+    s"""
+    WITH $coEdgesSql,
+    und0 AS (SELECT src AS u, dst AS v FROM ed0 WHERE src < dst),
+    und AS (SELECT u, v FROM und0 WHERE $toss % 100 < $TriSampleP),
+    deg AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS dg
+            FROM (SELECT u AS n FROM und UNION ALL SELECT v AS n FROM und)
+            GROUP BY n),
+    tri AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+            FROM und e1
+            JOIN und e2 ON e1.v = e2.u
+            JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v),
+    wdg AS (SELECT CAST(SUM((dg * (dg - 1)) // 2) AS BIGINT) AS wdg FROM deg)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM und) AS n_edges_sampled,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM und) * 4 AS n_edges_est,
+           t.n_triangles AS n_triangles_sampled,
+           t.n_triangles * 64 AS n_triangles_est,
+           CAST((CAST(t.n_triangles AS HUGEINT) * 64 * 3 * 1000000)
+                // NULLIF(CAST(w.wdg AS HUGEINT) * 16, 0) AS BIGINT)
+             AS global_cc_est_micro
+    FROM tri t CROSS JOIN wdg w"""
+  }
 
   // ---------------------------------------------------------------
   // q159: delivery-time incremental PageRank (warm start from a
@@ -1041,6 +1125,8 @@ object Graph {
     Q("q159_incremental_pagerank", (s, d) => incrementalPagerank(s, d),
       Some(incrementalPagerankSql)),
     Q("q167_incremental_triangles", (s, d) => incrementalTriangles(s, d),
-      Some(incrementalTrianglesSql))
+      Some(incrementalTrianglesSql)),
+    Q("q168_sampled_triangles", (s, d) => sampledTriangles(s, d),
+      Some(sampledTrianglesSql))
   )
 }

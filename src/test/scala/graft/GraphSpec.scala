@@ -108,6 +108,52 @@ class GraphSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  // --- q168 sampled triangles --------------------------------------
+
+  test("sampled triangles: survivor census and 1/p scalings replay in BigInt") {
+    // K6: 20 triangles, 15 edges — big enough that the p=25% md5 toss
+    // keeps a nonempty survivor graph deterministically
+    val und = (1L to 6L).flatMap(a => (a + 1 to 6L).map(a -> _)).toDF("u", "v")
+    val r = Graph.sampledTrianglesOf(und).collect().head
+    // replay the toss in plain Scala against the same md5 primitive
+    val kept = (1L to 6L).flatMap(a => (a + 1 to 6L).map(a -> _)).filter { case (u, v) =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$u:$v".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16) % 100 < Graph.TriSampleP
+    }
+    val deg = kept.flatMap(e => Seq(e._1, e._2)).groupBy(identity).map(_._2.size.toLong)
+    val wdg = deg.map(d => d * (d - 1) / 2).sum
+    val ks = kept.toSet
+    val tris = (for {
+      (a, b) <- ks; (b2, c) <- ks if b2 == b && ks((a, c))
+    } yield (a, b, c)).size.toLong
+    assert(r.getAs[Long]("n_edges_sampled") == kept.size.toLong)
+    assert(r.getAs[Long]("n_edges_est") == kept.size.toLong * 4)
+    assert(r.getAs[Long]("n_triangles_sampled") == tris)
+    assert(r.getAs[Long]("n_triangles_est") == tris * 64)
+    val ccExp =
+      if (wdg == 0) null
+      else Long.box(((BigInt(tris) * 64 * 3 * 1000000) / (BigInt(wdg) * 16)).toLong)
+    assert(r.getAs[Any]("global_cc_est_micro") == ccExp,
+      s"cc must be the single widened integer div (wdg=$wdg tris=$tris)")
+    spark.catalog.clearCache()
+  }
+
+  test("sampled triangles: p=100 variant would equal the exact census (estimator sanity)") {
+    // the estimator's bias comes only from sampling; with every edge
+    // kept the scaled-down arithmetic must reproduce the exact kernel
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("u", "v")
+    val exact = Graph.trianglesOf(und).collect().head
+    val raw = Graph.triCensusRaw(und).collect().head
+    assert(raw.getAs[Long]("n_triangles") == exact.getAs[Long]("n_triangles"))
+    assert(
+      (BigInt(raw.getAs[Long]("n_triangles")) * 3 * 1000000 /
+        BigInt(raw.getAs[Long]("wdg"))).toLong
+        == exact.getAs[Long]("global_cc_micro"),
+      "trianglesOf is exactly triCensusRaw + the cc fold")
+    spark.catalog.clearCache()
+  }
+
   // --- q167 incremental triangles ----------------------------------
 
   test("triangle delta: exercises all three inclusion-exclusion terms by hand") {
