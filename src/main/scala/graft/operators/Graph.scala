@@ -57,7 +57,7 @@ object Graph {
     * The projected 2-column lineitem is cached because it feeds both
     * sides of the self-join (no exchange reuse across a self-join).
     */
-  private def edgesOf(liRaw: DataFrame): DataFrame = {
+  private[graft] def edgesOf(liRaw: DataFrame): DataFrame = {
     val li = liRaw.cache()
     li.select(col("ok"), col("pid").as("src"))
       .join(li.select(col("ok"), col("pid").as("dst")), "ok")
@@ -1115,6 +1115,207 @@ object Graph {
     FROM trib CROSS JOIN trim"""
   }
 
+  // ---------------------------------------------------------------
+  // q169: delivery-time incremental k-core — anchored promotion
+  // repair against a pinned core index (the LAST graph surface to get
+  // a delta verb; q159 = PageRank, q167 = census, q169 = cohesion).
+  //
+  // Additions-only deltas grow the k-core monotonically (the base
+  // core has min-degree ≥ k in a subgraph of the merged graph, so it
+  // sits inside the merged core by maximality) — the pinned base core
+  // is therefore ANCHORED: never re-peeled, only joined. Everything
+  // that can change membership lives in the affected closure A: the
+  // connected region of base-NON-core nodes reachable from a delta
+  // endpoint through edges whose BOTH endpoints are non-core. Proof
+  // sketch (the spec pins the cascade fixture): a non-core node
+  // outside A has no delta edge and no neighbor in A, so its merged
+  // neighborhood within (core ∪ outside-A non-core) is its base
+  // neighborhood — if that set had min-degree ≥ k the base core was
+  // not maximal. Delivery therefore peels ONLY A, each node supported
+  // by its FIXED count of anchored-core neighbors (cdeg) plus its
+  // surviving A-neighbors — the corpus-sized graph is read in three
+  // iteration-free linear passes (delta dedup, cdeg, final degrees)
+  // while every peel round runs on the tiny A-induced subgraph; the
+  // batch form re-scans the full graph 3× per round × 5 rounds.
+  //
+  // The oracle does NOT replay the repair — it re-peels base AND
+  // merged graphs from scratch (q167's incremental-equals-batch
+  // treatment). Fixed closure/peel round counts keep it replayable;
+  // the q157 convergence certificate (GraphSpec) covers the merged
+  // graph — which IS q157's graph, base ∪ delta partitioning all
+  // co-purchase edges — and the spec adds the base-bucket twin.
+  // ---------------------------------------------------------------
+
+  private[graft] val ClosureRounds = 5
+
+  private val coreIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  /** Pinned (edge snapshot, core snapshot) of the 90% standing bucket
+    * — first run pays the batch peel, every delivery reads it.
+    */
+  private[graft] def baseCoreIndex(s: SparkSession, d: String): (String, String) =
+    coreIndexCache.computeIfAbsent(d, _ => {
+      val bli = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pid"))
+        .filter(graft.functions.TextFns.h60(col("l_orderkey").cast("string")) % 100 < 90)
+      val undB = edgesOf(bli)
+        .filter(col("src") < col("dst"))
+        .select(col("src").as("u"), col("dst").as("v"))
+        .repartition(col("u"))
+        .cache()
+      val core = kcoreOf(undB)
+      val edDir = graft.Scratch.fresh("ikce_")
+      val coDir = graft.Scratch.fresh("ikcc_")
+      Snapshots.commit(undB, edDir, replace = true)
+      Snapshots.commit(core, coDir, replace = true)
+      (edDir, coDir)
+    })
+
+  /** The repair core over explicit frames — the unit GraphSpec drives
+    * on the hand-built promotion/cascade fixtures. `coreB` is the base
+    * k-core NODE set (anchored); returns the merged core as
+    * (part_id, core_deg, in_base_core) ordered by part_id.
+    */
+  private[graft] def kcoreDelta(
+      undB: DataFrame, coreB: DataFrame, undD: DataFrame): DataFrame = {
+    val coreNodes = coreB.select(col("part_id").as("n"))
+    // delta edges not already in the base edge set (q167's dedup rule)
+    val deltaNew = undD.select(col("u"), col("v"))
+      .join(undB, Seq("u", "v"), "left_anti")
+      .cache()
+    val merged = undB.unionByName(deltaNew)
+    // cascade channel: merged edges with BOTH endpoints outside the
+    // anchored core — tiny by construction (the core holds the dense
+    // mass; this is the loose fringe)
+    val nonCoreEdges = merged
+      .join(coreNodes.withColumnRenamed("n", "u"), Seq("u"), "left_anti")
+      .join(coreNodes.withColumnRenamed("n", "v"), Seq("v"), "left_anti")
+      .cache()
+    val dEnds = deltaNew.select(col("u").as("n"))
+      .unionByName(deltaNew.select(col("v").as("n"))).distinct()
+    var aset = dEnds.join(coreNodes, Seq("n"), "left_anti")
+      .localCheckpoint(true)
+    for (_ <- 1 to ClosureRounds) {
+      val nbrs = nonCoreEdges
+        .join(aset.withColumnRenamed("n", "u"), Seq("u"), "left_semi")
+        .select(col("v").as("n"))
+        .unionByName(nonCoreEdges
+          .join(aset.withColumnRenamed("n", "v"), Seq("v"), "left_semi")
+          .select(col("u").as("n")))
+      // A is fringe-sized; the eager per-round checkpoint is the q84
+      // connected-components cost class, not a corpus scan
+      aset = aset.unionByName(nbrs).distinct().localCheckpoint(true)
+    }
+    // fixed anchored support: neighbors IN the core, per A node — one
+    // edge-linear read, A-sized output
+    val cdeg = merged
+      .join(aset.withColumnRenamed("n", "u"), Seq("u"), "left_semi")
+      .join(coreNodes.withColumnRenamed("n", "v"), Seq("v"), "left_semi")
+      .select(col("u").as("n"))
+      .unionByName(merged
+        .join(aset.withColumnRenamed("n", "v"), Seq("v"), "left_semi")
+        .join(coreNodes.withColumnRenamed("n", "u"), Seq("u"), "left_semi")
+        .select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("cdeg"))
+    var surv = aset.join(cdeg, Seq("n"), "left")
+      .select(col("n"), coalesce(col("cdeg"), lit(0L)).as("cdeg"))
+      .localCheckpoint(true)
+    var eA = nonCoreEdges
+      .join(aset.withColumnRenamed("n", "u"), Seq("u"), "left_semi")
+      .join(aset.withColumnRenamed("n", "v"), Seq("v"), "left_semi")
+      .localCheckpoint(true)
+    for (_ <- 1 to PeelRounds) {
+      val adeg = eA.select(col("u").as("n"))
+        .unionByName(eA.select(col("v").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("adeg"))
+      val kept = surv.join(adeg, Seq("n"), "left")
+        .filter(col("cdeg") + coalesce(col("adeg"), lit(0L)) >= CoreK)
+        .select(col("n"), col("cdeg"))
+      eA = eA
+        .join(kept.select(col("n").as("u")), Seq("u"), "left_semi")
+        .join(kept.select(col("n").as("v")), Seq("v"), "left_semi")
+        .localCheckpoint(true)
+      surv = kept.localCheckpoint(true)
+    }
+    val finalNodes = coreNodes.unionByName(surv.select(col("n"))).cache()
+    // final degrees over the merged graph restricted to the merged
+    // core — the one remaining corpus-linear pass (base-core degrees
+    // shift when delta edges land inside the core or promotions attach)
+    val coreEdges = merged
+      .join(finalNodes.withColumnRenamed("n", "u"), Seq("u"), "left_semi")
+      .join(finalNodes.withColumnRenamed("n", "v"), Seq("v"), "left_semi")
+    coreEdges.select(col("u").as("n")).unionByName(coreEdges.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("core_deg"))
+      .join(coreNodes.withColumn("in_base_core", lit(true)), Seq("n"), "left")
+      .select(
+        col("n").as("part_id"), col("core_deg"),
+        coalesce(col("in_base_core"), lit(false)).as("in_base_core"))
+      .orderBy(col("part_id"))
+  }
+
+  private[graft] def incrementalKcore(s: SparkSession, d: String): DataFrame = {
+    val (edDir, coDir) = baseCoreIndex(s, d)
+    val undB = Snapshots.read(s, edDir)
+    val coreB = Snapshots.read(s, coDir)
+    val dli = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pid"))
+      .filter(graft.functions.TextFns.h60(col("l_orderkey").cast("string")) % 100 >= 90)
+    val undD = edgesOf(dli)
+      .filter(col("src") < col("dst"))
+      .select(col("src").as("u"), col("dst").as("v"))
+    kcoreDelta(undB, coreB, undD)
+  }
+
+  /** Oracle: base AND merged graphs re-peeled from scratch with the
+    * fixed-round batch form (incremental-equals-batch, q167's gate);
+    * the merged graph is exactly q157's, so its convergence
+    * certificate carries over. Every iterated CTE materialized.
+    */
+  private[graft] val incrementalKcoreSql: String = {
+    val h = graft.functions.TextFns.Sql.h60("CAST(l_orderkey AS VARCHAR)")
+    def peel(pfx: String, src: String): String =
+      (1 to PeelRounds).map { i =>
+        val prev = if (i == 1) src else s"${pfx}und${i - 1}"
+        s"""${pfx}dg$i AS MATERIALIZED (SELECT n, CAST(COUNT(*) AS BIGINT) AS dg
+               FROM (SELECT u AS n FROM $prev UNION ALL SELECT v AS n FROM $prev)
+               GROUP BY n),
+           ${pfx}kp$i AS MATERIALIZED (SELECT n FROM ${pfx}dg$i WHERE dg >= $CoreK),
+           ${pfx}und$i AS MATERIALIZED (SELECT e.u, e.v FROM $prev e
+                 WHERE e.u IN (SELECT n FROM ${pfx}kp$i)
+                   AND e.v IN (SELECT n FROM ${pfx}kp$i))"""
+      }.mkString(",\n    ")
+    s"""
+    WITH bli AS MATERIALIZED (
+      SELECT l_orderkey AS ok, l_partkey AS pid FROM lineitem
+      WHERE ($h % 100) < 90),
+    undb AS MATERIALIZED (
+      SELECT DISTINCT a.pid AS u, b.pid AS v
+      FROM bli a JOIN bli b ON a.ok = b.ok AND a.pid < b.pid),
+    dli AS MATERIALIZED (
+      SELECT l_orderkey AS ok, l_partkey AS pid FROM lineitem
+      WHERE ($h % 100) >= 90),
+    deltanew AS MATERIALIZED (
+      SELECT DISTINCT a.pid AS u, b.pid AS v
+      FROM dli a JOIN dli b ON a.ok = b.ok AND a.pid < b.pid
+      EXCEPT
+      SELECT u, v FROM undb),
+    m AS MATERIALIZED (
+      SELECT u, v FROM undb UNION ALL SELECT u, v FROM deltanew),
+    ${peel("b", "undb")},
+    ${peel("m", "m")},
+    basecore AS MATERIALIZED (
+      SELECT DISTINCT n FROM
+        (SELECT u AS n FROM bund$PeelRounds UNION ALL SELECT v AS n FROM bund$PeelRounds)),
+    mdeg AS MATERIALIZED (
+      SELECT n, CAST(COUNT(*) AS BIGINT) AS core_deg FROM
+        (SELECT u AS n FROM mund$PeelRounds UNION ALL SELECT v AS n FROM mund$PeelRounds)
+      GROUP BY n)
+    SELECT m.n AS part_id, m.core_deg, (b.n IS NOT NULL) AS in_base_core
+    FROM mdeg m LEFT JOIN basecore b ON m.n = b.n
+    ORDER BY m.n"""
+  }
+
   val all: Seq[Q] = Seq(
     Q("q149_gat_embedding", (s, d) => gatEmbedding(s, d), Some(gatEmbeddingSql)),
     Q("q150_pagerank", (s, d) => pagerank(s, d), Some(pagerankSql)),
@@ -1127,6 +1328,8 @@ object Graph {
     Q("q167_incremental_triangles", (s, d) => incrementalTriangles(s, d),
       Some(incrementalTrianglesSql)),
     Q("q168_sampled_triangles", (s, d) => sampledTriangles(s, d),
-      Some(sampledTrianglesSql))
+      Some(sampledTrianglesSql)),
+    Q("q169_incremental_kcore", (s, d) => incrementalKcore(s, d),
+      Some(incrementalKcoreSql))
   )
 }

@@ -188,6 +188,64 @@ class GraphSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  // --- q169 incremental k-core --------------------------------------
+
+  test("kcore delta: promotion cascade, anchored support, and final degrees by hand") {
+    // base: K4 {1,2,3,4} (the core) + fringe 5,6 hanging off {1,2}
+    // and 8 hanging off {5,6} (peeled over TWO base rounds) + leaf 7.
+    // delta: (5,6) promotes 5 and 6 TOGETHER (each needs the other —
+    // the mutual-support case a naive greedy grow misses), the
+    // closure must pull 8 in through non-core edges and then re-peel
+    // it out (cdeg(8)=0), (2,7) raises 7 to deg 2 < 3 (not promoted),
+    // and the duplicate (1,2) must be ignored.
+    val base = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (1L, 5L), (2L, 5L), (1L, 6L), (2L, 6L),
+      (5L, 8L), (6L, 8L), (1L, 7L)).toDF("u", "v")
+    val coreB = Graph.kcoreOf(base)
+    assert(coreB.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L, 4L),
+      "base core must be exactly the K4")
+    val delta = Seq((5L, 6L), (2L, 7L), (1L, 2L)).toDF("u", "v")
+    val out = Graph.kcoreDelta(base, coreB, delta).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(out == Seq(
+      (1L, 5L, true), (2L, 5L, true), (3L, 3L, true), (4L, 3L, true),
+      (5L, 3L, false), (6L, 3L, false)),
+      s"promotion/cascade/degree repair wrong: $out")
+    spark.catalog.clearCache()
+  }
+
+  test("incremental k-core equals the batch peel of the merged graph (sf0.001)") {
+    val d = sf("sf0.001")
+    val out = SparkEntry.queries("q169_incremental_kcore")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val batch = Graph.kcore(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == batch,
+      "anchored repair must reproduce the batch peel of base ∪ delta exactly")
+    spark.catalog.clearCache()
+  }
+
+  test("base-bucket peel converges within the fixed rounds (sf0.001) — the anchor's premise") {
+    // the anchored-repair identity assumes the pinned base core IS the
+    // base fixpoint; certify the 90% bucket like q157 certifies the
+    // full graph
+    val d = sf("sf0.001")
+    val bli = Tables.lineitem(spark, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pid"))
+      .filter(graft.functions.TextFns.h60(col("l_orderkey").cast("string")) % 100 < 90)
+    val undB = Graph.edgesOf(bli)
+      .filter(col("src") < col("dst"))
+      .select(col("src").as("u"), col("dst").as("v"))
+      .localCheckpoint(true)
+    val (fix, rounds) = Graph.kcoreFixpointOf(undB)
+    assert(rounds <= Graph.PeelRounds,
+      s"base bucket needs $rounds peel rounds; the pinned index uses ${Graph.PeelRounds}")
+    val fixed = Graph.kcoreOf(undB).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(fix.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == fixed)
+    spark.catalog.clearCache()
+  }
+
   // --- q156 personalized pagerank ----------------------------------
 
   /** Plain-Scala replay of the fixed-point PPR recurrence — the

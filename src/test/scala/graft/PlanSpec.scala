@@ -444,13 +444,14 @@ class PlanSpec extends SparkSpec {
       s"stratum filter must sit below (after in explain order) the first exchange:\n$p")
   }
 
-  test("graph module: every join is keyed — no cartesian product anywhere (q149/q150/q151/q152)") {
+  test("graph module: every join is keyed — no cartesian product anywhere (q149-q152, q167, q168)") {
     // the co-purchase edge build, the attention layers, the PageRank
     // iterations, the wedge enumeration, and the in-cell pairwise scan
     // are all equi-joins; a CartesianProduct (or a non-broadcast
     // nested loop) in any of them is the O(n²) plan these operators
     // exist to avoid
-    Seq("q149_gat_embedding", "q150_pagerank", "q151_triangle_count", "q152_semdedup")
+    Seq("q149_gat_embedding", "q150_pagerank", "q151_triangle_count", "q152_semdedup",
+      "q167_incremental_triangles", "q168_sampled_triangles")
       .foreach { q =>
         val p = plan(q)
         assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product:\n$p")
