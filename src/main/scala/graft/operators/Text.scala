@@ -2,7 +2,8 @@ package graft.operators
 
 import graft.{Q, Tables}
 import graft.functions.TextFns
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.IntegerType
 
@@ -37,6 +38,135 @@ object Text {
     "fr" -> Seq("filter", "merge", "sort"),
     "zh" -> Seq("spark", "batch", "stream")
   )
+
+  // ---------------------------------------------------------------
+  // q170: BPE-style merge-pair training — tokenizer induction as a
+  // corpus query. The q81/q94 surfaces APPLY a tokenization; this
+  // LEARNS one: the Sennrich BPE loop (count adjacent pairs → merge
+  // the most frequent → repeat), run for a fixed round count over
+  // whitespace tokens, exactly the subword-vocabulary induction step
+  // of an LLM data pipeline. TRAINING cost class (rounds are
+  // inherently sequential, like the q56 Lloyd loop).
+  //
+  // Determinism/parity design:
+  //  - the winning pair is argmax(count) with (count DESC, pair ASC)
+  //    tie-break — a total order, replayed verbatim by the oracle;
+  //  - merged tokens are the SPACE-JOINED pair string (whitespace
+  //    tokens contain no spaces, so round-1 merges cannot collide; a
+  //    later bigram spanning a merged token flattens to the same
+  //    string in both engines — representational, deterministic);
+  //  - greedy left-to-right application over overlapping runs
+  //    ("a a a" merges positions 1-2, not 2-3) is the gaps-and-islands
+  //    window: consecutive match positions form a run, odd ranks
+  //    within a run apply — identical SQL semantics in both engines,
+  //    no fold over arrays (DuckDB's list_reduce cannot build lists).
+  //
+  // Scale shape: per round one corpus-linear shingle count, a top-1
+  // (TakeOrdered, no global sort materialization), two doc-keyed
+  // windows over the exploded positions (docs are bounded, so window
+  // partitions are), and a doc-keyed rebuild — no shuffle wider than
+  // the corpus, rounds sequenced by eager checkpoints (declared).
+  private[graft] val BpeRounds = 5
+
+  private[graft] def bpeTrain(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    bpeTrainOf(docs(s, d).select(col("doc_id"), col("tok")))
+
+  /** The merge-training loop over an explicit (doc_id, tok) frame —
+    * the unit CorpusOpsSpec drives on hand-checkable corpora.
+    */
+  private[graft] def bpeTrainOf(cur0: DataFrame): DataFrame = {
+    val wdoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    var cur = cur0.localCheckpoint(true)
+    var stats = Vector.empty[DataFrame]
+    for (i <- 1 to BpeRounds) {
+      val pick = cur
+        .select(explode(TextFns.shingles(col("tok"), 2)).as("pair"))
+        .groupBy(col("pair")).agg(count(lit(1)).as("pair_count"))
+        .orderBy(col("pair_count").desc, col("pair").asc)
+        .limit(1)
+        .localCheckpoint(true)
+      val ex = cur
+        .select(col("doc_id"), posexplode(col("tok")).as(Seq("pos", "t")))
+        .crossJoin(broadcast(pick))
+      val matches = ex
+        .withColumn("bigr", concat(col("t"), lit(" "), lead(col("t"), 1).over(wdoc)))
+        .filter(col("bigr") === col("pair"))
+        .select(col("doc_id"), col("pos"))
+      val applied = matches
+        .withColumn("grp", col("pos") - row_number().over(wdoc))
+        .withColumn("rn2",
+          row_number().over(Window.partitionBy(col("doc_id"), col("grp")).orderBy(col("pos"))))
+        .filter(col("rn2") % 2 === 1)
+        .select(col("doc_id"), col("pos"))
+        .localCheckpoint(true)
+      val rebuilt = ex
+        .join(applied.withColumn("ap", lit(true)), Seq("doc_id", "pos"), "left")
+        .join(
+          applied.select(col("doc_id"), (col("pos") + 1).as("pos"), lit(true).as("ab")),
+          Seq("doc_id", "pos"), "left")
+        .filter(col("ab").isNull)
+        .select(col("doc_id"), col("pos"),
+          when(col("ap"), col("pair")).otherwise(col("t")).as("t2"))
+        .groupBy(col("doc_id"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("t2")))),
+          x => x.getField("t2")).as("tok"))
+        .localCheckpoint(true)
+      stats :+= pick
+        .crossJoin(applied.agg(count(lit(1)).as("merges_applied")))
+        .crossJoin(rebuilt.agg(sum(size(col("tok"))).as("tokens_after")))
+        .select(
+          lit(i).as("merge_rank"), col("pair"), col("pair_count"),
+          col("merges_applied"), col("tokens_after"))
+      cur = rebuilt
+    }
+    stats.reduce(_.unionByName(_)).orderBy(col("merge_rank"))
+  }
+
+  private[graft] val bpeTrainSql: String = {
+    val rounds = (1 to BpeRounds).map { i =>
+      val prev = if (i == 1) "r0" else s"r${i - 1}"
+      s"""p$i AS MATERIALIZED (
+           SELECT s AS pair, CAST(COUNT(*) AS BIGINT) AS pair_count
+           FROM (SELECT unnest(${T.shingles("tok", 2)}) AS s FROM $prev)
+           GROUP BY s ORDER BY pair_count DESC, pair ASC LIMIT 1),
+         e$i AS MATERIALIZED (
+           SELECT doc_id, unnest(generate_series(1, len(tok))) AS pos, unnest(tok) AS t
+           FROM $prev),
+         a$i AS MATERIALIZED (
+           SELECT doc_id, pos FROM (
+             SELECT doc_id, pos,
+                    ROW_NUMBER() OVER (PARTITION BY doc_id, grp ORDER BY pos) AS rn2
+             FROM (SELECT m.doc_id, m.pos,
+                          m.pos - ROW_NUMBER() OVER (PARTITION BY m.doc_id ORDER BY m.pos) AS grp
+                   FROM (SELECT e.doc_id, e.pos,
+                                (e.t || ' ' || lead(e.t) OVER (PARTITION BY e.doc_id ORDER BY e.pos))
+                                  = p.pair AS is_m
+                         FROM e$i e CROSS JOIN p$i p) m
+                   WHERE m.is_m))
+           WHERE rn2 % 2 = 1),
+         r$i AS MATERIALIZED (
+           SELECT e.doc_id,
+                  list(CASE WHEN a.pos IS NOT NULL THEN p.pair ELSE e.t END ORDER BY e.pos) AS tok
+           FROM e$i e
+           CROSS JOIN p$i p
+           LEFT JOIN a$i a ON e.doc_id = a.doc_id AND e.pos = a.pos
+           LEFT JOIN a$i ab ON e.doc_id = ab.doc_id AND e.pos = ab.pos + 1
+           WHERE ab.pos IS NULL
+           GROUP BY e.doc_id),
+         st$i AS MATERIALIZED (
+           SELECT CAST($i AS INT) AS merge_rank, p.pair, p.pair_count,
+                  (SELECT CAST(COUNT(*) AS BIGINT) FROM a$i) AS merges_applied,
+                  (SELECT CAST(SUM(len(tok)) AS BIGINT) FROM r$i) AS tokens_after
+           FROM p$i p)"""
+    }.mkString(",\n    ")
+    val un = (1 to BpeRounds).map(i => s"SELECT * FROM st$i").mkString(" UNION ALL ")
+    s"""
+    WITH r0 AS MATERIALIZED (SELECT doc_id, ${T.tokens} AS tok FROM documents),
+    $rounds
+    SELECT merge_rank, pair, pair_count, merges_applied, tokens_after
+    FROM ($un) ORDER BY merge_rank"""
+  }
 
   val all: Seq[Q] = Seq(
     Q(
@@ -1194,6 +1324,11 @@ object Text {
                t.pii_docs,
                CAST(1000000 - g.conc AS BIGINT) AS lang_gini_micro
         FROM t, g""")
-    )
+    ),
+
+    // BPE-style merge-pair training (tokenizer induction): see
+    // [[bpeTrain]]
+    Q("q170_bpe_train", (s, d) => bpeTrain(s, d), Some(bpeTrainSql))
   )
+
 }

@@ -406,4 +406,29 @@ class CorpusOpsSpec extends SparkSpec {
       "standing query terms must be the index corpus's df ranks 10-17")
     spark.catalog.clearCache()
   }
+
+  test("q170 BPE training: tie-break, overlapping-run greedy, and re-merge by hand") {
+    import spark.implicits._
+    // doc 1 alternates (tests re-merging of already-merged tokens in
+    // rounds 2/3/5), doc 2 is a run of one token (tests the greedy
+    // left-to-right rule on overlapping matches AND the count tie:
+    // round 1 has "a a"=3 vs "a b"=3 → pair ASC must pick "a a"),
+    // doc 3 is inert filler that must survive untouched until its
+    // bigram is the last one standing.
+    val cur0 = Seq(
+      ("d1", Seq("a", "b", "a", "b", "a", "b")),
+      ("d2", Seq("a", "a", "a", "a")),
+      ("d3", Seq("c", "d"))).toDF("doc_id", "tok")
+    val out = graft.operators.Text.bpeTrainOf(cur0).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    assert(out == Seq(
+      (1, "a a", 3L, 2L, 10L),
+      (2, "a b", 3L, 3L, 7L),
+      (3, "a b a b", 2L, 1L, 6L),
+      (4, "a a a a", 1L, 1L, 5L),
+      (5, "a b a b a b", 1L, 1L, 4L)),
+      s"merge-training trace wrong: ${out.mkString(", ")}")
+    spark.catalog.clearCache()
+  }
 }
