@@ -22,6 +22,7 @@ object Prebuild {
     "graph_pr_index" -> ((s, d) => { operators.Graph.basePrIndex(s, d); () }),
     "graph_tri_index" -> ((s, d) => { operators.Graph.baseTriIndex(s, d); () }),
     "graph_core_index" -> ((s, d) => { operators.Graph.baseCoreIndex(s, d); () }),
+    "graph_cc_index" -> ((s, d) => { operators.Graph.baseCcIndex(s, d); () }),
     "selection_labels" -> ((s, d) => { operators.MLOps.selectionLabels(s, d); () }),
     "cluster_model" -> ((s, d) => { operators.MLOps.clusterModel(s, d); () }),
     "clustered_fact" -> ((s, d) => { operators.Warehouse.shipDateClusteredFact(s, d); () }),

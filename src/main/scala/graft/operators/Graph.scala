@@ -1316,6 +1316,313 @@ object Graph {
     ORDER BY m.n"""
   }
 
+  // ---------------------------------------------------------------
+  // q171: connected components (neighbor-min + pointer-jump rounds)
+  // ---------------------------------------------------------------
+
+  /** Label-propagation rounds for connected components. Each round is
+    * a neighbor-min (reach +1 hop) followed by a pointer jump
+    * lbl ← lbl[lbl] (reach ×2), so [[CcRounds]] = 5 rounds certify
+    * components of diameter ≥ 2⁵ — far past a co-purchase graph's
+    * (dense, hub-heavy, shallow). The fixed count keeps the oracle
+    * replayable CTE-for-CTE; [[ccFixpointOf]] is the convergence-
+    * certificate form (GraphSpec proves the two agree on the corpus,
+    * and pins a long-path fixture where insufficient rounds are
+    * DETECTABLE from the output alone: an edge whose endpoints carry
+    * different labels).
+    */
+  private[graft] val CcRounds = 5
+
+  /** Connected components of the undirected co-purchase graph: which
+    * products trade together AT ALL — the coarsest mix structure
+    * (q84's duplicate-cluster labeling is this verb on the dup-pair
+    * graph; here it is first-class on the product graph, with the
+    * pointer-jump rounds that make long chains converge in log time
+    * instead of diameter time — the 100 TB fix for pure min-label
+    * propagation). Output: every traded part with its component label
+    * (= the component's minimum part id once converged) and the
+    * component size. Node universe = DISTINCT l_partkey (q150's), so
+    * single-item-order parts surface as singletons.
+    */
+  private[graft] def connectedComponents(s: SparkSession, d: String): DataFrame = {
+    val nodes = Tables.lineitem(s, d).select(col("l_partkey").as("part_id")).distinct()
+    ccOf(nodes, undEdges(s, d))
+  }
+
+  /** [[connectedComponents]]'s core over explicit frames — the unit
+    * GraphSpec drives on synthetic graphs.
+    */
+  private[graft] def ccOf(nodes: DataFrame, undRaw: DataFrame): DataFrame = {
+    val lbl = ccLabels(nodes, undRaw, CcRounds).cache()
+    val sizes = lbl.groupBy(col("lbl")).agg(count(lit(1)).as("comp_n"))
+    lbl.join(sizes, Seq("lbl"))
+      .select(col("part_id"), col("lbl").as("comp"), col("comp_n"))
+      .orderBy(col("part_id"))
+  }
+
+  /** `rounds` alternating (neighbor-min, pointer-jump) rounds from
+    * lbl₀ = own id. Labels are ALWAYS live node ids (a min of ids), so
+    * the jump's self-join is total. The adjacency (both directions) is
+    * pinned on its probe key once and cached — per round only the
+    * node-sized label frame moves, the q150 shuffle discipline.
+    * Checkpoint cadence + progressive cache release per [[prIterate]].
+    */
+  private[graft] def ccLabels(nodes: DataFrame, undRaw: DataFrame, rounds: Int): DataFrame = {
+    // pinned on b — the label-fetch join key — so per round only the
+    // node-sized label frame shuffles to the edges, never the reverse
+    val adj = undRaw.select(col("u").as("a"), col("v").as("b"))
+      .unionByName(undRaw.select(col("v").as("a"), col("u").as("b")))
+      .repartition(col("b")).cache()
+    var lbl = nodes.select(col("part_id"), col("part_id").as("lbl"))
+      .localCheckpoint(true)
+    var toFree: List[DataFrame] = Nil
+    for (i <- 1 to rounds) {
+      val nbrMin = adj
+        .join(lbl.select(col("part_id").as("b"), col("lbl").as("lb")), Seq("b"))
+        .groupBy(col("a")).agg(min(col("lb")).as("nm"))
+      // neighbor-min (isolated nodes keep their own label) …
+      val m = lbl
+        .join(nbrMin.withColumnRenamed("a", "part_id"), Seq("part_id"), "left")
+        .select(col("part_id"),
+          least(col("lbl"), coalesce(col("nm"), col("lbl"))).as("lbl"))
+        .cache() // consumed twice by the jump's self-join
+      // … then pointer jump: lbl ← lbl[lbl]
+      val next = m
+        .join(m.select(col("part_id").as("lbl"), col("lbl").as("l2")), Seq("lbl"))
+        .select(col("part_id"), col("l2").as("lbl"))
+      if (i % 2 == 0 && i < rounds) {
+        lbl = next.localCheckpoint(true)
+        (m :: toFree).foreach(_.unpersist(false)); toFree = Nil
+      } else {
+        lbl = next.cache()
+        toFree = m :: lbl :: toFree
+      }
+    }
+    lbl
+  }
+
+  /** Convergence-certificate form of [[ccLabels]]: iterate until no
+    * label changes, returning (labels, rounds applied). Per-round
+    * driver sequencing (an eager checkpoint + a count) is inherent to
+    * any fixpoint loop — the q84 cost class; pointer jumping makes
+    * rounds O(log diameter).
+    */
+  private[graft] def ccFixpointOf(nodes: DataFrame, undRaw: DataFrame): (DataFrame, Int) = {
+    val adj = undRaw.select(col("u").as("a"), col("v").as("b"))
+      .unionByName(undRaw.select(col("v").as("a"), col("u").as("b")))
+      .repartition(col("b")).cache()
+    var lbl = nodes.select(col("part_id"), col("part_id").as("lbl"))
+      .localCheckpoint(true)
+    var rounds = 0
+    var done = false
+    while (!done) {
+      val nbrMin = adj
+        .join(lbl.select(col("part_id").as("b"), col("lbl").as("lb")), Seq("b"))
+        .groupBy(col("a")).agg(min(col("lb")).as("nm"))
+      val m = lbl
+        .join(nbrMin.withColumnRenamed("a", "part_id"), Seq("part_id"), "left")
+        .select(col("part_id"),
+          least(col("lbl"), coalesce(col("nm"), col("lbl"))).as("lbl"))
+        .localCheckpoint(true)
+      val next = m
+        .join(m.select(col("part_id").as("lbl"), col("lbl").as("l2")), Seq("lbl"))
+        .select(col("part_id"), col("l2").as("lbl"))
+        .localCheckpoint(true)
+      val changed = next.as("n")
+        .join(lbl.as("o"), col("n.part_id") === col("o.part_id"))
+        .filter(col("n.lbl") =!= col("o.lbl")).count()
+      rounds += 1
+      done = changed == 0
+      lbl = next
+    }
+    adj.unpersist(false)
+    (lbl, rounds)
+  }
+
+  /** Per-round CTEs materialized: each nm/l round is referenced twice
+    * (the jump self-joins nm; the next round reads l twice) — the
+    * DuckDB 1.0 exponential-inlining hazard class, see [[kcoreSql]].
+    */
+  private[graft] val connectedComponentsSql: String = {
+    val rounds = (1 to CcRounds).map { i =>
+      s"""nm$i AS MATERIALIZED (
+           SELECT n.part_id, LEAST(n.lbl, COALESCE(MIN(p.lbl), n.lbl)) AS lbl
+           FROM l${i - 1} n
+           LEFT JOIN adj e ON e.a = n.part_id
+           LEFT JOIN l${i - 1} p ON p.part_id = e.b
+           GROUP BY n.part_id, n.lbl),
+         l$i AS MATERIALIZED (
+           SELECT x.part_id, y.lbl FROM nm$i x JOIN nm$i y ON x.lbl = y.part_id)"""
+    }.mkString(",\n    ")
+    s"""
+    WITH ${coEdgesSqlMat},
+    und AS MATERIALIZED (SELECT src AS u, dst AS v FROM ed0 WHERE src < dst),
+    adj AS MATERIALIZED (
+      SELECT u AS a, v AS b FROM und UNION ALL SELECT v AS a, u AS b FROM und),
+    nodes AS MATERIALIZED (SELECT DISTINCT l_partkey AS part_id FROM lineitem),
+    l0 AS MATERIALIZED (SELECT part_id, part_id AS lbl FROM nodes),
+    $rounds,
+    cs AS MATERIALIZED (
+      SELECT lbl, CAST(COUNT(*) AS BIGINT) AS comp_n FROM l$CcRounds GROUP BY lbl)
+    SELECT x.part_id, x.lbl AS comp, c.comp_n
+    FROM l$CcRounds x JOIN cs c ON x.lbl = c.lbl
+    ORDER BY x.part_id"""
+  }
+
+  // ---------------------------------------------------------------
+  // q172: delivery-time incremental connected components
+  // ---------------------------------------------------------------
+
+  /** The standing base index (q159's lifecycle for the component
+    * surface): the 90% md5 bucket of ORDERS commits its undirected
+    * edge set and its converged component labels as two snapshot
+    * tables once per (JVM, dataset). Additions-only deltas can only
+    * MERGE components, never split them — so serving never relabels
+    * the corpus: it contracts the base graph to its component
+    * representatives (the quotient) and runs CC over the
+    * delta-induced quotient edges, a graph bounded by the DELTA's
+    * edge count, not the corpus's.
+    */
+  private val ccIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  private[graft] def baseCcIndex(s: SparkSession, d: String): (String, String) =
+    ccIndexCache.computeIfAbsent(d, _ => {
+      val bli = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pid"))
+        .filter(graft.functions.TextFns.h60(col("l_orderkey").cast("string")) % 100 < 90)
+      val undB = edgesOf(bli)
+        .filter(col("src") < col("dst"))
+        .select(col("src").as("u"), col("dst").as("v"))
+        .repartition(col("u"))
+        .cache()
+      val nodesB = bli.select(col("pid").as("part_id")).distinct()
+      val lblB = ccLabels(nodesB, undB, CcRounds)
+      val edDir = graft.Scratch.fresh("icce_")
+      val ccDir = graft.Scratch.fresh("iccc_")
+      Snapshots.commit(undB, edDir, replace = true)
+      Snapshots.commit(lblB.select(col("part_id"), col("lbl").as("comp")), ccDir,
+        replace = true)
+      (edDir, ccDir)
+    })
+
+  /** The merge core over explicit frames — the unit GraphSpec drives.
+    * `ccB` is the PINNED base labeling (contract: converged — the
+    * certificate GraphSpec pins on the base bucket, q169's premise);
+    * `dNodes` the delivery's node universe. Output: every node (base ∪
+    * delivery) with its base component (0 = born in this delivery) and
+    * its merged component — movers visible, the q159 convention.
+    */
+  private[graft] def ccDelta(
+      undB: DataFrame, ccB: DataFrame, undD: DataFrame, dNodes: DataFrame): DataFrame = {
+    // delta edges not already in the base edge set (q167's dedup rule)
+    val deltaNew = undD.join(undB, Seq("u", "v"), "left_anti")
+    val lab = ccB.cache()
+    // endpoints → base representatives (a node born in the delivery
+    // represents itself); same-component edges drop out immediately
+    val qe = deltaNew
+      .join(lab.select(col("part_id").as("u"), col("comp").as("cu")), Seq("u"), "left")
+      .join(lab.select(col("part_id").as("v"), col("comp").as("cv")), Seq("v"), "left")
+      .select(coalesce(col("cu"), col("u")).as("qu"), coalesce(col("cv"), col("v")).as("qv"))
+      .filter(col("qu") =!= col("qv"))
+      .select(least(col("qu"), col("qv")).as("u"), greatest(col("qu"), col("qv")).as("v"))
+      .distinct()
+      .cache() // quotient: bounded by the delta's edge count
+    val qn = qe.select(col("u").as("part_id"))
+      .unionByName(qe.select(col("v").as("part_id"))).distinct()
+    // CC over the quotient — delta-sized work, never a corpus relabel
+    val qlbl = ccLabels(qn, qe, CcRounds)
+    val allNodes = lab.select(col("part_id"), col("comp").as("comp_base"))
+      .join(dNodes.select(col("part_id")), Seq("part_id"), "full_outer")
+    allNodes
+      .select(col("part_id"), col("comp_base"),
+        coalesce(col("comp_base"), col("part_id")).as("c0"))
+      .join(broadcast(qlbl.select(col("part_id").as("c0"), col("lbl").as("cq"))),
+        Seq("c0"), "left")
+      .select(col("part_id"),
+        coalesce(col("comp_base"), lit(0)).as("comp_base"),
+        coalesce(col("cq"), col("c0")).as("comp"))
+      .orderBy(col("part_id"))
+  }
+
+  private[graft] def incrementalComponents(s: SparkSession, d: String): DataFrame = {
+    val (edDir, ccDir) = baseCcIndex(s, d)
+    // ---- serving side: everything below reads the PINNED index
+    val undB = Snapshots.read(s, edDir)
+    val ccB = Snapshots.read(s, ccDir)
+    val dli = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pid"))
+      .filter(graft.functions.TextFns.h60(col("l_orderkey").cast("string")) % 100 >= 90)
+      .cache()
+    val undD = edgesOf(dli)
+      .filter(col("src") < col("dst"))
+      .select(col("src").as("u"), col("dst").as("v"))
+    ccDelta(undB, ccB, undD, dli.select(col("pid").as("part_id")).distinct())
+  }
+
+  /** Oracle: replays index build (base rounds), quotient construction,
+    * and quotient rounds CTE-for-CTE — every iterated CTE materialized
+    * (see [[kcoreSql]]).
+    */
+  private[graft] val incrementalComponentsSql: String = {
+    val h = graft.functions.TextFns.Sql.h60("CAST(l_orderkey AS VARCHAR)")
+    def ccRounds(pfx: String, adjT: String): String =
+      (1 to CcRounds).map { i =>
+        s"""${pfx}nm$i AS MATERIALIZED (
+             SELECT n.part_id, LEAST(n.lbl, COALESCE(MIN(p.lbl), n.lbl)) AS lbl
+             FROM ${pfx}l${i - 1} n
+             LEFT JOIN $adjT e ON e.a = n.part_id
+             LEFT JOIN ${pfx}l${i - 1} p ON p.part_id = e.b
+             GROUP BY n.part_id, n.lbl),
+           ${pfx}l$i AS MATERIALIZED (
+             SELECT x.part_id, y.lbl FROM ${pfx}nm$i x JOIN ${pfx}nm$i y
+             ON x.lbl = y.part_id)"""
+      }.mkString(",\n    ")
+    s"""
+    WITH bli AS MATERIALIZED (
+      SELECT l_orderkey AS ok, l_partkey AS pid FROM lineitem
+      WHERE ($h % 100) < 90),
+    undb AS MATERIALIZED (
+      SELECT DISTINCT a.pid AS u, b.pid AS v
+      FROM bli a JOIN bli b ON a.ok = b.ok AND a.pid < b.pid),
+    badj AS MATERIALIZED (
+      SELECT u AS a, v AS b FROM undb UNION ALL SELECT v AS a, u AS b FROM undb),
+    bl0 AS MATERIALIZED (
+      SELECT DISTINCT pid AS part_id, pid AS lbl FROM bli),
+    ${ccRounds("b", "badj")},
+    dli AS MATERIALIZED (
+      SELECT l_orderkey AS ok, l_partkey AS pid FROM lineitem
+      WHERE ($h % 100) >= 90),
+    deltanew AS MATERIALIZED (
+      SELECT DISTINCT a.pid AS u, b.pid AS v
+      FROM dli a JOIN dli b ON a.ok = b.ok AND a.pid < b.pid
+      EXCEPT
+      SELECT u, v FROM undb),
+    qe AS MATERIALIZED (
+      SELECT DISTINCT LEAST(qu, qv) AS u, GREATEST(qu, qv) AS v
+      FROM (SELECT COALESCE(cu.lbl, e.u) AS qu, COALESCE(cv.lbl, e.v) AS qv
+            FROM deltanew e
+            LEFT JOIN bl$CcRounds cu ON cu.part_id = e.u
+            LEFT JOIN bl$CcRounds cv ON cv.part_id = e.v)
+      WHERE qu <> qv),
+    qadj AS MATERIALIZED (
+      SELECT u AS a, v AS b FROM qe UNION ALL SELECT v AS a, u AS b FROM qe),
+    ql0 AS MATERIALIZED (
+      SELECT part_id, part_id AS lbl FROM
+        (SELECT u AS part_id FROM qe UNION SELECT v AS part_id FROM qe)),
+    ${ccRounds("q", "qadj")},
+    allnodes AS MATERIALIZED (
+      SELECT part_id FROM bl0 UNION SELECT DISTINCT pid AS part_id FROM dli),
+    pre AS MATERIALIZED (
+      SELECT a.part_id, b.lbl AS comp_base,
+             COALESCE(b.lbl, a.part_id) AS c0
+      FROM allnodes a LEFT JOIN bl$CcRounds b ON b.part_id = a.part_id)
+    SELECT p.part_id, COALESCE(p.comp_base, 0) AS comp_base,
+           COALESCE(q.lbl, p.c0) AS comp
+    FROM pre p LEFT JOIN ql$CcRounds q ON q.part_id = p.c0
+    ORDER BY p.part_id"""
+  }
+
   val all: Seq[Q] = Seq(
     Q("q149_gat_embedding", (s, d) => gatEmbedding(s, d), Some(gatEmbeddingSql)),
     Q("q150_pagerank", (s, d) => pagerank(s, d), Some(pagerankSql)),
@@ -1330,6 +1637,10 @@ object Graph {
     Q("q168_sampled_triangles", (s, d) => sampledTriangles(s, d),
       Some(sampledTrianglesSql)),
     Q("q169_incremental_kcore", (s, d) => incrementalKcore(s, d),
-      Some(incrementalKcoreSql))
+      Some(incrementalKcoreSql)),
+    Q("q171_connected_components", (s, d) => connectedComponents(s, d),
+      Some(connectedComponentsSql)),
+    Q("q172_incremental_components", (s, d) => incrementalComponents(s, d),
+      Some(incrementalComponentsSql))
   )
 }

@@ -567,4 +567,27 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"q165 plans a cartesian product:\n$p")
     spark.catalog.clearCache()
   }
+
+  test("q172 serving plan: ONE fact scan (the delta) — base labels come from the index") {
+    val d = sf("sf0.001")
+    // build the index first so the pin sees the SERVING plan (the
+    // memoized baseCcIndex makes every later execution delivery-only)
+    operators.Graph.baseCcIndex(spark, d)
+    val p = SparkEntry.queries("q172_incremental_components")(spark, d)
+      .queryExecution.executedPlan.toString
+    // q159/q162/q165 discipline: every lineitem access must be the
+    // SAME delta-projected scan — a corpus relabel (or a full node-
+    // universe rescan) would surface as a second FileScan pattern
+    val scans = p.linesIterator
+      .filter(l => l.contains("FileScan") && l.contains("lineitem"))
+      .map(l => l.substring(l.indexOf("FileScan")).replaceAll("#\\d+L?", "#x"))
+      .toSet
+    assert(scans.size == 1,
+      s"every lineitem access must be the one delta scan, found ${scans.size}:\n${scans.mkString("\n")}")
+    val cols = "l_\\w+".r.findAllIn(scans.head.split("ReadSchema").last).toSet
+    assert(cols == Set("l_orderkey", "l_partkey"),
+      s"the delta scan must read only (orderkey, partkey): $cols")
+    assert(!p.contains("CartesianProduct"), s"q172 plans a cartesian product:\n$p")
+    spark.catalog.clearCache()
+  }
 }
