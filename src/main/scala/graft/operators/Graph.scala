@@ -1623,6 +1623,95 @@ object Graph {
     ORDER BY p.part_id"""
   }
 
+  // ---------------------------------------------------------------
+  // q173: graph report card (one-row co-purchase health summary)
+  // ---------------------------------------------------------------
+
+  /** The one-row graph health summary a product-mix owner runs before
+    * trusting any downstream graph analytic — q160's corpus report
+    * card for the graph surface: size (nodes/edges), degree shape
+    * (max, integer-micro mean), connectivity (isolated parts,
+    * component count, giant-component share via the q171 labeling,
+    * whose convergence certificate carries). All-integer arithmetic —
+    * counts and two integer divs, no doubles — so the row is
+    * engine-exact; the 2·m numerator is widened through DECIMAL(38,0)
+    * (the q160/q166 overflow class: at 100 TB, edge counts × 1e6
+    * brush the int64 line).
+    */
+  private[graft] def graphReport(s: SparkSession, d: String): DataFrame = {
+    val nodes = Tables.lineitem(s, d).select(col("l_partkey").as("part_id")).distinct()
+    graphReportOf(nodes, undEdges(s, d))
+  }
+
+  /** [[graphReport]]'s core over explicit frames — the unit GraphSpec
+    * drives on a hand-computable fixture.
+    */
+  private[graft] def graphReportOf(nodes: DataFrame, undRaw: DataFrame): DataFrame = {
+    val und = undRaw.cache() // consumed by degrees, the edge count, and cc
+    val comps = ccLabels(nodes, und, CcRounds)
+      .groupBy(col("lbl")).agg(count(lit(1)).as("cn"))
+    val deg = und.select(col("u").as("n")).unionByName(und.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("dg"))
+    nodes.agg(count(lit(1)).as("n_nodes"))
+      .crossJoin(und.agg(count(lit(1)).as("n_edges")))
+      .crossJoin(deg.agg(max(col("dg")).as("max_deg"),
+        count(lit(1)).as("n_with_edge")))
+      .crossJoin(comps.agg(count(lit(1)).as("n_components"),
+        max(col("cn")).as("giant_n")))
+      .select(
+        col("n_nodes"), col("n_edges"),
+        coalesce(col("max_deg"), lit(0L)).as("max_deg"),
+        expr("CAST((CAST(2 AS DECIMAL(38,0)) * n_edges * 1000000) div n_nodes AS BIGINT)")
+          .as("avg_deg_micro"),
+        (col("n_nodes") - coalesce(col("n_with_edge"), lit(0L))).as("isolated_parts"),
+        col("n_components"), col("giant_n"),
+        expr("CAST((CAST(giant_n AS DECIMAL(38,0)) * 1000000) div n_nodes AS BIGINT)")
+          .as("giant_share_micro"))
+  }
+
+  /** CC rounds replayed per [[connectedComponentsSql]]; the four
+    * aggregate arms cross-joined on their one-row results.
+    */
+  private[graft] val graphReportSql: String = {
+    val rounds = (1 to CcRounds).map { i =>
+      s"""nm$i AS MATERIALIZED (
+           SELECT n.part_id, LEAST(n.lbl, COALESCE(MIN(p.lbl), n.lbl)) AS lbl
+           FROM l${i - 1} n
+           LEFT JOIN adj e ON e.a = n.part_id
+           LEFT JOIN l${i - 1} p ON p.part_id = e.b
+           GROUP BY n.part_id, n.lbl),
+         l$i AS MATERIALIZED (
+           SELECT x.part_id, y.lbl FROM nm$i x JOIN nm$i y ON x.lbl = y.part_id)"""
+    }.mkString(",\n    ")
+    s"""
+    WITH ${coEdgesSqlMat},
+    und AS MATERIALIZED (SELECT src AS u, dst AS v FROM ed0 WHERE src < dst),
+    adj AS MATERIALIZED (
+      SELECT u AS a, v AS b FROM und UNION ALL SELECT v AS a, u AS b FROM und),
+    nodes AS MATERIALIZED (SELECT DISTINCT l_partkey AS part_id FROM lineitem),
+    l0 AS MATERIALIZED (SELECT part_id, part_id AS lbl FROM nodes),
+    $rounds,
+    cs AS MATERIALIZED (
+      SELECT lbl, CAST(COUNT(*) AS BIGINT) AS cn FROM l$CcRounds GROUP BY lbl),
+    deg AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS dg
+            FROM (SELECT u AS n FROM und UNION ALL SELECT v AS n FROM und)
+            GROUP BY n)
+    SELECT nn.n_nodes, ne.n_edges,
+           COALESCE(dgs.max_deg, 0) AS max_deg,
+           CAST((CAST(2 AS DECIMAL(38,0)) * ne.n_edges * 1000000)
+                // nn.n_nodes AS BIGINT) AS avg_deg_micro,
+           nn.n_nodes - COALESCE(dgs.n_with_edge, 0) AS isolated_parts,
+           c.n_components, c.giant_n,
+           CAST((CAST(c.giant_n AS DECIMAL(38,0)) * 1000000)
+                // nn.n_nodes AS BIGINT) AS giant_share_micro
+    FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM nodes) nn,
+         (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM und) ne,
+         (SELECT CAST(MAX(dg) AS BIGINT) AS max_deg,
+                 CAST(COUNT(*) AS BIGINT) AS n_with_edge FROM deg) dgs,
+         (SELECT CAST(COUNT(*) AS BIGINT) AS n_components,
+                 CAST(MAX(cn) AS BIGINT) AS giant_n FROM cs) c"""
+  }
+
   val all: Seq[Q] = Seq(
     Q("q149_gat_embedding", (s, d) => gatEmbedding(s, d), Some(gatEmbeddingSql)),
     Q("q150_pagerank", (s, d) => pagerank(s, d), Some(pagerankSql)),
@@ -1641,6 +1730,7 @@ object Graph {
     Q("q171_connected_components", (s, d) => connectedComponents(s, d),
       Some(connectedComponentsSql)),
     Q("q172_incremental_components", (s, d) => incrementalComponents(s, d),
-      Some(incrementalComponentsSql))
+      Some(incrementalComponentsSql)),
+    Q("q173_graph_report", (s, d) => graphReport(s, d), Some(graphReportSql))
   )
 }

@@ -468,6 +468,38 @@ class GraphSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  // --- q173 graph report card ----------------------------------------
+
+  test("graph report card: every statistic by hand on a fixture") {
+    // components {1,2,3}, {10,11}, isolated 20: n=6, m=3, max_deg=2,
+    // avg_deg = 2·3/6 = 1.0 → 1000000 micro, isolated=1, 3 components,
+    // giant {1,2,3} → share 3/6 = 500000 micro
+    val nodes = Seq(1L, 2L, 3L, 10L, 11L, 20L).toDF("part_id")
+    val und = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("u", "v")
+    val r = Graph.graphReportOf(nodes, und).collect().head
+    assert(r.getAs[Long]("n_nodes") == 6L)
+    assert(r.getAs[Long]("n_edges") == 3L)
+    assert(r.getAs[Long]("max_deg") == 2L)
+    assert(r.getAs[Long]("avg_deg_micro") == 1000000L)
+    assert(r.getAs[Long]("isolated_parts") == 1L)
+    assert(r.getAs[Long]("n_components") == 3L)
+    assert(r.getAs[Long]("giant_n") == 3L)
+    assert(r.getAs[Long]("giant_share_micro") == 500000L)
+    spark.catalog.clearCache()
+  }
+
+  test("graph report card: edge-free graph degrades to all-isolated") {
+    val nodes = Seq(7L, 8L).toDF("part_id")
+    val und = Seq.empty[(Long, Long)].toDF("u", "v")
+    val r = Graph.graphReportOf(nodes, und).collect().head
+    assert(r.getAs[Long]("n_edges") == 0L)
+    assert(r.getAs[Long]("max_deg") == 0L)
+    assert(r.getAs[Long]("isolated_parts") == 2L)
+    assert(r.getAs[Long]("n_components") == 2L)
+    assert(r.getAs[Long]("giant_n") == 1L)
+    spark.catalog.clearCache()
+  }
+
   // --- q172 incremental connected components -------------------------
 
   test("cc delta: quotient merge, new-node attach, duplicate delta edge") {
