@@ -1328,7 +1328,79 @@ object Text {
 
     // BPE-style merge-pair training (tokenizer induction): see
     // [[bpeTrain]]
-    Q("q170_bpe_train", (s, d) => bpeTrain(s, d), Some(bpeTrainSql))
+    Q("q170_bpe_train", (s, d) => bpeTrain(s, d), Some(bpeTrainSql)),
+
+    // Delivery-time language-mix DRIFT — the incremental delivery
+    // family (q119/q155/q159/…) applied to corpus MONITORING: before
+    // a delivery is accepted into a training corpus, the owner asks
+    // whether its language mix matches the standing corpus's. The
+    // standing corpus (q78's 90% md5 bucket of doc_id) publishes its
+    // per-lang histogram as a snapshot table (language-count-sized —
+    // tiny at any corpus scale); the delivery (the 10% bucket) scans
+    // only itself, and each language's drift is the exact integer
+    // share gap |cb·Nd − cd·Nb| · 1e6 div (Nb·Nd) — cross products
+    // widened through DECIMAL(38,0)/HUGEINT (the q166 overflow class),
+    // so the drift report is engine-exact. Full-outer on lang:
+    // n_base = 0 marks a language BORN in this delivery (the q159
+    // movers-visible convention), n_delta = 0 one that vanished.
+    Q(
+      "q175_mix_drift",
+      (s, d) => {
+        val dir = graft.Scratch.fresh("mix_")
+        val split = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"),
+            (TextFns.h60(col("doc_id").cast("string")) % 100).as("bucket"))
+        val baseHist = split.filter(col("bucket") < 90)
+          .groupBy(col("lang")).agg(count(lit(1)).as("n_base"))
+        val v = Snapshots.commit(baseHist, dir, replace = true)
+        // ---- serving side: everything below reads the PINNED index
+        val base = Snapshots.read(s, dir, Some(v))
+        val delta = split.filter(col("bucket") >= 90)
+          .groupBy(col("lang")).agg(count(lit(1)).as("n_delta"))
+        val joined = base.join(delta, Seq("lang"), "full_outer")
+          .select(col("lang"),
+            coalesce(col("n_base"), lit(0L)).as("n_base"),
+            coalesce(col("n_delta"), lit(0L)).as("n_delta"))
+          .cache() // consumed by the scalar arm and the final select
+        val scal = joined.agg(sum(col("n_base")).as("nb"), sum(col("n_delta")).as("nd"))
+        joined.crossJoin(broadcast(scal))
+          .select(
+            col("lang"), col("n_base"), col("n_delta"),
+            expr("CAST((CAST(n_base AS DECIMAL(38,0)) * 1000000) div nb AS BIGINT)")
+              .as("share_base_micro"),
+            expr("CAST((CAST(n_delta AS DECIMAL(38,0)) * 1000000) div nd AS BIGINT)")
+              .as("share_delta_micro"),
+            expr("""CAST((abs(CAST(n_base AS DECIMAL(38,0)) * nd
+                             - CAST(n_delta AS DECIMAL(38,0)) * nb) * 1000000)
+                    div (CAST(nb AS DECIMAL(38,0)) * nd) AS BIGINT)""")
+              .as("drift_micro"))
+          .orderBy(col("lang"))
+      },
+      Some {
+        val h = T.h60("CAST(doc_id AS VARCHAR)")
+        s"""
+        WITH s AS MATERIALIZED (
+          SELECT doc_id, lang, ($h % 100) AS bucket FROM documents),
+        b AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_base
+              FROM s WHERE bucket < 90 GROUP BY 1),
+        dl AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_delta
+               FROM s WHERE bucket >= 90 GROUP BY 1),
+        j AS MATERIALIZED (
+          SELECT COALESCE(b.lang, dl.lang) AS lang,
+                 COALESCE(b.n_base, 0) AS n_base,
+                 COALESCE(dl.n_delta, 0) AS n_delta
+          FROM b FULL OUTER JOIN dl ON b.lang = dl.lang),
+        t AS (SELECT CAST(SUM(n_base) AS BIGINT) AS nb,
+                     CAST(SUM(n_delta) AS BIGINT) AS nd FROM j)
+        SELECT j.lang, j.n_base, j.n_delta,
+               CAST((CAST(j.n_base AS HUGEINT) * 1000000) // t.nb AS BIGINT) AS share_base_micro,
+               CAST((CAST(j.n_delta AS HUGEINT) * 1000000) // t.nd AS BIGINT) AS share_delta_micro,
+               CAST((abs(CAST(j.n_base AS HUGEINT) * t.nd
+                         - CAST(j.n_delta AS HUGEINT) * t.nb) * 1000000)
+                    // (CAST(t.nb AS HUGEINT) * t.nd) AS BIGINT) AS drift_micro
+        FROM j, t ORDER BY j.lang"""
+      }
+    )
   )
 
 }

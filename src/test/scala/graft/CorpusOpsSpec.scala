@@ -431,4 +431,40 @@ class CorpusOpsSpec extends SparkSpec {
       s"merge-training trace wrong: ${out.mkString(", ")}")
     spark.catalog.clearCache()
   }
+
+  test("q175 drift report equals a BigInt replay from the raw split (incl. share gap)") {
+    val rows = SparkEntry.queries("q175_mix_drift")(spark, d).collect()
+    // independent split + histogram on the collected (doc_id, lang)
+    val split = Tables.documents(spark, d)
+      .select(col("doc_id").cast("string"), col("lang"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    def h60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val (bs, ds) = split.partition { case (id, _) => h60(id) % 100 < 90 }
+    val cb = bs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val cd = ds.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val (nb, nd) = (bs.length.toLong, ds.length.toLong)
+    val exp = (cb.keySet ++ cd.keySet).toSeq.sorted.map { l =>
+      val (b, dl) = (cb.getOrElse(l, 0L), cd.getOrElse(l, 0L))
+      (l, b, dl,
+        (BigInt(b) * 1000000 / nb).toLong,
+        (BigInt(dl) * 1000000 / nd).toLong,
+        ((BigInt(b) * nd - BigInt(dl) * nb).abs * 1000000 / (BigInt(nb) * nd)).toLong)
+    }
+    val got = rows.map(r => (
+      r.getAs[String]("lang"), r.getAs[Long]("n_base"), r.getAs[Long]("n_delta"),
+      r.getAs[Long]("share_base_micro"), r.getAs[Long]("share_delta_micro"),
+      r.getAs[Long]("drift_micro"))).toSeq
+    assert(got == exp, s"drift report diverges:\n got=$got\n exp=$exp")
+    // the drift stat is symmetric in the shares: zero iff the shares
+    // (in micro floor units) agree to the cross-product grain
+    got.foreach { case (_, b, dl, _, _, drift) =>
+      if (drift == 0L) assert(BigInt(b) * nd == BigInt(dl) * nb,
+        "zero drift must mean exactly equal shares")
+    }
+    spark.catalog.clearCache()
+  }
 }
