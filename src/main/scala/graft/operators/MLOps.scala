@@ -1532,13 +1532,17 @@ object MLOps {
     graft.functions.TextFns.h60(col("l_partkey").cast("string")) % 100
 
   private val clusterModelCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String, String)]()
 
   /** The standing product-mix model, trained ONCE per (JVM, dataset)
     * on the 90% part bucket: (z-stats snapshot dir, centroid snapshot
-    * dir).
+    * dir, base cluster-histogram snapshot dir). The histogram — the
+    * standing corpus's own parts labeled under the final model, k
+    * rows — is what the q176 drift monitor compares deliveries
+    * against; committing it at train time keeps serving free of any
+    * standing-corpus rescan.
     */
-  private[graft] def clusterModel(s: SparkSession, d: String): (String, String) =
+  private[graft] def clusterModel(s: SparkSession, d: String): (String, String, String) =
     clusterModelCache.computeIfAbsent(d, _ => {
       val zFeats = MatrixFeatures.map(f => s"z_$f")
       val f90 = featuresWhere(s, d, liPartBucket < 90).na.drop().cache()
@@ -1550,17 +1554,21 @@ object MLOps {
         max(when(col("rn") === c + 1, col(f))).as(s"c${c}_$f")))
       val cent0 = seeds.groupBy().agg(cent0Aggs.head, cent0Aggs.tail: _*)
       val centF = lloydTrain(s, z90, zFeats, cent0, ServeK, LloydIters)
+      val baseHist = nearestLabel(z90, zFeats, centF, ServeK)
+        .groupBy(col("cluster")).agg(count(lit(1)).as("n_base"))
       val statsDir = graft.Scratch.fresh("cm_st_")
       val centDir = graft.Scratch.fresh("cm_ct_")
+      val histDir = graft.Scratch.fresh("cm_bh_")
       Snapshots.commit(stats, statsDir, replace = true)
       Snapshots.commit(centF, centDir, replace = true)
+      Snapshots.commit(baseHist, histDir, replace = true)
       f90.unpersist()
-      (statsDir, centDir)
+      (statsDir, centDir, histDir)
     })
 
   private[graft] def incrementalAssign(s: SparkSession, d: String): DataFrame = {
     val zFeats = MatrixFeatures.map(f => s"z_$f")
-    val (statsDir, centDir) = clusterModel(s, d)
+    val (statsDir, centDir, _) = clusterModel(s, d)
     // ---- serving side: everything below reads the PINNED model;
     // only the delivery bucket scans the fact
     val stats = Snapshots.read(s, statsDir)
@@ -1590,16 +1598,24 @@ object MLOps {
     * and every iterated CTE are `AS MATERIALIZED` (the k-core
     * inlining hazard class).
     */
-  private lazy val incrementalAssignSql: String = {
-    val zFeats = MatrixFeatures.map(f => s"z_$f")
-    val h = graft.functions.TextFns.Sql.h60("CAST(part_id AS VARCHAR)")
-    val notNull = MatrixFeatures.map(c => s"$c IS NOT NULL").mkString(" AND ")
-    val statCols = MatrixFeatures.flatMap { c =>
+  /** The oracle's serving-chain WITH prefix — standing split, stats,
+    * z-projection, seed policy, all [[LloydIters]] training rounds
+    * ([[lloydSqlCtes]]), and the delivery labeled against the final
+    * centroids (CTE `slab`); the z-matrix `z90` and final centroid
+    * frame `mc<iters>` remain addressable so consumers can also label
+    * the STANDING side. Shared by q165 (per-part assignment) and q176
+    * (cluster-mix drift). Every multiply-referenced CTE materialized.
+    */
+  private object ServeSql {
+    val zFeats: Seq[String] = MatrixFeatures.map(f => s"z_$f")
+    private val h = graft.functions.TextFns.Sql.h60("CAST(part_id AS VARCHAR)")
+    private val notNull = MatrixFeatures.map(c => s"$c IS NOT NULL").mkString(" AND ")
+    private val statCols = MatrixFeatures.flatMap { c =>
       Seq(
         s"CAST(SUM(CAST(CAST($c AS DOUBLE) AS DECIMAL(38,6))) AS DOUBLE) AS sum_$c",
         s"CAST(SUM(CAST(CAST($c AS DOUBLE) * CAST($c AS DOUBLE) AS DECIMAL(38,6))) AS DOUBLE) AS sumsq_$c")
     }.mkString(",\n               ") + ",\n               CAST(COUNT(*) AS DOUBLE) AS n"
-    def zsel(src: String): String = {
+    private def zsel(src: String): String = {
       val zcols = MatrixFeatures.map { c =>
         s"""ROUND((CAST($c AS DOUBLE) - sum_$c / n)
            / NULLIF(sqrt(greatest(sumsq_$c / n - (sum_$c / n) * (sum_$c / n),
@@ -1607,7 +1623,7 @@ object MLOps {
       }.mkString(",\n             ")
       s"SELECT part_id,\n             $zcols\n      FROM $src CROSS JOIN mst"
     }
-    val c0 = s"""mseed AS MATERIALIZED (
+    private val c0 = s"""mseed AS MATERIALIZED (
          SELECT *, CAST(row_number() OVER (ORDER BY part_id) AS INT) AS rn
          FROM z90 ORDER BY part_id LIMIT $ServeK),
     mc0 AS MATERIALIZED (SELECT ${(0 until ServeK).flatMap(c => zFeats.map(f =>
@@ -1615,7 +1631,7 @@ object MLOps {
          FROM mseed)"""
     def distC(c: Int): String =
       zFeats.map(f => s"($f - c${c}_$f) * ($f - c${c}_$f)").mkString(" + ")
-    val labCase = {
+    val labCase: String = {
       def winsRest(c: Int): String =
         (c + 1 until ServeK).map(o => s"d$c <= d$o").mkString(" AND ")
       val whens = (0 until ServeK - 1).map(c => s"WHEN ${winsRest(c)} THEN $c").mkString(" ")
@@ -1626,7 +1642,7 @@ object MLOps {
         s"""(CAST(ROUND($f * 1000000) AS HUGEINT) - CAST(ROUND(c${c}_$f * 1000000) AS HUGEINT))
              * (CAST(ROUND($f * 1000000) AS HUGEINT) - CAST(ROUND(c${c}_$f * 1000000) AS HUGEINT))""")
         .mkString("\n           + ")
-    s"""
+    val chain: String = s"""
     WITH $featuresSql,
     clean AS (SELECT * FROM feat WHERE $notNull),
     f90 AS MATERIALIZED (SELECT * FROM clean WHERE ($h % 100) < 90),
@@ -1638,12 +1654,91 @@ object MLOps {
     sld AS (SELECT z.*, c.*,
            ${(0 until ServeK).map(c => s"${distC(c)} AS d$c").mkString(",\n           ")}
          FROM zd z CROSS JOIN mc$LloydIters c),
-    slab AS (SELECT *, $labCase FROM sld)
+    slab AS MATERIALIZED (SELECT *, $labCase FROM sld)"""
+  }
+
+  private lazy val incrementalAssignSql: String =
+    s"""${ServeSql.chain}
     SELECT part_id, cluster,
            CAST((CASE cluster ${(0 until ServeK).map(c =>
-      s"WHEN $c THEN (${idist(c)})").mkString("\n                         ")} END)
+      s"WHEN $c THEN (${ServeSql.idist(c)})").mkString("\n                         ")} END)
                 // 1000000 AS BIGINT) AS dist2_micro
     FROM slab ORDER BY part_id"""
+
+  // ---------------------------------------------------------------
+  // q176: delivery-time cluster-mix drift — the q175 monitoring
+  // statistic on the ML surface: does a delivery's product mix land
+  // in the standing model's clusters with the standing proportions?
+  // The standing corpus's own histogram (its parts labeled under the
+  // final model — k rows) is committed at TRAIN time by
+  // [[clusterModel]], so serving = one delta-filtered feature build +
+  // frozen-model argmin + a k-row full-outer — no standing-corpus
+  // rescan, no retrain. Drift per cluster is the exact integer share
+  // gap |cb·Nd − cd·Nb|·1e6 div (Nb·Nd) (DECIMAL/HUGEINT-widened, the
+  // q166 overflow class); n_base = 0 marks a cluster born in the
+  // delivery (impossible under a fixed k — its presence would flag a
+  // model/serve skew), n_delta = 0 a cluster the delivery never hits.
+  // ---------------------------------------------------------------
+
+  private[graft] def clusterMixDrift(s: SparkSession, d: String): DataFrame = {
+    val zFeats = MatrixFeatures.map(f => s"z_$f")
+    val (statsDir, centDir, histDir) = clusterModel(s, d)
+    // ---- serving side: everything below reads the PINNED model
+    val stats = Snapshots.read(s, statsDir)
+    val cent = Snapshots.read(s, centDir)
+    val base = Snapshots.read(s, histDir)
+    val fd = featuresWhere(s, d, liPartBucket >= 90).na.drop()
+    val delta = nearestLabel(zProject(fd, stats), zFeats, cent, ServeK)
+      .groupBy(col("cluster")).agg(count(lit(1)).as("n_delta"))
+    val joined = base.join(delta, Seq("cluster"), "full_outer")
+      .select(col("cluster"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_delta"), lit(0L)).as("n_delta"))
+      .cache() // consumed by the scalar arm and the final select
+    val scal = joined.agg(sum(col("n_base")).as("nb"), sum(col("n_delta")).as("nd"))
+    joined.crossJoin(broadcast(scal))
+      .select(
+        col("cluster"), col("n_base"), col("n_delta"),
+        expr("CAST((CAST(n_base AS DECIMAL(38,0)) * 1000000) div nb AS BIGINT)")
+          .as("share_base_micro"),
+        expr("CAST((CAST(n_delta AS DECIMAL(38,0)) * 1000000) div nd AS BIGINT)")
+          .as("share_delta_micro"),
+        expr("""CAST((abs(CAST(n_base AS DECIMAL(38,0)) * nd
+                         - CAST(n_delta AS DECIMAL(38,0)) * nb) * 1000000)
+                div (CAST(nb AS DECIMAL(38,0)) * nd) AS BIGINT)""")
+          .as("drift_micro"))
+      .orderBy(col("cluster"))
+  }
+
+  /** Oracle: [[ServeSql.chain]] (split, stats, training rounds, and
+    * the labeled delivery), PLUS the standing side labeled against
+    * the same final centroids; histograms joined and the drift
+    * arithmetic replayed in HUGEINT.
+    */
+  private lazy val clusterMixDriftSql: String = {
+    val bld = (0 until ServeK).map(c => s"${ServeSql.distC(c)} AS d$c")
+      .mkString(",\n           ")
+    s"""${ServeSql.chain},
+    bld AS (SELECT z.*, c.*,
+           $bld
+         FROM z90 z CROSS JOIN mc$LloydIters c),
+    blab AS MATERIALIZED (SELECT *, ${ServeSql.labCase} FROM bld),
+    bh AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_base FROM blab GROUP BY 1),
+    dh AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_delta FROM slab GROUP BY 1),
+    j AS MATERIALIZED (
+      SELECT COALESCE(bh.cluster, dh.cluster) AS cluster,
+             COALESCE(bh.n_base, 0) AS n_base,
+             COALESCE(dh.n_delta, 0) AS n_delta
+      FROM bh FULL OUTER JOIN dh ON bh.cluster = dh.cluster),
+    t AS (SELECT CAST(SUM(n_base) AS BIGINT) AS nb,
+                 CAST(SUM(n_delta) AS BIGINT) AS nd FROM j)
+    SELECT j.cluster, j.n_base, j.n_delta,
+           CAST((CAST(j.n_base AS HUGEINT) * 1000000) // t.nb AS BIGINT) AS share_base_micro,
+           CAST((CAST(j.n_delta AS HUGEINT) * 1000000) // t.nd AS BIGINT) AS share_delta_micro,
+           CAST((abs(CAST(j.n_base AS HUGEINT) * t.nd
+                     - CAST(j.n_delta AS HUGEINT) * t.nb) * 1000000)
+                // (CAST(t.nb AS HUGEINT) * t.nd) AS BIGINT) AS drift_micro
+    FROM j, t ORDER BY j.cluster"""
   }
 
   val all: Seq[Q] = Seq(
@@ -2091,6 +2186,11 @@ object MLOps {
       "q165_incremental_cluster_assign",
       (s, d) => incrementalAssign(s, d),
       Some(incrementalAssignSql)),
+
+    // Cluster-mix drift monitoring (see [[clusterMixDrift]]): the
+    // q175 share-gap statistic over the frozen model's assignments
+    Q("q176_cluster_mix_drift", (s, d) => clusterMixDrift(s, d),
+      Some(clusterMixDriftSql)),
 
     // Clustering stability (see [[ariSweep]]): exact-integer Adjusted
     // Rand Index between adjacent-k candidates, with the (4,4)

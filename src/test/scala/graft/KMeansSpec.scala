@@ -210,7 +210,7 @@ class KMeansSpec extends SparkSpec {
       assert(r.getAs[Long]("dist2_micro") >= 0L)
     }
     // the pinned model: standing z-moments + fitted centroids
-    val (statsDir, centDir) = MLOps.clusterModel(spark, d)
+    val (statsDir, centDir, _) = MLOps.clusterModel(spark, d)
     val stats = operators.Snapshots.read(spark, statsDir).collect().head
     val cent = operators.Snapshots.read(spark, centDir).collect().head
     // the delivery universe: features filtered by part bucket — the
@@ -264,6 +264,31 @@ class KMeansSpec extends SparkSpec {
         .filter(k => got.get(k) != expected.get(k)).take(5)
       s"frozen-model replay diverges on ${diff.map(k => (k, got.get(k), expected.get(k)))}"
     })
+    spark.catalog.clearCache()
+  }
+
+  test("q176 drift: delta histogram == q165's assignments, BigInt share-gap replay") {
+    val d = sf("sf0.001")
+    val drift = SparkEntry.queries("q176_cluster_mix_drift")(spark, d).collect()
+      .map(r => (r.getAs[Int]("cluster"), r.getAs[Long]("n_base"), r.getAs[Long]("n_delta"),
+        r.getAs[Long]("drift_micro"))).toSeq.sortBy(_._1)
+    assert(drift.nonEmpty && drift.map(_._1).distinct.size == drift.size)
+    // the delta side must be exactly q165's per-part assignments,
+    // histogrammed — same frozen model, same delivery
+    val fromQ165 = SparkEntry.queries("q165_incremental_cluster_assign")(spark, d)
+      .collect().groupBy(_.getAs[Int]("cluster")).view.mapValues(_.length.toLong).toMap
+    drift.foreach { case (c, _, nd, _) =>
+      assert(nd == fromQ165.getOrElse(c, 0L),
+        s"cluster $c delta count $nd != q165 histogram ${fromQ165.get(c)}")
+    }
+    // share-gap arithmetic replayed in BigInt from the shipped counts
+    val nb = drift.map(_._2).sum
+    val nd = drift.map(_._3).sum
+    assert(nb > 0 && nd > 0)
+    drift.foreach { case (c, b, dl, dr) =>
+      val exp = ((BigInt(b) * nd - BigInt(dl) * nb).abs * 1000000 / (BigInt(nb) * nd)).toLong
+      assert(dr == exp, s"cluster $c drift $dr != BigInt replay $exp")
+    }
     spark.catalog.clearCache()
   }
 }
