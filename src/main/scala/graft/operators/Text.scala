@@ -1400,6 +1400,64 @@ object Text {
                     // (CAST(t.nb AS HUGEINT) * t.nd) AS BIGINT) AS drift_micro
         FROM j, t ORDER BY j.lang"""
       }
+    ),
+
+    // Quality-WEIGHTED corpus sampling — the mixing step after quality
+    // scoring (q41) in a training-data pipeline: upsample good
+    // documents, downsample low ones, DETERMINISTICALLY. Each doc's
+    // acceptance is a salted md5 toss (the q168 DOULION recipe —
+    // "|ws" decorrelates from the q78 split hash): keep iff
+    // h60(doc_id ∥ "|ws") % 100 < w, with w = 80 for q41-good docs
+    // and 20 for low — a per-row Bernoulli whose outcome is a pure
+    // function of the doc id, so reruns, engines, and partitionings
+    // all select the SAME sample (the reproducibility a training cut
+    // requires). Map-side filter + projection, zero shuffles before
+    // the output sort; at 100 TB this is a pushdown-friendly scan.
+    Q(
+      "q178_weighted_sample",
+      (s, d) => {
+        val scored = docs(s, d)
+          .select(
+            col("doc_id"), col("lang"),
+            size(col("tok")).as("n_tokens"),
+            size(filter(col("tok"), t => t.isin(StopWords: _*))).as("n_stop"),
+            size(array_distinct(col("tok"))).as("n_distinct"))
+          .withColumn("quality",
+            when(
+              col("n_tokens").between(10, 120)
+                && r6(col("n_stop"), col("n_tokens")) <= 0.3
+                && r6(col("n_distinct"), col("n_tokens")) >= 0.4,
+              "good").otherwise("low"))
+          .withColumn("w",
+            when(col("quality") === "good", lit(80)).otherwise(lit(20))
+              .cast(IntegerType))
+        scored
+          .filter(
+            TextFns.h60(concat(col("doc_id").cast("string"), lit("|ws"))) % 100 < col("w"))
+          .select(col("doc_id"), col("lang"), col("quality"), col("w"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val toss = T.h60("CAST(doc_id AS VARCHAR) || '|ws'")
+        s"""
+        WITH t AS (SELECT doc_id, lang, ${T.tokens} AS tok FROM documents),
+        m AS (SELECT doc_id, lang,
+                     CAST(len(tok) AS INT) AS n_tokens,
+                     CAST(len(list_filter(tok, x -> x IN ($stopList))) AS INT) AS n_stop,
+                     CAST(len(list_distinct(tok)) AS INT) AS n_distinct
+              FROM t),
+        q AS (SELECT doc_id, lang,
+                     CASE WHEN n_tokens BETWEEN 10 AND 120
+                               AND ROUND(CAST(n_stop AS DOUBLE)/CAST(n_tokens AS DOUBLE), 6) <= 0.3
+                               AND ROUND(CAST(n_distinct AS DOUBLE)/CAST(n_tokens AS DOUBLE), 6) >= 0.4
+                          THEN 'good' ELSE 'low' END AS quality
+              FROM m)
+        SELECT doc_id, lang, quality,
+               CAST(CASE WHEN quality = 'good' THEN 80 ELSE 20 END AS INT) AS w
+        FROM q
+        WHERE ($toss % 100) < CASE WHEN quality = 'good' THEN 80 ELSE 20 END
+        ORDER BY doc_id"""
+      }
     )
   )
 

@@ -1036,6 +1036,97 @@ object Warehouse {
         GROUP BY bin, lo, hi ORDER BY bin""")
     ),
 
+    // Delivery-time price-distribution drift — the q175/q176 monitor
+    // on the NUMERIC surface (the PSI shape, share gaps instead of
+    // ln-ratios since ln() is not engine-portable): the standing
+    // corpus (90% md5 bucket of ORDERS) commits its 20-bin totalprice
+    // histogram AND the binning scalars (lo, hi) as snapshots — the
+    // bins are FROZEN with the standing corpus, the monitoring
+    // contract (re-deriving bins from merged data would mask the
+    // drift it exists to catch); the delivery (10% bucket) bins with
+    // the PINNED edges, out-of-range values clamped into the edge
+    // bins (greatest/least — a delivery priced outside the standing
+    // range lands visibly in bin 0/19). Per-bin drift is the exact
+    // integer share gap of q175, DECIMAL/HUGEINT-widened. Serving:
+    // one delta scan + a 20-row join; histogram frames never exceed
+    // the bin count at any corpus scale.
+    Q(
+      "q177_price_drift",
+      (s, d) => {
+        val h = graft.functions.TextFns.h60(col("o_orderkey").cast("string")) % 100
+        val o = Tables.orders(s, d)
+          .select(col("o_totalprice").as("x"), h.as("bucket"))
+        val baseRows = o.filter(col("bucket") < 90).select(col("x"))
+        val stats = baseRows.agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+        def width = (col("hi") - col("lo")) / lit(20.0)
+        val baseHist = baseRows.crossJoin(broadcast(stats))
+          .withColumn("bin",
+            least(floor((col("x") - col("lo")) / width), lit(19.0)).cast(IntegerType))
+          .groupBy(col("bin")).agg(count(lit(1)).as("n_base"))
+        val hDir = graft.Scratch.fresh("pd_h_")
+        val sDir = graft.Scratch.fresh("pd_s_")
+        val vh = Snapshots.commit(baseHist, hDir, replace = true)
+        val vs = Snapshots.commit(stats, sDir, replace = true)
+        // ---- serving side: everything below reads the PINNED index
+        val base = Snapshots.read(s, hDir, Some(vh))
+        val pinned = Snapshots.read(s, sDir, Some(vs))
+        val delta = o.filter(col("bucket") >= 90).select(col("x"))
+          .crossJoin(broadcast(pinned))
+          .withColumn("bin",
+            greatest(least(floor((col("x") - col("lo")) / width), lit(19.0)), lit(0.0))
+              .cast(IntegerType))
+          .groupBy(col("bin")).agg(count(lit(1)).as("n_delta"))
+        val joined = base.join(delta, Seq("bin"), "full_outer")
+          .select(col("bin"),
+            coalesce(col("n_base"), lit(0L)).as("n_base"),
+            coalesce(col("n_delta"), lit(0L)).as("n_delta"))
+          .cache()
+        val scal = joined.agg(sum(col("n_base")).as("nb"), sum(col("n_delta")).as("nd"))
+        joined.crossJoin(broadcast(scal))
+          .select(
+            col("bin"), col("n_base"), col("n_delta"),
+            expr("CAST((CAST(n_base AS DECIMAL(38,0)) * 1000000) div nb AS BIGINT)")
+              .as("share_base_micro"),
+            expr("CAST((CAST(n_delta AS DECIMAL(38,0)) * 1000000) div nd AS BIGINT)")
+              .as("share_delta_micro"),
+            expr("""CAST((abs(CAST(n_base AS DECIMAL(38,0)) * nd
+                             - CAST(n_delta AS DECIMAL(38,0)) * nb) * 1000000)
+                    div (CAST(nb AS DECIMAL(38,0)) * nd) AS BIGINT)""")
+              .as("drift_micro"))
+          .orderBy(col("bin"))
+      },
+      Some {
+        val h = graft.functions.TextFns.Sql.h60("CAST(o_orderkey AS VARCHAR)")
+        s"""
+        WITH o AS MATERIALIZED (
+          SELECT o_totalprice AS x, ($h % 100) AS bucket FROM orders),
+        st AS MATERIALIZED (
+          SELECT MIN(x) AS lo, MAX(x) AS hi FROM o WHERE bucket < 90),
+        bh AS (
+          SELECT CAST(least(floor((x - lo) / ((hi - lo) / 20.0)), 19.0) AS INT) AS bin,
+                 CAST(COUNT(*) AS BIGINT) AS n_base
+          FROM o CROSS JOIN st WHERE bucket < 90 GROUP BY 1),
+        dh AS (
+          SELECT CAST(greatest(least(floor((x - lo) / ((hi - lo) / 20.0)), 19.0), 0.0) AS INT) AS bin,
+                 CAST(COUNT(*) AS BIGINT) AS n_delta
+          FROM o CROSS JOIN st WHERE bucket >= 90 GROUP BY 1),
+        j AS MATERIALIZED (
+          SELECT COALESCE(bh.bin, dh.bin) AS bin,
+                 COALESCE(bh.n_base, 0) AS n_base,
+                 COALESCE(dh.n_delta, 0) AS n_delta
+          FROM bh FULL OUTER JOIN dh ON bh.bin = dh.bin),
+        t AS (SELECT CAST(SUM(n_base) AS BIGINT) AS nb,
+                     CAST(SUM(n_delta) AS BIGINT) AS nd FROM j)
+        SELECT j.bin, j.n_base, j.n_delta,
+               CAST((CAST(j.n_base AS HUGEINT) * 1000000) // t.nb AS BIGINT) AS share_base_micro,
+               CAST((CAST(j.n_delta AS HUGEINT) * 1000000) // t.nd AS BIGINT) AS share_delta_micro,
+               CAST((abs(CAST(j.n_base AS HUGEINT) * t.nd
+                         - CAST(j.n_delta AS HUGEINT) * t.nb) * 1000000)
+                    // (CAST(t.nb AS HUGEINT) * t.nd) AS BIGINT) AS drift_micro
+        FROM j, t ORDER BY j.bin"""
+      }
+    ),
+
     // Per-group mode with a deterministic tiebreak: most frequent order
     // priority per market segment. Two-level aggregate — counts on
     // (segment, priority), then top-1 by (count desc, priority asc) via

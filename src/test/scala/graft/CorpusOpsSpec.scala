@@ -467,4 +467,31 @@ class CorpusOpsSpec extends SparkSpec {
     }
     spark.catalog.clearCache()
   }
+
+  test("q178 weighted sample == the md5-toss replay over q41's quality labels") {
+    val sample = SparkEntry.queries("q178_weighted_sample")(spark, d).collect()
+      .map(r => r.getAs[Any]("doc_id").toString -> r.getAs[String]("quality")).toMap
+    val quality = SparkEntry.queries("q41_quality_score")(spark, d).collect()
+      .map(r => r.getAs[Any]("doc_id").toString -> r.getAs[String]("quality")).toMap
+    def h60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val expected = quality.filter { case (id, ql) =>
+      h60(id + "|ws") % 100 < (if (ql == "good") 80L else 20L)
+    }
+    assert(sample.keySet == expected.keySet,
+      s"sample set diverges: extra=${(sample.keySet -- expected.keySet).take(3)}, " +
+        s"missing=${(expected.keySet -- sample.keySet).take(3)}")
+    sample.foreach { case (id, ql) => assert(ql == quality(id), s"quality mismatch for $id") }
+    // the weighting must actually bite: good docs sampled at ~4x the
+    // low-doc rate (80 vs 20) — check the ratio ordering, not exact
+    val (gIn, gAll) = (sample.values.count(_ == "good"), quality.values.count(_ == "good"))
+    val (lIn, lAll) = (sample.values.count(_ == "low"), quality.values.count(_ == "low"))
+    assert(gAll > 0 && lAll > 0)
+    assert(gIn.toDouble / gAll > lIn.toDouble / lAll,
+      s"good rate ${gIn}/$gAll must exceed low rate ${lIn}/$lAll")
+    spark.catalog.clearCache()
+  }
 }

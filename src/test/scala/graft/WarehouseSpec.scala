@@ -393,4 +393,41 @@ class WarehouseSpec extends SparkSpec {
       .filter(col("prev") > col("n_chars_q"))
     assert(nonMono.isEmpty, "quantiles must be non-decreasing in p")
   }
+
+  test("q177 price drift == plain-Scala replay (frozen bins, clamped delivery, share gaps)") {
+    val d = sf("sf0.001")
+    val rows = SparkEntry.queries("q177_price_drift")(spark, d).collect()
+      .map(r => (r.getAs[Int]("bin"), r.getAs[Long]("n_base"), r.getAs[Long]("n_delta"),
+        r.getAs[Long]("share_base_micro"), r.getAs[Long]("share_delta_micro"),
+        r.getAs[Long]("drift_micro"))).toSeq
+    def h60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val o = Tables.orders(spark, d)
+      .select(col("o_orderkey").cast("string"), col("o_totalprice").cast("double"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    val (bs, ds) = o.partition { case (k, _) => h60(k) % 100 < 90 }
+    val lo = bs.map(_._2).min
+    val hi = bs.map(_._2).max
+    val w = (hi - lo) / 20.0
+    def binB(x: Double) = math.min(math.floor((x - lo) / w), 19.0).toInt
+    def binD(x: Double) = math.max(math.min(math.floor((x - lo) / w), 19.0), 0.0).toInt
+    val cb = bs.groupBy(t => binB(t._2)).view.mapValues(_.length.toLong).toMap
+    val cd = ds.groupBy(t => binD(t._2)).view.mapValues(_.length.toLong).toMap
+    val (nb, nd) = (bs.length.toLong, ds.length.toLong)
+    val exp = (cb.keySet ++ cd.keySet).toSeq.sorted.map { b =>
+      val (x, y) = (cb.getOrElse(b, 0L), cd.getOrElse(b, 0L))
+      (b, x, y,
+        (BigInt(x) * 1000000 / nb).toLong,
+        (BigInt(y) * 1000000 / nd).toLong,
+        ((BigInt(x) * nd - BigInt(y) * nb).abs * 1000000 / (BigInt(nb) * nd)).toLong)
+    }
+    assert(rows == exp, s"price drift diverges:\n got=${rows.take(4)}\n exp=${exp.take(4)}")
+    // structural: frozen-bin totals are complete partitions of each side
+    assert(rows.map(_._2).sum == nb && rows.map(_._3).sum == nd,
+      "clamping must keep every delivery row (no silent drops)")
+    spark.catalog.clearCache()
+  }
 }
