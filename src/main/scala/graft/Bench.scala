@@ -134,12 +134,21 @@ object Bench {
   @volatile private var OutFile = java.nio.file.Paths.get(
     sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_out.json"))
 
-  private def emit(line: String): Unit = {
-    println(line)
-    System.out.flush()
+  // Per-query checkpoint: FILE only. The cumulative JSON goes to stdout
+  // exactly ONCE, at suite end — printing it after every query floods
+  // stdout and the driver's capture truncates past ~90 queries, leaving
+  // a tail fragment it cannot parse (BENCH_r{9,10,11} were all
+  // `parsed: null` for exactly this reason). The file write stays
+  // per-query so a crash mid-suite still leaves a complete-so-far record.
+  private def checkpoint(line: String): Unit =
     try
       java.nio.file.Files.write(OutFile, (line + "\n").getBytes("UTF-8"))
     catch { case e: Exception => System.err.println(s"[bench] out file: $e") }
+
+  private def emit(line: String): Unit = {
+    println(line)
+    System.out.flush()
+    checkpoint(line)
   }
 
   private def jstr(s: String): String =
@@ -331,13 +340,13 @@ object Bench {
         if (safeToClearCache()) spark.catalog.clearCache()
         else System.err.println(
           s"[bench] clearCache skipped: runners still unwinding (${leakedRunners().mkString(", ")})")
-        emit(jsonLine(sfDir, done, dnf, errs, flaky, skipped))
+        checkpoint(jsonLine(sfDir, done, dnf, errs, flaky, skipped))
       }
     }
-    if (skipped.nonEmpty) {
+    if (skipped.nonEmpty)
       System.err.println(s"[bench] budget exhausted; skipped: ${skipped.mkString(", ")}")
-      emit(jsonLine(sfDir, done, dnf, errs, flaky, skipped))
-    }
+    // the ONE stdout emission of the cumulative record (see [[checkpoint]])
+    emit(jsonLine(sfDir, done, dnf, errs, flaky, skipped))
     spark.stop()
   }
 }

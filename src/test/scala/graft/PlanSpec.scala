@@ -590,4 +590,61 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"q172 plans a cartesian product:\n$p")
     spark.catalog.clearCache()
   }
+
+  test("SUITE-WIDE: no query mixes exact multi-distinct and sketch aggregates in one Aggregate (q114/q71 class)") {
+    // Two exact DISTINCT groups in one aggregate force Spark's Expand
+    // rewrite (~n_groups× row amplification); a sketch aggregate
+    // (HLL++, percentile, any TypedImperativeAggregate) caught in the
+    // same Aggregate is dragged through that amplification under a
+    // non-codegen ObjectHashAggregate — measured 90 s vs 1.6 s on q114
+    // (round 11) and 5.3 s vs 0.8 s on q71 (round 12). The recipe is
+    // two single-purpose scans joined on the group keys; this pin
+    // fails AT TEST TIME any registered query that regresses into the
+    // mixed shape, instead of a bench DNF finding it rounds later.
+    // Detection is on the ANALYZED plan (pre-rewrite), so the distinct
+    // groups are still visible as isDistinct aggregate expressions.
+    val d = sf("sf0.001")
+    // detector self-check: the round-11 q71 shape (2 HLL + 2 exact
+    // distincts in ONE agg) must be flagged, and its split-arm fix not
+    import org.apache.spark.sql.functions.{approx_count_distinct, countDistinct, col}
+    val fact = spark.read.parquet(s"$d/lineitem")
+    val mixedShape = fact.groupBy(col("l_returnflag")).agg(
+      approx_count_distinct(col("l_orderkey"), 0.02),
+      approx_count_distinct(col("l_partkey"), 0.02),
+      countDistinct(col("l_orderkey")),
+      countDistinct(col("l_partkey")))
+    assert(hasMixedDistinctSketchAgg(mixedShape),
+      "detector must flag the round-11 q71 shape")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val mixed = hasMixedDistinctSketchAgg(fn(spark, d))
+      spark.catalog.clearCache()
+      if (mixed) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"mixed exact-multi-distinct + sketch in one Aggregate (split into two scans " +
+        s"joined on the group keys — see q114/q71): ${offenders.mkString(", ")}")
+  }
+
+  /** True iff any Aggregate in the frame's analyzed plan holds BOTH
+    * more than one exact-DISTINCT group (→ the Expand rewrite) and a
+    * sketch/object aggregate (HLL++, percentile, any
+    * TypedImperativeAggregate) — the q114/q71 pathology.
+    */
+  private def hasMixedDistinctSketchAgg(df: org.apache.spark.sql.DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{
+      AggregateExpression, HyperLogLogPlusPlus, ApproximatePercentile, TypedImperativeAggregate}
+    df.queryExecution.analyzed.collect { case a: Aggregate =>
+      val aggs = a.aggregateExpressions.flatMap(_.collect {
+        case ae: AggregateExpression => ae })
+      val distinctGroups = aggs.filter(_.isDistinct)
+        .map(_.aggregateFunction.children.map(_.canonicalized).toSet).distinct
+      val hasSketch = aggs.exists { ae =>
+        ae.aggregateFunction.isInstanceOf[HyperLogLogPlusPlus] ||
+        ae.aggregateFunction.isInstanceOf[ApproximatePercentile] ||
+        ae.aggregateFunction.isInstanceOf[TypedImperativeAggregate[_]]
+      }
+      distinctGroups.size > 1 && hasSketch
+    }.exists(identity)
+  }
 }
