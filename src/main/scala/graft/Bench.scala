@@ -268,9 +268,14 @@ object Bench {
       if (remainingSec > budgetSec / 2) {
         val t0 = System.nanoTime()
         try {
-          build(spark, sfDir)
+          // built vs reused is the freshness audit: in a fresh bench JVM
+          // every artifact must report "built" here (the memoizers are
+          // JVM-private, so a "reused" means something in THIS session
+          // already paid the build — e.g. the sf0.001 warmup for the same
+          // dataset — never a stale cross-session index)
+          val status = Prebuild.force(nm, build, spark, sfDir)
           System.err.println(
-            f"[bench] prebuilt $nm%-18s ${(System.nanoTime() - t0) / 1e9}%7.2fs")
+            f"[bench] prebuilt $nm%-18s ${(System.nanoTime() - t0) / 1e9}%7.2fs  ($status @ $sfDir)")
         } catch {
           case e: Exception =>
             System.err.println(s"[bench] prebuild $nm FAILED: ${e.getMessage.take(120)}")

@@ -26,6 +26,27 @@ object Prebuild {
     "selection_labels" -> ((s, d) => { operators.MLOps.selectionLabels(s, d); () }),
     "cluster_model" -> ((s, d) => { operators.MLOps.clusterModel(s, d); () }),
     "clustered_fact" -> ((s, d) => { operators.Warehouse.shipDateClusteredFact(s, d); () }),
-    "basket_index" -> ((s, d) => { operators.Analytics.basketIndex(s, d); () })
+    "basket_index" -> ((s, d) => { operators.Analytics.basketIndex(s, d); () }),
+    "mix_index" -> ((s, d) => { operators.Text.mixIndex(s, d); () }),
+    "price_drift_index" -> ((s, d) => { operators.Warehouse.priceDriftIndex(s, d); () })
   )
+
+  // audit trail: which (artifact, dataset) pairs this JVM has forced.
+  // The underlying memoizers are keyed by dataset dir and scratch dirs
+  // are JVM-private, so cross-JVM staleness is impossible — this makes
+  // the built-vs-reused distinction VISIBLE so a bench log always shows
+  // whether an artifact's cost was paid in this prebuild pass ("built")
+  // or earlier in the same JVM ("reused").
+  private val forcedSet =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String)]()
+
+  /** Force one artifact; returns "built" on the first call for this
+    * (artifact, dataset) in this JVM, "reused" after.
+    */
+  def force(name: String, build: (SparkSession, String) => Unit,
+      s: SparkSession, d: String): String = {
+    val first = forcedSet.add((name, d))
+    build(s, d)
+    if (first) "built" else "reused"
+  }
 }

@@ -246,6 +246,34 @@ class GraphSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q169 affected-closure saturates within ClosureRounds on the graded buckets — the repair's premise") {
+    // the q169 oracle re-peels the merged graph from scratch (it does
+    // NOT replay the closure), so an unsaturated closure would be a
+    // silent parity divergence: certify saturation on the exact frames
+    // kcoreDelta expands over, at both the unit and the GRADED scale
+    Seq("sf0.001", "sf0.01").foreach { sfN =>
+      val (nonCoreEdges, seed) = Graph.closureInputsOf(spark, sf(sfN))
+      val (_, rounds) = Graph.closureFixpointOf(nonCoreEdges, seed)
+      assert(rounds <= Graph.ClosureRounds,
+        s"$sfN closure needs $rounds expansion rounds; q169 applies only ${Graph.ClosureRounds}")
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("closure certificate detects an unsaturated fixed-round expansion (chain fixture)") {
+    // a 12-hop non-core chain seeded at one end needs 11 expansion
+    // rounds — the fixed ClosureRounds=5 provably does NOT saturate it,
+    // so the certificate's rounds count is a real detector, and the
+    // saturated set is the whole chain while the 5-round set is not
+    val chain = (1L to 11L).map(i => (i, i + 1)).toDF("u", "v")
+    val seedDf = Seq(1L).toDF("n")
+    val (sat, rounds) = Graph.closureFixpointOf(chain, seedDf)
+    assert(rounds > Graph.ClosureRounds,
+      s"chain must exceed the fixed rounds, took $rounds")
+    assert(sat.count() == 12, "saturated closure reaches the whole chain")
+    spark.catalog.clearCache()
+  }
+
   // --- q156 personalized pagerank ----------------------------------
 
   /** Plain-Scala replay of the fixed-point PPR recurrence — the
