@@ -77,11 +77,37 @@ object GenData {
       println(s"[gendata] $t: ${spark.read.parquet(s"$out/$t.parquet").count()} rows")
     }
     val cps = spark.range(copies).select(col("id").cast("long").as("cp"))
-    def shifted(t: String, keys: Seq[String]): DataFrame = {
-      val df = read(t)
+    def shiftedDf(df: DataFrame, keys: Seq[String]): DataFrame = {
       val rep = df.crossJoin(cps)
       keys.foldLeft(rep)((d, k) => d.withColumn(k, col(k) + col("cp") * Off))
         .select(df.columns.toIndexedSeq.map(col): _*)
+    }
+    def shifted(t: String, keys: Seq[String]): DataFrame = shiftedDf(read(t), keys)
+
+    // Correlated-triple plant (q174 non-degeneracy at scale): the
+    // driver's random baskets have no part TRIPLE recurring past
+    // sf0.01 (BASELINE.md round-11 footnote), so scaled sweeps would
+    // measure q174's enumeration over a 0-qualifying-triple tail.
+    // Deterministically promote ~1% of orders (md5 toss on the order
+    // key) to "promo" baskets whose first 3 line items are rewritten
+    // to one of [[Triples]] part triples (ids 3t..3t+2 — present in
+    // every SF's part table, which keys 0..N); ~147 promo orders per
+    // sf0.01-equivalent over 40 triples ≈ 3.7 recurrences each, past
+    // q174's min-support 2. Applied BEFORE the copy shift, so every
+    // copy carries its own shifted, equally-recurring triples and the
+    // qualifying-rule surface grows linearly with SF. Hash parity is
+    // unaffected by construction — the oracle recomputes from the same
+    // parquet.
+    val Triples = 40
+    def planted(li: DataFrame): DataFrame = {
+      val promo = graft.functions.TextFns.h60(
+        concat(col("l_orderkey").cast("string"), lit("|promo"))) % 100 < 1
+      val bucket = graft.functions.TextFns.h60(
+        concat(col("l_orderkey").cast("string"), lit("|tri"))) % Triples
+      li.withColumn("l_partkey",
+        when(promo && col("l_linenumber") <= 3,
+          bucket * 3 + col("l_linenumber").cast("long") - 1)
+          .otherwise(col("l_partkey")))
     }
 
     if (wanted("region")) write(read("region"), "region")
@@ -91,7 +117,8 @@ object GenData {
     if (wanted("part")) write(shifted("part", Seq("p_partkey")), "part")
     if (wanted("orders")) write(shifted("orders", Seq("o_orderkey", "o_custkey")), "orders")
     if (wanted("lineitem"))
-      write(shifted("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey")), "lineitem")
+      write(shiftedDf(planted(read("lineitem")),
+        Seq("l_orderkey", "l_partkey", "l_suppkey")), "lineitem")
     if (wanted("events")) write(shifted("events", Seq("event_id", "user_id")), "events")
 
     if (wanted("documents")) {
