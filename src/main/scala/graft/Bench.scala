@@ -264,8 +264,17 @@ object Bench {
     // — timed runs still have priority, and a query whose index was
     // not prebuilt just builds it lazily on its first (discarded-by-
     // min) run as before.
+    // SPARK_GRAFT_PREBUILD: comma list restricting which standing
+    // artifacts to force ("none" skips all) — subset probes at large SF
+    // shouldn't pay minutes building graph indexes their queries never
+    // read; default (unset) builds everything, as the full suite needs.
+    val prebuildWanted: String => Boolean =
+      sys.env.get("SPARK_GRAFT_PREBUILD") match {
+        case None      => _ => true
+        case Some(lst) => lst.split(",").map(_.trim).filter(_.nonEmpty).toSet
+      }
     Prebuild.all.foreach { case (nm, build) =>
-      if (remainingSec > budgetSec / 2) {
+      if (prebuildWanted(nm) && remainingSec > budgetSec / 2) {
         val t0 = System.nanoTime()
         try {
           // built vs reused is the freshness audit: in a fresh bench JVM

@@ -160,13 +160,17 @@ object GenData {
     if (wanted("embeddings")) {
     val emb = read("embeddings")
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    // rotate by cp MOD dim — copies can exceed the dimension (a ×100
+    // sweep over 64-dim vectors previously fed slice() a negative
+    // length); copies at cp ≡ 0 (mod dim) repeat the identity rotation,
+    // which is fine (distinct vec_ids, linear bucket growth holds)
     val rotated = emb.crossJoin(cps)
       .select(
         (col("vec_id") + col("cp") * Off).as("vec_id"),
-        when(col("cp") === 0, col("embedding")).otherwise(
+        when(col("cp") % dim === 0, col("embedding")).otherwise(
           concat(
-            expr(s"slice(embedding, CAST(cp + 1 AS INT), $dim - CAST(cp AS INT))"),
-            expr("slice(embedding, 1, CAST(cp AS INT))"))).as("embedding"),
+            expr(s"slice(embedding, CAST(cp % $dim + 1 AS INT), $dim - CAST(cp % $dim AS INT))"),
+            expr(s"slice(embedding, 1, CAST(cp % $dim AS INT))"))).as("embedding"),
         col("label"))
     write(rotated, "embeddings")
     }

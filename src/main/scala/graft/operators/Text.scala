@@ -1477,6 +1477,94 @@ object Text {
         WHERE ($toss % 100) < CASE WHEN quality = 'good' THEN 80 ELSE 20 END
         ORDER BY doc_id"""
       }
+    ),
+
+    // Delivery-time language-mix REBALANCE — the corrective verb after
+    // q175's drift detection: given the standing corpus's pinned
+    // per-lang histogram (the q175 mixIndex snapshot) and a delivery,
+    // compute each language's ACCEPT RATE — the downsampling
+    // probability that makes the kept delivery's expected mix equal the
+    // standing mix: p_L = min(1, share_base(L) / share_delta(L)), held
+    // as the exact integer micro-rational (n_base·Nd·1e6) div
+    // (n_delta·Nb) widened through DECIMAL(38,0)/HUGEINT (the q166
+    // overflow class). The kept set itself is the q178 deterministic
+    // toss — keep iff h60(doc_id ∥ "|rb") % 1e6 < accept_micro — so
+    // reruns, engines, and partitionings all select the SAME rebalanced
+    // delivery. Movers convention: a language born in the delivery
+    // (n_base = 0) gets accept 0 (nothing in the standing mix to
+    // rebalance toward — quarantine for review), one that vanished
+    // (n_delta = 0) reports accept 1e6 with n_kept 0. Scale shape: the
+    // standing side is the pinned histogram snapshot (language-count
+    // rows at ANY corpus scale), rates broadcast onto one map-side
+    // filtered pass over the delta only — no corpus rescan, no shuffle
+    // before the histogram-sized output.
+    Q(
+      "q180_mix_rebalance",
+      (s, d) => {
+        val (dir, v) = mixIndex(s, d)
+        val base = Snapshots.read(s, dir, Some(v))
+        val del = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"),
+            (TextFns.h60(col("doc_id").cast("string")) % 100).as("bucket"))
+          .filter(col("bucket") >= 90)
+          .cache() // consumed by the per-lang histogram and the toss count
+        val dHist = del.groupBy(col("lang")).agg(count(lit(1)).as("n_delta"))
+        val joined = base.join(dHist, Seq("lang"), "full_outer")
+          .select(col("lang"),
+            coalesce(col("n_base"), lit(0L)).as("n_base"),
+            coalesce(col("n_delta"), lit(0L)).as("n_delta"))
+          .cache() // consumed by the scalar arm and the rate select
+        val scal = joined.agg(sum(col("n_base")).as("nb"), sum(col("n_delta")).as("nd"))
+        val rates = joined.crossJoin(broadcast(scal))
+          .select(col("lang"), col("n_base"), col("n_delta"),
+            when(col("n_delta") === 0, lit(1000000L)).otherwise(
+              least(lit(1000000L),
+                expr("""CAST((CAST(n_base AS DECIMAL(38,0)) * nd * 1000000)
+                        div (CAST(n_delta AS DECIMAL(38,0)) * nb) AS BIGINT)""")))
+              .as("accept_micro"))
+        val kept = del
+          .join(broadcast(rates.select(col("lang"), col("accept_micro"))), Seq("lang"))
+          .filter(TextFns.h60(concat(col("doc_id").cast("string"), lit("|rb")))
+            % 1000000 < col("accept_micro"))
+          .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
+        rates.join(kept, Seq("lang"), "left")
+          .select(col("lang"), col("n_base"), col("n_delta"), col("accept_micro"),
+            coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+          .orderBy(col("lang"))
+      },
+      Some {
+        val h = T.h60("CAST(doc_id AS VARCHAR)")
+        val toss = T.h60("CAST(doc_id AS VARCHAR) || '|rb'")
+        s"""
+        WITH s AS MATERIALIZED (
+          SELECT doc_id, lang, ($h % 100) AS bucket FROM documents),
+        b AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_base
+              FROM s WHERE bucket < 90 GROUP BY 1),
+        dl AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_delta
+               FROM s WHERE bucket >= 90 GROUP BY 1),
+        j AS MATERIALIZED (
+          SELECT COALESCE(b.lang, dl.lang) AS lang,
+                 COALESCE(b.n_base, 0) AS n_base,
+                 COALESCE(dl.n_delta, 0) AS n_delta
+          FROM b FULL OUTER JOIN dl ON b.lang = dl.lang),
+        t AS (SELECT CAST(SUM(n_base) AS BIGINT) AS nb,
+                     CAST(SUM(n_delta) AS BIGINT) AS nd FROM j),
+        r AS MATERIALIZED (
+          SELECT j.lang, j.n_base, j.n_delta,
+                 CASE WHEN j.n_delta = 0 THEN CAST(1000000 AS BIGINT)
+                      ELSE least(CAST(1000000 AS BIGINT),
+                        CAST((CAST(j.n_base AS HUGEINT) * t.nd * 1000000)
+                             // (CAST(j.n_delta AS HUGEINT) * t.nb) AS BIGINT))
+                 END AS accept_micro
+          FROM j, t),
+        k AS (SELECT s.lang, CAST(COUNT(*) AS BIGINT) AS n_kept
+              FROM s JOIN r ON s.lang = r.lang
+              WHERE s.bucket >= 90 AND ($toss % 1000000) < r.accept_micro
+              GROUP BY 1)
+        SELECT r.lang, r.n_base, r.n_delta, r.accept_micro,
+               COALESCE(k.n_kept, 0) AS n_kept
+        FROM r LEFT JOIN k ON r.lang = k.lang ORDER BY r.lang"""
+      }
     )
   )
 

@@ -468,6 +468,52 @@ class CorpusOpsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q180 rebalance: BigInt replay of rates + toss; kept mix never drifts further from the standing mix") {
+    val rows = SparkEntry.queries("q180_mix_rebalance")(spark, d).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("n_base"),
+        r.getAs[Long]("n_delta"), r.getAs[Long]("accept_micro"), r.getAs[Long]("n_kept")))
+    def h60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val split = Tables.documents(spark, d)
+      .select(col("doc_id").cast("string"), col("lang"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val (bs, ds) = split.partition { case (id, _) => h60(id) % 100 < 90 }
+    val cb = bs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val dsByLang = ds.groupBy(_._2)
+    val (nb, nd) = (bs.length.toLong, ds.length.toLong)
+    val expRates = (cb.keySet ++ dsByLang.keySet).map { l =>
+      val (b, dl) = (cb.getOrElse(l, 0L), dsByLang.get(l).map(_.length.toLong).getOrElse(0L))
+      l -> (if (dl == 0) 1000000L
+            else (BigInt(b) * nd * 1000000 / (BigInt(dl) * nb)).min(1000000).toLong)
+    }.toMap
+    val expKept = dsByLang.view.mapValues(_.count { case (id, l) =>
+      h60(id + "|rb") % 1000000 < expRates(l) }.toLong).toMap
+    rows.foreach { case (l, b, dl, acc, kept) =>
+      assert(b == cb.getOrElse(l, 0L) && dl == dsByLang.get(l).map(_.size.toLong).getOrElse(0L))
+      assert(acc == expRates(l), s"$l accept rate diverges: $acc vs ${expRates(l)}")
+      assert(kept == expKept.getOrElse(l, 0L), s"$l kept count diverges")
+      // a born language (no standing mass) is fully quarantined
+      if (b == 0L) assert(acc == 0L && kept == 0L)
+    }
+    // the point of the verb: for every language present on both sides,
+    // the KEPT delivery's share gap to the standing mix is no worse
+    // than the raw delivery's (expected-count grain; the toss is
+    // Bernoulli-exact per doc so we check the aggregate direction)
+    val nk = rows.map(_._5).sum
+    rows.foreach { case (l, b, dl, _, kept) =>
+      if (b > 0 && dl > 0 && nk > 0) {
+        val rawGap = (BigInt(b) * nd - BigInt(dl) * nb).abs * 1000000 / (BigInt(nb) * nd)
+        val keptGap = (BigInt(b) * nk - BigInt(kept) * nb).abs * 1000000 / (BigInt(nb) * nk)
+        assert(keptGap <= rawGap + 25000, // toss quantization headroom at this corpus size
+          s"$l: rebalance made the mix WORSE (kept gap $keptGap vs raw $rawGap)")
+      }
+    }
+    spark.catalog.clearCache()
+  }
+
   test("q178 weighted sample == the md5-toss replay over q41's quality labels") {
     val sample = SparkEntry.queries("q178_weighted_sample")(spark, d).collect()
       .map(r => r.getAs[Any]("doc_id").toString -> r.getAs[String]("quality")).toMap

@@ -607,7 +607,7 @@ class PlanSpec extends SparkSpec {
     // detector self-check: the round-11 q71 shape (2 HLL + 2 exact
     // distincts in ONE agg) must be flagged, and its split-arm fix not
     import org.apache.spark.sql.functions.{approx_count_distinct, countDistinct, col}
-    val fact = spark.read.parquet(s"$d/lineitem")
+    val fact = spark.read.parquet(s"$d/lineitem.parquet")
     val mixedShape = fact.groupBy(col("l_returnflag")).agg(
       approx_count_distinct(col("l_orderkey"), 0.02),
       approx_count_distinct(col("l_partkey"), 0.02),
