@@ -28,6 +28,7 @@ object Prebuild {
     "clustered_fact" -> ((s, d) => { operators.Warehouse.shipDateClusteredFact(s, d); () }),
     "basket_index" -> ((s, d) => { operators.Analytics.basketIndex(s, d); () }),
     "mix_index" -> ((s, d) => { operators.Text.mixIndex(s, d); () }),
+    "bpe_rules" -> ((s, d) => { operators.Text.bpeRulesIndex(s, d); () }),
     "price_drift_index" -> ((s, d) => { operators.Warehouse.priceDriftIndex(s, d); () })
   )
 

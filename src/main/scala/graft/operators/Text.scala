@@ -17,7 +17,7 @@ import org.apache.spark.sql.types.IntegerType
 object Text {
   import TextFns.{Sql => T}
 
-  private def docs(s: org.apache.spark.sql.SparkSession, d: String) =
+  private[graft] def docs(s: org.apache.spark.sql.SparkSession, d: String) =
     Tables.documents(s, d).withColumn("tok", TextFns.tokens(col("text")))
 
   /** Integer-exact ratio: CAST(a AS DOUBLE)/b rounded to 6 places. */
@@ -93,11 +93,51 @@ object Text {
   private[graft] def bpeTrain(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
     bpeTrainOf(docs(s, d).select(col("doc_id"), col("tok")))
 
+  /** One greedy left-to-right application of `pick` (a 1-row frame
+    * carrying a `pair` column) over a (doc_id, tok) frame — the shared
+    * round body of [[bpeTrainOf]] (which recomputes the top pair per
+    * round) and the FROZEN-rule apply path (q179, which replays pinned
+    * picks from the tokenizer index). Returns (applied match
+    * positions, rebuilt frame), both eagerly checkpointed: the rounds
+    * are inherently sequential.
+    */
+  private[graft] def bpeApplyRound(
+      cur: DataFrame, pick: DataFrame): (DataFrame, DataFrame) = {
+    val wdoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val ex = cur
+      .select(col("doc_id"), posexplode(col("tok")).as(Seq("pos", "t")))
+      .crossJoin(broadcast(pick.select(col("pair"))))
+    val matches = ex
+      .withColumn("bigr", concat(col("t"), lit(" "), lead(col("t"), 1).over(wdoc)))
+      .filter(col("bigr") === col("pair"))
+      .select(col("doc_id"), col("pos"))
+    val applied = matches
+      .withColumn("grp", col("pos") - row_number().over(wdoc))
+      .withColumn("rn2",
+        row_number().over(Window.partitionBy(col("doc_id"), col("grp")).orderBy(col("pos"))))
+      .filter(col("rn2") % 2 === 1)
+      .select(col("doc_id"), col("pos"))
+      .localCheckpoint(true)
+    val rebuilt = ex
+      .join(applied.withColumn("ap", lit(true)), Seq("doc_id", "pos"), "left")
+      .join(
+        applied.select(col("doc_id"), (col("pos") + 1).as("pos"), lit(true).as("ab")),
+        Seq("doc_id", "pos"), "left")
+      .filter(col("ab").isNull)
+      .select(col("doc_id"), col("pos"),
+        when(col("ap"), col("pair")).otherwise(col("t")).as("t2"))
+      .groupBy(col("doc_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("t2")))),
+        x => x.getField("t2")).as("tok"))
+      .localCheckpoint(true)
+    (applied, rebuilt)
+  }
+
   /** The merge-training loop over an explicit (doc_id, tok) frame —
     * the unit CorpusOpsSpec drives on hand-checkable corpora.
     */
   private[graft] def bpeTrainOf(cur0: DataFrame): DataFrame = {
-    val wdoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     var cur = cur0.localCheckpoint(true)
     var stats = Vector.empty[DataFrame]
     for (i <- 1 to BpeRounds) {
@@ -107,33 +147,7 @@ object Text {
         .orderBy(col("pair_count").desc, col("pair").asc)
         .limit(1)
         .localCheckpoint(true)
-      val ex = cur
-        .select(col("doc_id"), posexplode(col("tok")).as(Seq("pos", "t")))
-        .crossJoin(broadcast(pick))
-      val matches = ex
-        .withColumn("bigr", concat(col("t"), lit(" "), lead(col("t"), 1).over(wdoc)))
-        .filter(col("bigr") === col("pair"))
-        .select(col("doc_id"), col("pos"))
-      val applied = matches
-        .withColumn("grp", col("pos") - row_number().over(wdoc))
-        .withColumn("rn2",
-          row_number().over(Window.partitionBy(col("doc_id"), col("grp")).orderBy(col("pos"))))
-        .filter(col("rn2") % 2 === 1)
-        .select(col("doc_id"), col("pos"))
-        .localCheckpoint(true)
-      val rebuilt = ex
-        .join(applied.withColumn("ap", lit(true)), Seq("doc_id", "pos"), "left")
-        .join(
-          applied.select(col("doc_id"), (col("pos") + 1).as("pos"), lit(true).as("ab")),
-          Seq("doc_id", "pos"), "left")
-        .filter(col("ab").isNull)
-        .select(col("doc_id"), col("pos"),
-          when(col("ap"), col("pair")).otherwise(col("t")).as("t2"))
-        .groupBy(col("doc_id"))
-        .agg(transform(
-          array_sort(collect_list(struct(col("pos"), col("t2")))),
-          x => x.getField("t2")).as("tok"))
-        .localCheckpoint(true)
+      val (applied, rebuilt) = bpeApplyRound(cur, pick)
       stats :+= pick
         .crossJoin(applied.agg(count(lit(1)).as("merges_applied")))
         .crossJoin(rebuilt.agg(sum(size(col("tok"))).as("tokens_after")))
@@ -144,6 +158,29 @@ object Text {
     }
     stats.reduce(_.unionByName(_)).orderBy(col("merge_rank"))
   }
+
+  /** Standing tokenizer index for q179: the [[BpeRounds]] merge rules
+    * TRAINED on the 90% standing bucket, committed once per
+    * (JVM, dataset) as a pinned snapshot — train once, apply to every
+    * delivery (the deployment contract of a real tokenizer; q170 is
+    * the training surface over the full corpus, this index freezes the
+    * production rules). Registered in [[graft.Prebuild]].
+    */
+  private val bpeRulesCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Int)]()
+
+  private[graft] def bpeRulesIndex(
+      s: org.apache.spark.sql.SparkSession, d: String): (String, Int) =
+    bpeRulesCache.computeIfAbsent(d, _ => {
+      val base = docs(s, d)
+        .select(col("doc_id"), col("tok"),
+          (TextFns.h60(col("doc_id").cast("string")) % 100).as("bucket"))
+        .filter(col("bucket") < 90)
+        .select(col("doc_id"), col("tok"))
+      val rules = bpeTrainOf(base).select(col("merge_rank"), col("pair"))
+      val dir = graft.Scratch.fresh("bpe_")
+      (dir, Snapshots.commit(rules, dir, replace = true))
+    })
 
   private[graft] val bpeTrainSql: String = {
     val rounds = (1 to BpeRounds).map { i =>
@@ -188,6 +225,66 @@ object Text {
     $rounds
     SELECT merge_rank, pair, pair_count, merges_applied, tokens_after
     FROM ($un) ORDER BY merge_rank"""
+  }
+
+  /** q179's oracle: replay the tokenizer TRAINING on the 90% standing
+    * bucket (the same 5-round chain as [[bpeTrainSql]], restricted to
+    * the bucket), then replay the frozen-rule APPLICATION on the 10%
+    * delivery — per-round pair p_i comes from the TRAIN chain, never
+    * re-derived from the delivery. Every iterated CTE `AS MATERIALIZED`
+    * (the q157 DuckDB-inlining hazard class).
+    */
+  private[graft] val bpeApplySql: String = {
+    val h = T.h60("CAST(doc_id AS VARCHAR)")
+    def mergeBlocks(pfx: String, prev: String, i: Int): String =
+      s"""${pfx}e$i AS MATERIALIZED (
+           SELECT doc_id, unnest(generate_series(1, len(tok))) AS pos, unnest(tok) AS t
+           FROM $prev),
+         ${pfx}a$i AS MATERIALIZED (
+           SELECT doc_id, pos FROM (
+             SELECT doc_id, pos,
+                    ROW_NUMBER() OVER (PARTITION BY doc_id, grp ORDER BY pos) AS rn2
+             FROM (SELECT m.doc_id, m.pos,
+                          m.pos - ROW_NUMBER() OVER (PARTITION BY m.doc_id ORDER BY m.pos) AS grp
+                   FROM (SELECT e.doc_id, e.pos,
+                                (e.t || ' ' || lead(e.t) OVER (PARTITION BY e.doc_id ORDER BY e.pos))
+                                  = p.pair AS is_m
+                         FROM ${pfx}e$i e CROSS JOIN p$i p) m
+                   WHERE m.is_m))
+           WHERE rn2 % 2 = 1),
+         ${pfx}r$i AS MATERIALIZED (
+           SELECT e.doc_id,
+                  list(CASE WHEN a.pos IS NOT NULL THEN p.pair ELSE e.t END ORDER BY e.pos) AS tok
+           FROM ${pfx}e$i e
+           CROSS JOIN p$i p
+           LEFT JOIN ${pfx}a$i a ON e.doc_id = a.doc_id AND e.pos = a.pos
+           LEFT JOIN ${pfx}a$i ab ON e.doc_id = ab.doc_id AND e.pos = ab.pos + 1
+           WHERE ab.pos IS NULL
+           GROUP BY e.doc_id)"""
+    val trainRounds = (1 to BpeRounds).map { i =>
+      val prev = if (i == 1) "b0" else s"br${i - 1}"
+      s"""p$i AS MATERIALIZED (
+           SELECT s AS pair, CAST(COUNT(*) AS BIGINT) AS pair_count
+           FROM (SELECT unnest(${T.shingles("tok", 2)}) AS s FROM $prev)
+           GROUP BY s ORDER BY pair_count DESC, pair ASC LIMIT 1),
+         ${mergeBlocks("b", prev, i)}"""
+    }.mkString(",\n    ")
+    val applyRounds = (1 to BpeRounds).map { i =>
+      val prev = if (i == 1) "d0" else s"dr${i - 1}"
+      mergeBlocks("d", prev, i)
+    }.mkString(",\n    ")
+    s"""
+    WITH s0 AS MATERIALIZED (
+      SELECT doc_id, ${T.tokens} AS tok, ($h % 100) AS bucket FROM documents),
+    b0 AS MATERIALIZED (SELECT doc_id, tok FROM s0 WHERE bucket < 90),
+    d0 AS MATERIALIZED (SELECT doc_id, tok FROM s0 WHERE bucket >= 90),
+    $trainRounds,
+    $applyRounds
+    SELECT d0.doc_id,
+           CAST(len(d0.tok) AS INT) AS n_before,
+           CAST(len(COALESCE(dr$BpeRounds.tok, d0.tok)) AS INT) AS n_after
+    FROM d0 LEFT JOIN dr$BpeRounds ON d0.doc_id = dr$BpeRounds.doc_id
+    ORDER BY d0.doc_id"""
   }
 
   val all: Seq[Q] = Seq(
@@ -1478,6 +1575,44 @@ object Text {
         ORDER BY doc_id"""
       }
     ),
+
+    // Delivery-time TOKENIZER APPLICATION — the deployment verb after
+    // q170's tokenizer induction: the [[BpeRounds]] merge rules are
+    // trained ONCE on the 90% standing bucket and committed as the
+    // pinned tokenizer index ([[bpeRulesIndex]], in Prebuild); each
+    // delivery (the 10% bucket) replays the FROZEN rules in rank order
+    // — never re-derives pairs from its own statistics (the contract
+    // of a production tokenizer: the vocabulary is fixed at train
+    // time). Per round the greedy left-to-right application is the
+    // same gaps-and-islands window as training ([[bpeApplyRound]] is
+    // the literal shared code). Output per delivery doc: token count
+    // before and after the 5 merges — the compression the standing
+    // tokenizer achieves on new data. Scale: serving cost is 5
+    // delta-linear passes (doc-keyed windows, broadcast 1-row rule),
+    // independent of the standing corpus size.
+    Q(
+      "q179_bpe_apply",
+      (s, d) => {
+        val (dir, v) = bpeRulesIndex(s, d)
+        val rules = Snapshots.read(s, dir, Some(v)).cache()
+        val delivery = docs(s, d)
+          .select(col("doc_id"), col("tok"),
+            (TextFns.h60(col("doc_id").cast("string")) % 100).as("bucket"))
+          .filter(col("bucket") >= 90)
+          .select(col("doc_id"), col("tok"))
+          .localCheckpoint(true)
+        val before = delivery.select(col("doc_id"), size(col("tok")).as("n_before"))
+        var cur = delivery
+        for (i <- 1 to BpeRounds)
+          cur = bpeApplyRound(cur, rules.filter(col("merge_rank") === i))._2
+        before
+          .join(cur.select(col("doc_id"), size(col("tok")).as("n_after")),
+            Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_before"),
+            coalesce(col("n_after"), col("n_before")).as("n_after"))
+          .orderBy(col("doc_id"))
+      },
+      Some(bpeApplySql)),
 
     // Delivery-time language-mix REBALANCE — the corrective verb after
     // q175's drift detection: given the standing corpus's pinned

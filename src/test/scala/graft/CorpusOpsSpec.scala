@@ -468,6 +468,54 @@ class CorpusOpsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q179 bpe apply == plain-Scala replay: train greedy merges on the 90% bucket, apply frozen to the delivery") {
+    def h60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    // greedy left-to-right single-rule application — the sequential
+    // reference the distributed gaps-and-islands window must equal
+    def applyRule(tok: Vector[String], pair: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < tok.length) {
+        if (i + 1 < tok.length && s"${tok(i)} ${tok(i + 1)}" == pair) {
+          out += pair; i += 2
+        } else { out += tok(i); i += 1 }
+      }
+      out.result()
+    }
+    val all = operators.Text.docs(spark, d)
+      .select(col("doc_id").cast("string"), col("tok"))
+      .collect().map(r => (r.getString(0), r.getSeq[String](1).toVector))
+    val (base, delivery) = all.partition { case (id, _) => h60(id) % 100 < 90 }
+    // train: 5 rounds of (most frequent adjacent pair, count desc / pair asc)
+    var cur = base.map(_._2)
+    val rules = (1 to 5).map { _ =>
+      val counts = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+      cur.foreach(t => t.sliding(2).filter(_.size == 2)
+        .foreach(p => counts(p.mkString(" ")) += 1))
+      val pair = counts.toSeq.minBy { case (p, c) => (-c, p) }._1
+      cur = cur.map(applyRule(_, pair))
+      pair
+    }
+    val expected = delivery.map { case (id, t) =>
+      id -> (t.length, rules.foldLeft(t)(applyRule).length)
+    }.toMap
+    val got = SparkEntry.queries("q179_bpe_apply")(spark, d).collect()
+      .map(r => r.getAs[Any]("doc_id").toString ->
+        (r.getAs[Int]("n_before"), r.getAs[Int]("n_after"))).toMap
+    assert(got.keySet == expected.keySet,
+      s"delivery doc set diverges: ${(got.keySet diff expected.keySet).take(3)} / " +
+        s"${(expected.keySet diff got.keySet).take(3)}")
+    got.foreach { case (id, (b, a)) =>
+      assert((b, a) == expected(id), s"doc $id: got ($b,$a) expected ${expected(id)}")
+      assert(a <= b, "merges can only shrink a document")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("q180 rebalance: BigInt replay of rates + toss; kept mix never drifts further from the standing mix") {
     val rows = SparkEntry.queries("q180_mix_rebalance")(spark, d).collect()
       .map(r => (r.getAs[String]("lang"), r.getAs[Long]("n_base"),
