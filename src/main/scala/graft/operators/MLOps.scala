@@ -1741,6 +1741,106 @@ object MLOps {
     FROM j, t ORDER BY j.cluster"""
   }
 
+  // ---------------------------------------------------------------
+  // q181: delivery-time centroid drift — the GEOMETRY surface of the
+  // drift-monitor family (q175 language mix / q176 cluster mix / q177
+  // numeric distribution): per cluster, HOW FAR the delivery's parts
+  // sit from the standing centroid they were assigned to. The
+  // delivery is z-scored with the PINNED standing moments and labeled
+  // against the PINNED centroids (the q165 serve), then each
+  // cluster's empirical mean is compared to its frozen centroid
+  // per-feature in exact micro-integers: every 6-dp z value enters as
+  // ROUND(z·1e6) (the q165 idist primitive, proven parity-safe), the
+  // per-feature displacement is |Σz_micro − n·c_micro| div n (integer
+  // floor), and the report carries the L1 sum and the max over the 8
+  // features. A cluster the delivery never hits reports n_delta = 0
+  // with zero drift (the share-surface q176 already flags it).
+  // Serving: one delta-filtered feature build + broadcast k·dim
+  // scalars + a k-row output — no standing rescan, no retrain.
+  // ---------------------------------------------------------------
+
+  /** The delivery bucket z-scored with the pinned moments and labeled
+    * against the pinned centroids — the common serve frame (exposed so
+    * the KMeansSpec replay can drive the same rows q181 aggregates).
+    */
+  private[graft] def serveLabeled(s: SparkSession, d: String): DataFrame = {
+    val zFeats = MatrixFeatures.map(f => s"z_$f")
+    val (statsDir, centDir, _) = clusterModel(s, d)
+    val stats = Snapshots.read(s, statsDir)
+    val cent = Snapshots.read(s, centDir)
+    val fd = featuresWhere(s, d, liPartBucket >= 90).na.drop()
+    nearestLabel(zProject(fd, stats), zFeats, cent, ServeK)
+  }
+
+  private[graft] def centroidDrift(s: SparkSession, d: String): DataFrame = {
+    val zFeats = MatrixFeatures.map(f => s"z_$f")
+    val (_, centDir, _) = clusterModel(s, d)
+    // ---- serving side: everything below reads the PINNED model
+    val cent = Snapshots.read(s, centDir)
+    val labeled = serveLabeled(s, d)
+    val aggs = count(lit(1)).as("n_delta") +: zFeats.map(f =>
+      sum(round(col(f) * 1000000).cast("long")).as(s"s_$f"))
+    val sums = labeled.groupBy(col("cluster")).agg(aggs.head, aggs.tail: _*)
+    // all k clusters are reported, hit or not (movers-visible)
+    val spine = s.range(ServeK).select(col("id").cast(IntegerType).as("cluster"))
+    def cmicro(f: String): Column =
+      (1 until ServeK).foldLeft(
+        when(col("cluster") === 0, round(col(s"c0_$f") * 1000000).cast("long")))(
+        (acc, c) => acc.when(col("cluster") === c,
+          round(col(s"c${c}_$f") * 1000000).cast("long")))
+    def disp(f: String): Column =
+      when(col("n_delta") === 0, lit(0L)).otherwise(
+        expr(s"""CAST(abs(CAST(s_$f AS DECIMAL(38,0))
+                 - CAST(n_delta AS DECIMAL(38,0)) * cm_$f) div n_delta AS BIGINT)"""))
+    spine
+      .join(sums, Seq("cluster"), "left")
+      .select(col("cluster") +:
+        coalesce(col("n_delta"), lit(0L)).as("n_delta") +:
+        zFeats.map(f => coalesce(col(s"s_$f"), lit(0L)).as(s"s_$f")): _*)
+      .crossJoin(broadcast(cent))
+      .select(Seq(col("cluster"), col("n_delta")) ++
+        zFeats.map(f => col(s"s_$f")) ++
+        zFeats.map(f => cmicro(f).as(s"cm_$f")): _*)
+      .select(
+        col("cluster"), col("n_delta"),
+        zFeats.map(f => disp(f)).reduce(_ + _).as("drift_l1_micro"),
+        greatest(zFeats.map(f => disp(f)): _*).as("drift_max_micro"))
+      .orderBy(col("cluster"))
+  }
+
+  /** Oracle: [[ServeSql.chain]]'s labeled delivery (`slab`), micro-sum
+    * histogram per cluster over a generated 0..k−1 spine, frozen
+    * centroids from `mc<iters>`, displacement arithmetic in HUGEINT.
+    */
+  private lazy val centroidDriftSql: String = {
+    val zf = ServeSql.zFeats
+    val sCols = zf.map(f =>
+      s"CAST(SUM(CAST(ROUND($f * 1000000) AS BIGINT)) AS BIGINT) AS s_$f")
+      .mkString(",\n             ")
+    def cmCase(f: String): String =
+      s"CASE sp.cluster ${(0 until ServeK).map(c =>
+        s"WHEN $c THEN CAST(ROUND(c.c${c}_$f * 1000000) AS HUGEINT)").mkString(" ")} END"
+    def disp(f: String): String =
+      s"""CASE WHEN COALESCE(ds.n_delta, 0) = 0 THEN CAST(0 AS HUGEINT)
+          ELSE abs(CAST(COALESCE(ds.s_$f, 0) AS HUGEINT)
+                   - CAST(ds.n_delta AS HUGEINT) * (${cmCase(f)}))
+               // ds.n_delta END"""
+    s"""${ServeSql.chain},
+    ds AS MATERIALIZED (
+      SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_delta,
+             $sCols
+      FROM slab GROUP BY 1),
+    sp AS (SELECT CAST(unnest(generate_series(0, ${ServeK - 1})) AS INT) AS cluster)
+    SELECT sp.cluster,
+           COALESCE(ds.n_delta, 0) AS n_delta,
+           CAST(${zf.map(disp).mkString("\n               + ")} AS BIGINT) AS drift_l1_micro,
+           CAST(greatest(${zf.map(disp).mkString(",\n               ")}) AS BIGINT) AS drift_max_micro
+    FROM sp
+    LEFT JOIN ds ON sp.cluster = ds.cluster
+    CROSS JOIN mc$LloydIters c
+    ORDER BY sp.cluster"""
+  }
+
   val all: Seq[Q] = Seq(
     Q(
       "q54_product_features",
@@ -2198,6 +2298,12 @@ object MLOps {
     Q(
       "q166_ari_stability",
       (s, d) => ariSweep(s, d),
-      Some(ariSweepSql))
+      Some(ariSweepSql)),
+
+    // Centroid drift monitoring (see [[centroidDrift]]): the geometry
+    // surface of the drift family — per-cluster micro-exact L1/max
+    // displacement of the delivery's mean from the frozen centroid
+    Q("q181_centroid_drift", (s, d) => centroidDrift(s, d),
+      Some(centroidDriftSql))
   )
 }

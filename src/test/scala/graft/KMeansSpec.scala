@@ -291,4 +291,40 @@ class KMeansSpec extends SparkSpec {
     }
     spark.catalog.clearCache()
   }
+
+  test("q181 centroid drift == BigInt replay from the serve frame against the pinned centroids") {
+    val d = sf("sf0.001")
+    def microR(x: Double): Long =
+      BigDecimal(x * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val rows = SparkEntry.queries("q181_centroid_drift")(spark, d).collect()
+      .map(r => (r.getAs[Int]("cluster"), r.getAs[Long]("n_delta"),
+        r.getAs[Long]("drift_l1_micro"), r.getAs[Long]("drift_max_micro")))
+      .sortBy(_._1)
+    // all k clusters reported, hit or not
+    assert(rows.map(_._1).toSeq == (0 until operators.MLOps.ServeK))
+    val zFeats = operators.MLOps.MatrixFeatures.map(f => s"z_$f")
+    val labeled = operators.MLOps.serveLabeled(spark, d).collect()
+      .map(r => (r.getAs[Int]("cluster"),
+        zFeats.map(f => microR(r.getAs[Double](f))).toVector))
+    val (_, centDir, _) = operators.MLOps.clusterModel(spark, d)
+    val cent = operators.Snapshots.read(spark, centDir).collect().head
+    rows.foreach { case (c, n, l1, mx) =>
+      val members = labeled.filter(_._1 == c).map(_._2)
+      assert(n == members.length.toLong, s"cluster $c count $n != ${members.length}")
+      if (n == 0) assert(l1 == 0L && mx == 0L)
+      else {
+        val disps = zFeats.indices.map { j =>
+          val sum = members.map(m => BigInt(m(j))).sum
+          val cm = BigInt(microR(cent.getAs[Double](s"c${c}_${zFeats(j)}")))
+          // floor division of the non-negative displacement
+          ((sum - BigInt(n) * cm).abs / n).toLong
+        }
+        assert(l1 == disps.sum, s"cluster $c L1 $l1 != replay ${disps.sum} ($disps)")
+        assert(mx == disps.max, s"cluster $c max $mx != replay ${disps.max}")
+      }
+      assert(mx <= l1 && l1 <= mx * zFeats.length,
+        s"cluster $c: L1/max geometry violated ($l1, $mx)")
+    }
+    spark.catalog.clearCache()
+  }
 }
