@@ -1700,6 +1700,50 @@ object Text {
                COALESCE(k.n_kept, 0) AS n_kept
         FROM r LEFT JOIN k ON r.lang = k.lang ORDER BY r.lang"""
       }
+    ),
+
+    // Deterministic corpus SHUFFLE + shard assignment — the EXPORT
+    // step of a training-data pipeline: after dedup/filter/rebalance,
+    // the corpus is written as fixed-size shards in a globally
+    // shuffled, reproducible order (so every epoch-0 data loader on
+    // every rerun reads the same shards in the same order). The
+    // shuffle key is a salted md5 of the doc id (h60 ∥ "|sh" — pure
+    // function of the id, engine/partitioning-independent); the global
+    // rank over (h, doc_id) is the q116 two-phase distributed cumsum
+    // with a ones column — range-partition, rank WITHIN partitions,
+    // broadcast the ≤shuffle.partitions per-partition counts as
+    // offsets — never a single-partition global window (PlanSpec pins
+    // it: the only SinglePartition exchange consumes the
+    // partition-count frame). shard = rank div 64, pos = rank mod 64.
+    // At 100 TB this is one range shuffle + one bounded window — the
+    // same plan a petabyte export would run, and the shard boundaries
+    // are exact regardless of where the range boundaries land.
+    Q(
+      "q182_shard_assign",
+      (s, d) => {
+        val ShardSize = 64
+        val nParts = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+        val keyed = Tables.documents(s, d)
+          .select(col("doc_id"),
+            TextFns.h60(concat(col("doc_id").cast("string"), lit("|sh"))).as("h"),
+            lit(1L).as("one"))
+        Relational.globalCumsum(keyed, Seq("h", "doc_id"), "one", nParts)
+          .select(col("doc_id"),
+            (col("running_total").cast("long") - 1).as("rk"))
+          .select(col("doc_id"),
+            expr(s"rk div $ShardSize").cast("long").as("shard"),
+            (col("rk") % ShardSize).as("pos_in_shard"))
+          .orderBy(col("shard"), col("pos_in_shard"))
+      },
+      Some {
+        val h = T.h60("CAST(doc_id AS VARCHAR) || '|sh'")
+        s"""
+        SELECT doc_id,
+               CAST((row_number() OVER (ORDER BY h, doc_id) - 1) // 64 AS BIGINT) AS shard,
+               CAST((row_number() OVER (ORDER BY h, doc_id) - 1) % 64 AS BIGINT) AS pos_in_shard
+        FROM (SELECT doc_id, $h AS h FROM documents)
+        ORDER BY shard, pos_in_shard"""
+      }
     )
   )
 

@@ -516,6 +516,32 @@ class CorpusOpsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q182 shard assignment == the md5-sort replay; full shards are exactly 64 with dense positions") {
+    def h60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val got = SparkEntry.queries("q182_shard_assign")(spark, d).collect()
+      .map(r => (r.getAs[Any]("doc_id").toString,
+        r.getAs[Long]("shard"), r.getAs[Long]("pos_in_shard")))
+    val ids = Tables.documents(spark, d).select(col("doc_id").cast("string"))
+      .collect().map(_.getString(0))
+    val expected = ids.sortBy(id => (h60(id + "|sh"), id.toLong)).zipWithIndex
+      .map { case (id, i) => (id, i.toLong / 64, i.toLong % 64) }
+    assert(got.toSeq == expected.toSeq,
+      s"shard order diverges at ${got.zip(expected).indexWhere(p => p._1 != p._2)}")
+    // every shard but the last is exactly full, positions dense 0..63
+    val byShard = got.groupBy(_._2)
+    val last = byShard.keys.max
+    byShard.foreach { case (sh, rows) =>
+      val n = if (sh == last) ids.length - 64 * last else 64L
+      assert(rows.length.toLong == n, s"shard $sh has ${rows.length} docs, expected $n")
+      assert(rows.map(_._3).sorted.toSeq == (0L until n), s"shard $sh positions not dense")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("q180 rebalance: BigInt replay of rates + toss; kept mix never drifts further from the standing mix") {
     val rows = SparkEntry.queries("q180_mix_rebalance")(spark, d).collect()
       .map(r => (r.getAs[String]("lang"), r.getAs[Long]("n_base"),

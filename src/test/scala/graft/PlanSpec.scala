@@ -219,6 +219,23 @@ class PlanSpec extends SparkSpec {
       s"expected the within-partition window to hash on __pid:\n$p")
   }
 
+  test("shard assignment never collapses the corpus to one partition (q182 — the q116 cumsum shape)") {
+    val p = plan("q182_shard_assign")
+    val lines = p.linesIterator.toVector
+    // the only SinglePartition exchange may consume the per-partition
+    // count frame (post-aggregation), never the doc-sized corpus
+    lines.zipWithIndex.filter(_._1.contains("SinglePartition")).foreach { case (_, i) =>
+      val below = lines.drop(i + 1)
+      val shrink = below.indexWhere(l => l.contains("Aggregate") || l.contains("Limit"))
+      val scan = below.indexWhere(l =>
+        l.contains("FileScan") || l.contains("InMemoryTableScan") || l.contains("InMemoryRelation"))
+      assert(shrink >= 0 && (scan < 0 || shrink < scan),
+        s"SinglePartition exchange consumes unaggregated data:\n$p")
+    }
+    assert(p.contains("hashpartitioning(__pid"),
+      s"expected the within-partition rank window to hash on __pid:\n$p")
+  }
+
   test("mixture sampling broadcasts the derived rate dim, keeps the keep-decision windowless (q117)") {
     val p = plan("q117_mixture_sample")
     assert(p.contains("BroadcastHashJoin"), s"rate dim must broadcast:\n$p")
