@@ -29,6 +29,7 @@ object Prebuild {
     "basket_index" -> ((s, d) => { operators.Analytics.basketIndex(s, d); () }),
     "mix_index" -> ((s, d) => { operators.Text.mixIndex(s, d); () }),
     "bpe_rules" -> ((s, d) => { operators.Text.bpeRulesIndex(s, d); () }),
+    "shard_index" -> ((s, d) => { operators.Text.shardIndex(s, d); () }),
     "price_drift_index" -> ((s, d) => { operators.Warehouse.priceDriftIndex(s, d); () })
   )
 

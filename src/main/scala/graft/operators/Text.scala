@@ -159,6 +159,43 @@ object Text {
     stats.reduce(_.unionByName(_)).orderBy(col("merge_rank"))
   }
 
+  /** Standing shard index for q183: the 90% bucket's q182-style shard
+    * assignment committed once per (JVM, dataset), with the standing
+    * doc count as commit metadata — shipped shards are IMMUTABLE, so a
+    * delivery only needs the count scalar to know where its appended
+    * shards start (the pinned table exists so the append contract is
+    * auditable: GraphSpec-style disjointness pins read it back).
+    * Registered in [[graft.Prebuild]].
+    */
+  private val shardIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Int, Long)]()
+
+  private[graft] def shardIndex(
+      s: org.apache.spark.sql.SparkSession, d: String): (String, Int, Long) =
+    shardIndexCache.computeIfAbsent(d, _ => {
+      val ShardSize = 64
+      val nParts = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+      val keyed = Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextFns.h60(concat(col("doc_id").cast("string"), lit("|sh"))).as("h"),
+          (TextFns.h60(col("doc_id").cast("string")) % 100).as("bucket"),
+          lit(1L).as("one"))
+        .filter(col("bucket") < 90)
+        .select(col("doc_id"), col("h"), col("one"))
+      val assigned = Relational.globalCumsum(keyed, Seq("h", "doc_id"), "one", nParts)
+        .select(col("doc_id"),
+          (col("running_total").cast("long") - 1).as("rk"))
+        .select(col("doc_id"),
+          expr(s"rk div $ShardSize").cast("long").as("shard"),
+          (col("rk") % ShardSize).as("pos_in_shard"))
+        .localCheckpoint(true)
+      val n = assigned.count()
+      val dir = graft.Scratch.fresh("shard_")
+      val v = Snapshots.commit(assigned, dir, replace = true,
+        meta = Map("n_docs" -> n.toString))
+      (dir, v, n)
+    })
+
   /** Standing tokenizer index for q179: the [[BpeRounds]] merge rules
     * TRAINED on the 90% standing bucket, committed once per
     * (JVM, dataset) as a pinned snapshot — train once, apply to every
@@ -1718,6 +1755,57 @@ object Text {
     // At 100 TB this is one range shuffle + one bounded window — the
     // same plan a petabyte export would run, and the shard boundaries
     // are exact regardless of where the range boundaries land.
+    // Incremental (append-only) shard assignment — q182's delivery
+    // twin, under the real export contract: ALREADY-SHIPPED SHARDS ARE
+    // IMMUTABLE. The standing corpus's assignment is pinned as a
+    // snapshot at index time ([[shardIndex]], in Prebuild, with the
+    // standing count as commit metadata); a delivery seals the
+    // standing sequence (its possibly-partial last shard is never
+    // reopened) and starts at shard ceil(n_standing/64), ranked among
+    // ITSELF by the same salted md5 key via the same two-phase
+    // distributed cumsum. Serving cost: one delta-only scan + the
+    // delta-sized rank — the standing corpus contributes one pinned
+    // scalar, never a rescan. Spec pins the append contract: appended
+    // shards are disjoint from (and after) every pinned standing
+    // shard, and the assignment equals the md5-sort replay.
+    Q(
+      "q183_incremental_shards",
+      (s, d) => {
+        val ShardSize = 64
+        val nParts = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+        val (_, _, n90) = shardIndex(s, d)
+        val base = (n90 + ShardSize - 1) / ShardSize
+        val keyed = Tables.documents(s, d)
+          .select(col("doc_id"),
+            TextFns.h60(concat(col("doc_id").cast("string"), lit("|sh"))).as("h"),
+            (TextFns.h60(col("doc_id").cast("string")) % 100).as("bucket"),
+            lit(1L).as("one"))
+          .filter(col("bucket") >= 90)
+          .select(col("doc_id"), col("h"), col("one"))
+        Relational.globalCumsum(keyed, Seq("h", "doc_id"), "one", nParts)
+          .select(col("doc_id"),
+            (col("running_total").cast("long") - 1).as("rk"))
+          .select(col("doc_id"),
+            (lit(base) + expr(s"rk div $ShardSize")).cast("long").as("shard"),
+            (col("rk") % ShardSize).as("pos_in_shard"))
+          .orderBy(col("shard"), col("pos_in_shard"))
+      },
+      Some {
+        val h = T.h60("CAST(doc_id AS VARCHAR) || '|sh'")
+        val split = T.h60("CAST(doc_id AS VARCHAR)")
+        s"""
+        WITH s0 AS MATERIALIZED (
+          SELECT doc_id, $h AS h, ($split % 100) AS bucket FROM documents),
+        n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n90 FROM s0 WHERE bucket < 90)
+        SELECT doc_id,
+               CAST((n.n90 + 63) // 64
+                    + (row_number() OVER (ORDER BY h, doc_id) - 1) // 64 AS BIGINT) AS shard,
+               CAST((row_number() OVER (ORDER BY h, doc_id) - 1) % 64 AS BIGINT) AS pos_in_shard
+        FROM s0 CROSS JOIN n WHERE bucket >= 90
+        ORDER BY shard, pos_in_shard"""
+      }
+    ),
+
     Q(
       "q182_shard_assign",
       (s, d) => {

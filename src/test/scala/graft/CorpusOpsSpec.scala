@@ -542,6 +542,40 @@ class CorpusOpsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q183 append-only shards: replay + immutability — appended shards start past every pinned standing shard") {
+    def h60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val got = SparkEntry.queries("q183_incremental_shards")(spark, d).collect()
+      .map(r => (r.getAs[Any]("doc_id").toString,
+        r.getAs[Long]("shard"), r.getAs[Long]("pos_in_shard")))
+    val ids = Tables.documents(spark, d).select(col("doc_id").cast("string"))
+      .collect().map(_.getString(0))
+    val (baseIds, delIds) = ids.partition(id => h60(id) % 100 < 90)
+    val baseShards = (baseIds.length + 63) / 64
+    val expected = delIds.sortBy(id => (h60(id + "|sh"), id.toLong)).zipWithIndex
+      .map { case (id, i) => (id, baseShards + i.toLong / 64, i.toLong % 64) }
+    assert(got.toSeq == expected.toSeq, "appended assignment diverges from the md5-sort replay")
+    // immutability: every appended shard sits strictly past every
+    // shard in the PINNED standing assignment (read back from the
+    // snapshot the index committed), and the standing assignment
+    // itself is the q182 replay over the standing bucket
+    val (dir, v, n90) = operators.Text.shardIndex(spark, d)
+    assert(n90 == baseIds.length.toLong)
+    val standing = operators.Snapshots.read(spark, dir, Some(v)).collect()
+      .map(r => (r.getAs[Any]("doc_id").toString,
+        r.getAs[Long]("shard"), r.getAs[Long]("pos_in_shard")))
+    val expStanding = baseIds.sortBy(id => (h60(id + "|sh"), id.toLong)).zipWithIndex
+      .map { case (id, i) => (id, i.toLong / 64, i.toLong % 64) }
+    assert(standing.sortBy(t => (t._2, t._3)).toSeq == expStanding.toSeq,
+      "pinned standing assignment diverges from the q182 replay")
+    assert(standing.map(_._2).max < got.map(_._2).min,
+      "appended shards must never touch a shipped shard")
+    spark.catalog.clearCache()
+  }
+
   test("q180 rebalance: BigInt replay of rates + toss; kept mix never drifts further from the standing mix") {
     val rows = SparkEntry.queries("q180_mix_rebalance")(spark, d).collect()
       .map(r => (r.getAs[String]("lang"), r.getAs[Long]("n_base"),
