@@ -608,6 +608,51 @@ class PlanSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q181 serving plan: ONE fact scan (the delivery) — model and centroids come from the snapshot") {
+    val d = sf("sf0.001")
+    // train + commit first so the pin sees the SERVING plan (the q165
+    // discipline: the memoized clusterModel makes later executions
+    // delivery-only)
+    operators.MLOps.clusterModel(spark, d)
+    val p = SparkEntry.queries("q181_centroid_drift")(spark, d)
+      .queryExecution.executedPlan.toString
+    val scans = p.linesIterator
+      .filter(l => l.contains("FileScan") && l.contains("lineitem"))
+      .map(l => l.substring(l.indexOf("FileScan")).replaceAll("#\\d+L?", "#x"))
+      .toSet
+    assert(scans.size == 1,
+      s"every lineitem access must be the one delivery scan, found ${scans.size}:\n${scans.mkString("\n")}")
+    assert(!p.contains("CartesianProduct"), s"q181 plans a cartesian product:\n$p")
+    spark.catalog.clearCache()
+  }
+
+  test("q180 serving plan: rates broadcast onto the delta; no corpus-sized single partition") {
+    val d = sf("sf0.001")
+    operators.Text.mixIndex(spark, d)
+    val p = SparkEntry.queries("q180_mix_rebalance")(spark, d)
+      .queryExecution.executedPlan.toString
+    // the accept-rate dim (language-count rows) must ride a broadcast
+    // onto the delivery's toss filter — the DELTA-sized side never
+    // shuffles for a histogram-sized dim. (The final rates⟕kept join
+    // is histogram×histogram — a sort-merge there is size-bounded at
+    // any corpus scale and allowed, the q175 full-outer idiom.)
+    assert(p.contains("BroadcastHashJoin"), s"rate dim must broadcast onto the delta:\n$p")
+    val smjIdx = p.linesIterator.toVector.indexWhere(_.contains("SortMergeJoin"))
+    if (smjIdx >= 0) {
+      // any sort-merge must consume aggregated (histogram-sized) inputs:
+      // an Aggregate or the cached histogram (InMemoryTableScan)
+      // appears below it before any raw file scan
+      val below = p.linesIterator.toVector.drop(smjIdx + 1)
+      val agg = below.indexWhere(l =>
+        l.contains("Aggregate") || l.contains("InMemoryTableScan"))
+      val scan = below.indexWhere(_.contains("FileScan"))
+      assert(agg >= 0 && (scan < 0 || agg < scan),
+        s"sort-merge join consumes unaggregated (corpus-sized) data:\n$p")
+    }
+    assert(!p.contains("CartesianProduct"), s"q180 plans a cartesian product:\n$p")
+    spark.catalog.clearCache()
+  }
+
   test("SUITE-WIDE: no query mixes exact multi-distinct and sketch aggregates in one Aggregate (q114/q71 class)") {
     // Two exact DISTINCT groups in one aggregate force Spark's Expand
     // rewrite (~n_groups× row amplification); a sketch aggregate
