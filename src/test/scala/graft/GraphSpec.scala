@@ -581,4 +581,83 @@ class GraphSpec extends SparkSpec {
     assert(rounds <= Graph.CcRounds)
     spark.catalog.clearCache()
   }
+
+  // --- round 13: cross-JVM standing indexes ([[graft.IndexStore]]) ---
+
+  /** Index-served ≡ inline-built, for every published graph index.
+    * This is the staleness net for the cross-JVM store: a code change
+    * that alters an index's CONTENT without bumping its formatVersion
+    * would otherwise silently serve the previous JVM's artifact —
+    * here the published parts are read back and compared field-for-
+    * field against a fresh inline derivation on the graded corpus.
+    */
+  test("standing graph indexes serve exactly what an inline build derives (sf0.001)") {
+    val d = sf("sf0.001")
+    val liAll = Tables.lineitem(spark, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pid"))
+    val li90 = liAll
+      .filter(graft.functions.TextFns.h60(col("l_orderkey").cast("string")) % 100 < 90)
+    val und = Graph.edgesOf(li90)
+      .filter(col("src") < col("dst"))
+      .select(col("src").as("u"), col("dst").as("v"))
+      .localCheckpoint(true)
+
+    // co_edges (full corpus)
+    val coServed = Graph.coEdges(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val coInline = Graph.edgesOf(liAll).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(coServed == coInline, "co_edges index diverges from inline derivation")
+
+    // k-core index: edges part + core part
+    val (kEd, kCo) = Graph.baseCoreIndex(spark, d)
+    assert(operators.Snapshots.read(spark, kEd).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      == und.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq,
+      "kcore edges part diverges")
+    assert(operators.Snapshots.read(spark, kCo).collect().map(_.getLong(0)).sorted.toSeq
+      == Graph.kcoreOf(und).collect().map(_.getLong(0)).sorted.toSeq,
+      "kcore core part diverges")
+
+    // triangle index: adjacency arrays (set column → compare sorted) + census stats
+    val (tAdj, tSt) = Graph.baseTriIndex(spark, d)
+    def adjRows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).sorted.toSeq)).sortBy(_._1).toSeq
+    assert(adjRows(operators.Snapshots.read(spark, tAdj))
+      == adjRows(Graph.adjacencyArrays(und)), "tri adjacency part diverges")
+    assert(operators.Snapshots.read(spark, tSt).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      == Graph.trianglesOf(und).select(col("n_edges"), col("n_triangles")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq,
+      "tri stats part diverges")
+
+    // cc index: labels part
+    val (_, cLb) = Graph.baseCcIndex(spark, d)
+    val nodesB = li90.select(col("pid").as("part_id")).distinct()
+    assert(operators.Snapshots.read(spark, cLb).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      == Graph.ccLabels(nodesB, und, Graph.CcRounds).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq,
+      "cc labels part diverges")
+
+    // pagerank index: converged ranks part (edges part = directed edgesOf)
+    val (pEd, pPr) = Graph.basePrIndex(spark, d)
+    val edB = Graph.edgesOf(li90)
+    assert(operators.Snapshots.read(spark, pEd).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+      == edB.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq,
+      "pr edges part diverges")
+    val degB = edB.groupBy(col("src")).agg(sum(col("w")).as("deg"))
+    val init = nodesB
+      .join(degB.withColumnRenamed("src", "part_id"), Seq("part_id"), "left")
+      .select(col("part_id"), coalesce(col("deg"), lit(0L)).as("deg"),
+        lit(1000000L).as("pr"))
+    assert(operators.Snapshots.read(spark, pPr).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      == Graph.prIterate(init, edB, Graph.PrIters)
+        .select(col("part_id"), col("pr")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq,
+      "pr ranks part diverges")
+    spark.catalog.clearCache()
+  }
 }
