@@ -331,6 +331,133 @@ object Similarity {
         QUALIFY rnk <= 10
         ORDER BY query_id, rnk"""
 
+  /** Exact brute-force cosine top-k (the q51 plan): decimal-exact
+    * element-sum dots over the pos-join — the correctness anchor, and
+    * the cheapest formulation while the corpus fits comfortably in a
+    * scan (8 queries × n candidates).
+    */
+  private[graft] def bruteTopk(s: SparkSession, d: String): DataFrame = {
+    val el = elems(s, d).cache()
+    val q = el.filter(col("vec_id") < 8)
+    val dots = q.as("a")
+      .join(el.as("b"), col("a.pos") === col("b.pos") && col("a.vec_id") =!= col("b.vec_id"))
+      .groupBy(col("a.vec_id").as("query_id"), col("b.vec_id").as("cand_id"))
+      .agg(sum((col("a.x") * col("b.x")).cast(Acc)).cast("double").as("dot"))
+    val n = normsOf(el)
+    val scored = dots
+      .join(n.as("na"), col("query_id") === col("na.vec_id"))
+      .join(n.as("nb"), col("cand_id") === col("nb.vec_id"))
+      .select(col("query_id"), col("cand_id"), cosine(col("dot"), col("na.norm"), col("nb.norm")).as("cos"))
+    scored
+      .withColumn(
+        "rnk",
+        row_number()
+          .over(Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("cand_id")))
+          .cast(IntegerType))
+      .filter(col("rnk") <= 10)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** IVF top-k with the learned coarse quantizer (the q76 plan). */
+  private[graft] def ivfTopk(s: SparkSession, d: String): DataFrame = {
+    val el = elems(s, d).cache()
+    val init = Tables.embeddings(s, d)
+      .select(col("vec_id"), (col("label") % IvfCells).cast(IntegerType).as("cell"))
+    val trained = meansOf(el, cellsOf(scoresOf(el, meansOf(el, init)), 1))
+    // consumed by cell assignment AND probe selection — cache so
+    // the training lineage runs once, not per consumer
+    val sc = scoresOf(el, trained).cache()
+    ivfProbe(el, sc, cellsOf(sc, IvfAssign))
+  }
+
+  /** SQ8 top-k: int8 code scan + decimal-exact shortlist rerank (the
+    * q139 plan).
+    */
+  private[graft] def sq8Topk(s: SparkSession, d: String): DataFrame = {
+    val el = elems(s, d).cache()
+    val scales = el.groupBy(col("pos")).agg(max(abs(col("x"))).as("scale"))
+    val codes = el
+      .join(broadcast(scales), Seq("pos"))
+      .select(
+        col("vec_id"), col("pos"),
+        when(col("scale") === 0.0, 0)
+          .otherwise(floor(col("x") / col("scale") * 127.0 + 0.5).cast(IntegerType))
+          .as("code"))
+      .cache()
+    val qdots = codes.as("a")
+      .filter(col("vec_id") < 8)
+      .join(codes.as("b"),
+        col("a.pos") === col("b.pos") && col("a.vec_id") =!= col("b.vec_id"))
+      .groupBy(col("a.vec_id").as("query_id"), col("b.vec_id").as("cand_id"))
+      .agg(sum(col("a.code").cast("long") * col("b.code")).as("qdot"))
+    val shortlist = qdots
+      .withColumn(
+        "srn",
+        row_number().over(
+          Window.partitionBy(col("query_id")).orderBy(col("qdot").desc, col("cand_id"))))
+      .filter(col("srn") <= SqShortlist)
+      .select(col("query_id"), col("cand_id"))
+    val pairDots = broadcast(shortlist)
+      .join(el.as("a"), col("query_id") === col("a.vec_id"))
+      .join(el.as("b"), col("cand_id") === col("b.vec_id") && col("a.pos") === col("b.pos"))
+      .groupBy(col("query_id"), col("cand_id"))
+      .agg(sum((col("a.x") * col("b.x")).cast(Acc)).cast("double").as("dot"))
+    val n = normsOf(el)
+    pairDots
+      .join(n.as("na"), col("query_id") === col("na.vec_id"))
+      .join(n.as("nb"), col("cand_id") === col("nb.vec_id"))
+      .select(col("query_id"), col("cand_id"), cosine(col("dot"), col("na.norm"), col("nb.norm")).as("cos"))
+      .withColumn(
+        "rnk",
+        row_number()
+          .over(Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("cand_id")))
+          .cast(IntegerType))
+      .filter(col("rnk") <= 10)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** ANN auto-dispatch thresholds (bytes of the embeddings relation,
+    * Catalyst plan statistics — no job). Conf-overridable so a
+    * deployment tunes the crossover to its hardware; the defaults
+    * encode the cost classes:
+    *  - ≤ [[BruteMaxKey]] (default 32 MB): exact brute force — at
+    *    this size the pos-join scan is cheaper than any index build
+    *    and the answer is exact;
+    *  - ≤ [[Sq8MaxKey]] (default 4 GB): SQ8 — the 1-byte/dim code
+    *    scan keeps the candidate pass 4× lighter with no standing
+    *    index to maintain;
+    *  - above: IVF — at corpus scale only a cell-bucketed candidate
+    *    join avoids scanning everything per query, worth the trained
+    *    quantizer it requires.
+    */
+  private[graft] val BruteMaxKey = "spark.graft.ann.bruteMaxBytes"
+  private[graft] val Sq8MaxKey = "spark.graft.ann.sq8MaxBytes"
+
+  /** Which arm [[annTopk]] would run for this dataset — read EAGERLY
+    * from the session conf at call time (the q115 lesson: a lazily
+    * read conf lets a later caller flip an already-constructed plan).
+    */
+  private[graft] def annArm(s: SparkSession, d: String): String = {
+    val bytes = Tables.embeddings(s, d)
+      .queryExecution.optimizedPlan.stats.sizeInBytes
+    val bruteMax = BigInt(s.conf.get(BruteMaxKey, (32L << 20).toString))
+    val sq8Max = BigInt(s.conf.get(Sq8MaxKey, (4L << 30).toString))
+    if (bytes <= bruteMax) "brute" else if (bytes <= sq8Max) "sq8" else "ivf"
+  }
+
+  /** ONE user-facing ANN entry point (the AsOf.auto pattern applied
+    * to similarity search): cosine top-10 for the 8 query vectors,
+    * formulation picked by corpus size via [[annArm]]. All three arms
+    * produce the identical (query_id, cand_id, cos, rnk) contract and
+    * each is independently hash-gated (q51/q76/q139 + the q184
+    * three-arm dispatch query); SimilaritySpec pins the boundary.
+    */
+  def annTopk(s: SparkSession, d: String): DataFrame = annArm(s, d) match {
+    case "brute" => bruteTopk(s, d)
+    case "sq8"   => sq8Topk(s, d)
+    case _       => ivfTopk(s, d)
+  }
+
   val all: Seq[Q] = Seq(
     // embedding-cosine near-dup pairs (brute force over pos-join; the
     // verified-correct baseline the LSH variant is judged against)
@@ -375,31 +502,7 @@ object Similarity {
     ),
 
     // brute-force cosine top-k: 8 query vectors against the full corpus
-    Q(
-      "q51_cosine_topk",
-      (s, d) => {
-        val el = elems(s, d).cache()
-        val q = el.filter(col("vec_id") < 8)
-        val dots = q.as("a")
-          .join(el.as("b"), col("a.pos") === col("b.pos") && col("a.vec_id") =!= col("b.vec_id"))
-          .groupBy(col("a.vec_id").as("query_id"), col("b.vec_id").as("cand_id"))
-          .agg(sum((col("a.x") * col("b.x")).cast(Acc)).cast("double").as("dot"))
-        val n = normsOf(el)
-        val scored = dots
-          .join(n.as("na"), col("query_id") === col("na.vec_id"))
-          .join(n.as("nb"), col("cand_id") === col("nb.vec_id"))
-          .select(col("query_id"), col("cand_id"), cosine(col("dot"), col("na.norm"), col("nb.norm")).as("cos"))
-        scored
-          .withColumn(
-            "rnk",
-            row_number()
-              .over(Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("cand_id")))
-              .cast(IntegerType))
-          .filter(col("rnk") <= 10)
-          .orderBy(col("query_id"), col("rnk"))
-      },
-      Some(topkOracleSql)
-    ),
+    Q("q51_cosine_topk", (s, d) => bruteTopk(s, d), Some(topkOracleSql)),
 
     // random-hyperplane LSH bucketing (12-bit signature via integer LCG)
     Q(
@@ -486,20 +589,7 @@ object Similarity {
     // carries corpus × assign × (probes/cells) rows, never corpus²; the
     // centroid matrix (k × dim) broadcasts exactly as a trained
     // quantizer would.
-    Q(
-      "q76_ivf_topk",
-      (s, d) => {
-        val el = elems(s, d).cache()
-        val init = Tables.embeddings(s, d)
-          .select(col("vec_id"), (col("label") % IvfCells).cast(IntegerType).as("cell"))
-        val trained = meansOf(el, cellsOf(scoresOf(el, meansOf(el, init)), 1))
-        // consumed by cell assignment AND probe selection — cache so
-        // the training lineage runs once, not per consumer
-        val sc = scoresOf(el, trained).cache()
-        ivfProbe(el, sc, cellsOf(sc, IvfAssign))
-      },
-      Some(ivfOracleSql)
-    ),
+    Q("q76_ivf_topk", (s, d) => ivfTopk(s, d), Some(ivfOracleSql)),
 
     // Int8 scalar quantization (the FAISS SQ8 layout, a public
     // technique): per-dimension symmetric scale = max |x| over the
@@ -514,51 +604,48 @@ object Similarity {
     // scale row (one value per dimension) broadcasts like any trained
     // quantizer. Guard: an all-zero dimension quantizes to code 0, not
     // NaN.
+    Q("q139_sq8_topk", (s, d) => sq8Topk(s, d), Some(sq8OracleSql)),
+
+    // [[annTopk]]'s dispatch boundary under the hash oracle (the q115
+    // pattern applied to ANN): the SAME top-k contract evaluated
+    // through ALL THREE dispatch arms by moving the size thresholds to
+    // either side of the embeddings relation's actual size. annTopk
+    // reads the thresholds EAGERLY at frame-construction time, so
+    // restoring the conf immediately after construction cannot flip a
+    // plan. Each arm must independently reproduce ITS oracle rows
+    // (brute/IVF/SQ8 are distinct algorithms with distinct — all
+    // deterministic — answers); the union is tagged so a divergence
+    // in any arm breaks the hash.
     Q(
-      "q139_sq8_topk",
+      "q184_ann_auto_dispatch",
       (s, d) => {
-        val el = elems(s, d).cache()
-        val scales = el.groupBy(col("pos")).agg(max(abs(col("x"))).as("scale"))
-        val codes = el
-          .join(broadcast(scales), Seq("pos"))
-          .select(
-            col("vec_id"), col("pos"),
-            when(col("scale") === 0.0, 0)
-              .otherwise(floor(col("x") / col("scale") * 127.0 + 0.5).cast(IntegerType))
-              .as("code"))
-          .cache()
-        val qdots = codes.as("a")
-          .filter(col("vec_id") < 8)
-          .join(codes.as("b"),
-            col("a.pos") === col("b.pos") && col("a.vec_id") =!= col("b.vec_id"))
-          .groupBy(col("a.vec_id").as("query_id"), col("b.vec_id").as("cand_id"))
-          .agg(sum(col("a.code").cast("long") * col("b.code")).as("qdot"))
-        val shortlist = qdots
-          .withColumn(
-            "srn",
-            row_number().over(
-              Window.partitionBy(col("query_id")).orderBy(col("qdot").desc, col("cand_id"))))
-          .filter(col("srn") <= SqShortlist)
-          .select(col("query_id"), col("cand_id"))
-        val pairDots = broadcast(shortlist)
-          .join(el.as("a"), col("query_id") === col("a.vec_id"))
-          .join(el.as("b"), col("cand_id") === col("b.vec_id") && col("a.pos") === col("b.pos"))
-          .groupBy(col("query_id"), col("cand_id"))
-          .agg(sum((col("a.x") * col("b.x")).cast(Acc)).cast("double").as("dot"))
-        val n = normsOf(el)
-        pairDots
-          .join(n.as("na"), col("query_id") === col("na.vec_id"))
-          .join(n.as("nb"), col("cand_id") === col("nb.vec_id"))
-          .select(col("query_id"), col("cand_id"), cosine(col("dot"), col("na.norm"), col("nb.norm")).as("cos"))
-          .withColumn(
-            "rnk",
-            row_number()
-              .over(Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("cand_id")))
-              .cast(IntegerType))
-          .filter(col("rnk") <= 10)
-          .orderBy(col("query_id"), col("rnk"))
+        def arm(bruteMax: String, sq8Max: String, tag: String) = {
+          val saved = Seq(BruteMaxKey, Sq8MaxKey).map(k => k -> s.conf.getOption(k))
+          try {
+            s.conf.set(BruteMaxKey, bruteMax)
+            s.conf.set(Sq8MaxKey, sq8Max)
+            val chosen = annArm(s, d)
+            require(chosen == tag, s"dispatch expected $tag, chose $chosen")
+            annTopk(s, d).withColumn("arm", lit(tag))
+          } finally saved.foreach {
+            case (k, Some(v)) => s.conf.set(k, v)
+            case (k, None)    => s.conf.unset(k)
+          }
+        }
+        arm(Long.MaxValue.toString, Long.MaxValue.toString, "brute")
+          .unionByName(arm("-1", Long.MaxValue.toString, "sq8"))
+          .unionByName(arm("-1", "-1", "ivf"))
+          .select(col("arm"), col("query_id"), col("cand_id"), col("cos"), col("rnk"))
+          .orderBy(col("arm"), col("query_id"), col("rnk"))
       },
-      Some(sq8OracleSql)
+      Some(s"""
+        SELECT * FROM (
+          SELECT 'brute' AS arm, t.* FROM ($topkOracleSql) t
+          UNION ALL
+          SELECT 'ivf' AS arm, t.* FROM ($ivfOracleSql) t
+          UNION ALL
+          SELECT 'sq8' AS arm, t.* FROM ($sq8OracleSql) t
+        ) ORDER BY arm, query_id, rnk""")
     ),
 
     // SemDeDup (Abbas et al. 2023, arXiv:2303.09540): embedding dedup
