@@ -23,6 +23,7 @@ object Prebuild {
     "graph_tri_index" -> ((s, d) => { operators.Graph.baseTriIndex(s, d); () }),
     "graph_core_index" -> ((s, d) => { operators.Graph.baseCoreIndex(s, d); () }),
     "graph_cc_index" -> ((s, d) => { operators.Graph.baseCcIndex(s, d); () }),
+    "e2e_warehouse" -> ((s, d) => { operators.MLOps.e2eWarehouse(s, d); () }),
     "selection_labels" -> ((s, d) => { operators.MLOps.selectionLabels(s, d); () }),
     "cluster_model" -> ((s, d) => { operators.MLOps.clusterModel(s, d); () }),
     "clustered_fact" -> ((s, d) => { operators.Warehouse.shipDateClusteredFact(s, d); () }),

@@ -30,4 +30,21 @@ object ClusteringJob {
       .parquet(s"$warehouseDir/product_clustering")
     EtlJob.appendLog(spark, warehouseDir, "ClusteringJob")
   }
+
+  /** The clustering pipeline with the DETERMINISTIC labeler (nearest
+    * trained centroid, the oracle-replayable q74/q145 assignment) in
+    * place of MLlib KMeans: same features, same landing table, same
+    * ledger — the arm the end-to-end hash gate (q185) composes,
+    * because MLlib's k-means|| labels are partitioning-specific and
+    * can never sit under a cross-engine hash. [[run]] remains the
+    * MLlib surface, certificate-gated via q57/KMeansSpec.
+    */
+  def runDeterministic(spark: SparkSession, srcDir: String, warehouseDir: String): Unit = {
+    MLOps.features(spark, srcDir).na.drop()
+      .join(MLOps.centroidLabels(spark, srcDir).select(col("part_id"), col("cluster")),
+        Seq("part_id"))
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"$warehouseDir/product_clustering")
+    EtlJob.appendLog(spark, warehouseDir, "ClusteringJob")
+  }
 }

@@ -170,4 +170,28 @@ class PipelineSpec extends SparkSpec {
     val explicit = spark.read.schema(explicitSchema).parquet(dir)
     assert(explicit.count() == 4 && explicit.filter(col("region").isNotNull).count() == 2)
   }
+
+  test("e2e warehouse (q185's lifecycle): deterministic clustering lands exactly its in-memory twin; ledger records both pipelines") {
+    val d = sf("sf0.001")
+    val wh2 = graft.operators.MLOps.e2eWarehouse(spark, d)
+    // write-then-read integrity: the landed product_clustering IS the
+    // deterministic assignment frame, column-for-column
+    val landed = spark.read.parquet(s"$wh2/product_clustering")
+    val twin = graft.operators.MLOps.features(spark, d).na.drop()
+      .join(graft.operators.MLOps.centroidLabels(spark, d)
+        .select(col("part_id"), col("cluster")), Seq("part_id"))
+    assert(landed.columns.sorted.toSeq == twin.columns.sorted.toSeq)
+    val cols = landed.columns.sorted.toSeq
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(cols.map(col): _*).collect().map(_.toSeq).sortBy(_.toString()).toSeq
+    assert(canon(landed) == canon(twin),
+      "landed product_clustering must equal the deterministic build")
+    // the composed lifecycle left both pipeline rows in the ledger
+    val runs = spark.read.parquet(s"$wh2/PipelineLog")
+      .select(col("pipeline_name")).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(runs == Seq("ClusteringJob", "EtlJob"),
+      s"ledger must record the etl → clustering chain, got $runs")
+    spark.catalog.clearCache()
+  }
 }
