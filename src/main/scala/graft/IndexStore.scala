@@ -88,7 +88,12 @@ object IndexStore {
     * Reads go through `Snapshots.read(dir)` (latest): determinism of
     * the builds makes latest content-identical to the sentinel-pinned
     * version even under a build race; the pins in the sentinel meta
-    * are the audit record.
+    * are the audit record. A part may also be a PLAIN parquet dir
+    * (e.g. a partitionBy layout Snapshots does not model) — write it
+    * through [[publishPlainDir]] (write-to-temp + atomic rename, so a
+    * build race cannot half-overwrite a dir a peer is reading) and
+    * report it with version 0; the sentinel still marks the publish
+    * as complete. Prefer snapshot parts where the layout allows.
     */
   def resolve(
       s: SparkSession, name: String, formatVersion: Int, d: String,
@@ -121,6 +126,27 @@ object IndexStore {
       prune(s"$root/$name-v$formatVersion", keepFp = fp)
       versions.keys.map(p => p -> partDir(p)).toMap
     }
+  }
+
+  /** Publish a PLAIN (non-snapshot) directory part: `write` lands the
+    * data in a unique temp sibling, which is then renamed into place
+    * atomically. If a racing builder won the rename, the temp copy is
+    * discarded — builds are deterministic, so the winner's content is
+    * identical and the loser simply reuses it. Returns the target.
+    */
+  def publishPlainDir(target: String)(write: String => Unit): String = {
+    val t = java.nio.file.Paths.get(target)
+    if (java.nio.file.Files.exists(t)) return target
+    val tmp = target + ".tmp-" + java.util.UUID.randomUUID.toString.take(8)
+    write(tmp)
+    try java.nio.file.Files.move(java.nio.file.Paths.get(tmp), t,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException |
+          _: java.nio.file.FileSystemException =>
+        deleteRecursively(java.nio.file.Paths.get(tmp)) // racer won; identical content
+    }
+    target
   }
 
   /** Prune SIBLING fingerprints older than [[PruneAgeMs]] (mtime of

@@ -971,19 +971,23 @@ object Analytics {
   private[graft] def basketIndex(
       s: org.apache.spark.sql.SparkSession, d: String): (String, String, String) =
     basketIndexCache.computeIfAbsent(d, _ => {
-      val b90 = baskets(s, d)
-        .filter(graft.functions.TextFns.h60(col("ok").cast("string")) % 100 < 90)
-        .distinct().cache()
-      val pairDir = graft.Scratch.fresh("bkp_")
-      val itemDir = graft.Scratch.fresh("bki_")
-      val nDir = graft.Scratch.fresh("bkn_")
-      Snapshots.commit(pairCounts(b90), pairDir, replace = true)
-      Snapshots.commit(
-        b90.groupBy(col("pid")).agg(count(lit(1)).as("c")), itemDir, replace = true)
-      Snapshots.commit(
-        b90.agg(countDistinct(col("ok")).as("n_orders")), nDir, replace = true)
-      b90.unpersist()
-      (pairDir, itemDir, nDir)
+      val parts = graft.IndexStore.resolve(s, "basket_index", 1, d, Seq("lineitem.parquet")) {
+        dirOf =>
+          val b90 = baskets(s, d)
+            .filter(graft.functions.TextFns.h60(col("ok").cast("string")) % 100 < 90)
+            .distinct().cache()
+          val vs = Map(
+            "pairs" -> Snapshots.commit(pairCounts(b90), dirOf("pairs"), replace = true),
+            "items" -> Snapshots.commit(
+              b90.groupBy(col("pid")).agg(count(lit(1)).as("c")),
+              dirOf("items"), replace = true),
+            "n" -> Snapshots.commit(
+              b90.agg(countDistinct(col("ok")).as("n_orders")),
+              dirOf("n"), replace = true))
+          b90.unpersist()
+          vs
+      }
+      (parts("pairs"), parts("items"), parts("n"))
     })
 
   private def incrementalBasketRules(

@@ -1203,16 +1203,22 @@ object MLOps {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private[graft] def selectionLabels(s: SparkSession, d: String): DataFrame = {
-    val path = selectionCache.computeIfAbsent(d, _ => {
-      val p = graft.Scratch.fresh("sel_")
-      val zFeats = MatrixFeatures.map(f => s"z_$f")
-      val zs = zscored(s, d).localCheckpoint(true)
-      ElbowKs.map(k => elbowLabeled(zs, zFeats, k)
-          .withColumn("k", lit(k).cast(IntegerType)))
-        .reduce(_.unionByName(_))
-        .write.partitionBy("k").parquet(p)
-      p
-    })
+    val path = selectionCache.computeIfAbsent(d, _ =>
+      graft.IndexStore.resolve(
+        s, "selection_labels", 1, d, Seq("lineitem.parquet", "orders.parquet")) { dirOf =>
+        // plain-parquet part (partitionBy("k") pruning — a layout the
+        // snapshot format does not model), published via the
+        // write-to-temp + atomic-rename path; version 0 by convention
+        graft.IndexStore.publishPlainDir(dirOf("labels")) { tmp =>
+          val zFeats = MatrixFeatures.map(f => s"z_$f")
+          val zs = zscored(s, d).localCheckpoint(true)
+          ElbowKs.map(k => elbowLabeled(zs, zFeats, k)
+              .withColumn("k", lit(k).cast(IntegerType)))
+            .reduce(_.unionByName(_))
+            .write.partitionBy("k").parquet(tmp)
+        }
+        Map("labels" -> 0)
+      }("labels"))
     s.read.parquet(path)
   }
 
@@ -1562,26 +1568,28 @@ object MLOps {
     */
   private[graft] def clusterModel(s: SparkSession, d: String): (String, String, String) =
     clusterModelCache.computeIfAbsent(d, _ => {
-      val zFeats = MatrixFeatures.map(f => s"z_$f")
-      val f90 = featuresWhere(s, d, liPartBucket < 90).na.drop().cache()
-      val stats = f90.agg(zStatAggs.head, zStatAggs.tail: _*).localCheckpoint(true)
-      val z90 = zProject(f90, stats).localCheckpoint(true)
-      val seeds = z90.orderBy(col("part_id")).limit(ServeK)
-        .withColumn("rn", row_number().over(Window.orderBy(col("part_id"))))
-      val cent0Aggs = (0 until ServeK).flatMap(c => zFeats.map(f =>
-        max(when(col("rn") === c + 1, col(f))).as(s"c${c}_$f")))
-      val cent0 = seeds.groupBy().agg(cent0Aggs.head, cent0Aggs.tail: _*)
-      val centF = lloydTrain(s, z90, zFeats, cent0, ServeK, LloydIters)
-      val baseHist = nearestLabel(z90, zFeats, centF, ServeK)
-        .groupBy(col("cluster")).agg(count(lit(1)).as("n_base"))
-      val statsDir = graft.Scratch.fresh("cm_st_")
-      val centDir = graft.Scratch.fresh("cm_ct_")
-      val histDir = graft.Scratch.fresh("cm_bh_")
-      Snapshots.commit(stats, statsDir, replace = true)
-      Snapshots.commit(centF, centDir, replace = true)
-      Snapshots.commit(baseHist, histDir, replace = true)
-      f90.unpersist()
-      (statsDir, centDir, histDir)
+      val parts = graft.IndexStore.resolve(
+        s, "cluster_model", 1, d, Seq("lineitem.parquet", "orders.parquet")) { dirOf =>
+        val zFeats = MatrixFeatures.map(f => s"z_$f")
+        val f90 = featuresWhere(s, d, liPartBucket < 90).na.drop().cache()
+        val stats = f90.agg(zStatAggs.head, zStatAggs.tail: _*).localCheckpoint(true)
+        val z90 = zProject(f90, stats).localCheckpoint(true)
+        val seeds = z90.orderBy(col("part_id")).limit(ServeK)
+          .withColumn("rn", row_number().over(Window.orderBy(col("part_id"))))
+        val cent0Aggs = (0 until ServeK).flatMap(c => zFeats.map(f =>
+          max(when(col("rn") === c + 1, col(f))).as(s"c${c}_$f")))
+        val cent0 = seeds.groupBy().agg(cent0Aggs.head, cent0Aggs.tail: _*)
+        val centF = lloydTrain(s, z90, zFeats, cent0, ServeK, LloydIters)
+        val baseHist = nearestLabel(z90, zFeats, centF, ServeK)
+          .groupBy(col("cluster")).agg(count(lit(1)).as("n_base"))
+        val vs = Map(
+          "stats" -> Snapshots.commit(stats, dirOf("stats"), replace = true),
+          "cent" -> Snapshots.commit(centF, dirOf("cent"), replace = true),
+          "hist" -> Snapshots.commit(baseHist, dirOf("hist"), replace = true))
+        f90.unpersist()
+        vs
+      }
+      (parts("stats"), parts("cent"), parts("hist"))
     })
 
   private[graft] def incrementalAssign(s: SparkSession, d: String): DataFrame = {

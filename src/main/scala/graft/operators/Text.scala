@@ -40,13 +40,16 @@ object Text {
 
   private[graft] def mixIndex(s: org.apache.spark.sql.SparkSession, d: String): (String, Int) =
     mixIndexCache.computeIfAbsent(d, _ => {
-      val dir = graft.Scratch.fresh("mix_")
-      val baseHist = Tables.documents(s, d)
-        .select(col("lang"),
-          (TextFns.h60(col("doc_id").cast("string")) % 100).as("bucket"))
-        .filter(col("bucket") < 90)
-        .groupBy(col("lang")).agg(count(lit(1)).as("n_base"))
-      (dir, Snapshots.commit(baseHist, dir, replace = true))
+      val dir = graft.IndexStore.resolve(s, "mix_index", 1, d, Seq("documents.parquet")) {
+        dirOf =>
+          val baseHist = Tables.documents(s, d)
+            .select(col("lang"),
+              (TextFns.h60(col("doc_id").cast("string")) % 100).as("bucket"))
+            .filter(col("bucket") < 90)
+            .groupBy(col("lang")).agg(count(lit(1)).as("n_base"))
+          Map("hist" -> Snapshots.commit(baseHist, dirOf("hist"), replace = true))
+      }("hist")
+      (dir, Snapshots.versions(s, dir).last)
     })
 
   /** (lang, marker-token lexicon) pairs for the n-gram/lexicon language
@@ -182,27 +185,32 @@ object Text {
   private[graft] def shardIndex(
       s: org.apache.spark.sql.SparkSession, d: String): (String, Int, Long) =
     shardIndexCache.computeIfAbsent(d, _ => {
-      val ShardSize = 64
-      val nParts = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
-      val keyed = Tables.documents(s, d)
-        .select(col("doc_id"),
-          TextFns.h60(concat(col("doc_id").cast("string"), lit("|sh"))).as("h"),
-          (TextFns.h60(col("doc_id").cast("string")) % 100).as("bucket"),
-          lit(1L).as("one"))
-        .filter(col("bucket") < 90)
-        .select(col("doc_id"), col("h"), col("one"))
-      val assigned = Relational.globalCumsum(keyed, Seq("h", "doc_id"), "one", nParts)
-        .select(col("doc_id"),
-          (col("running_total").cast("long") - 1).as("rk"))
-        .select(col("doc_id"),
-          expr(s"rk div $ShardSize").cast("long").as("shard"),
-          (col("rk") % ShardSize).as("pos_in_shard"))
-        .localCheckpoint(true)
-      val n = assigned.count()
-      val dir = graft.Scratch.fresh("shard_")
-      val v = Snapshots.commit(assigned, dir, replace = true,
-        meta = Map("n_docs" -> n.toString))
-      (dir, v, n)
+      val dir = graft.IndexStore.resolve(s, "shard_index", 1, d, Seq("documents.parquet")) {
+        dirOf =>
+          val ShardSize = 64
+          val nParts = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+          val keyed = Tables.documents(s, d)
+            .select(col("doc_id"),
+              TextFns.h60(concat(col("doc_id").cast("string"), lit("|sh"))).as("h"),
+              (TextFns.h60(col("doc_id").cast("string")) % 100).as("bucket"),
+              lit(1L).as("one"))
+            .filter(col("bucket") < 90)
+            .select(col("doc_id"), col("h"), col("one"))
+          val assigned = Relational.globalCumsum(keyed, Seq("h", "doc_id"), "one", nParts)
+            .select(col("doc_id"),
+              (col("running_total").cast("long") - 1).as("rk"))
+            .select(col("doc_id"),
+              expr(s"rk div $ShardSize").cast("long").as("shard"),
+              (col("rk") % ShardSize).as("pos_in_shard"))
+            .localCheckpoint(true)
+          val n = assigned.count()
+          Map("shards" -> Snapshots.commit(assigned, dirOf("shards"), replace = true,
+            meta = Map("n_docs" -> n.toString)))
+      }("shards")
+      // the standing count rides the commit metadata, so a reusing JVM
+      // never rescans the corpus for it
+      val v = Snapshots.versions(s, dir).last
+      (dir, v, Snapshots.meta(s, dir, v)("n_docs").toLong)
     })
 
   /** Standing tokenizer index for q179: the [[BpeRounds]] merge rules
@@ -218,21 +226,24 @@ object Text {
   private[graft] def bpeRulesIndex(
       s: org.apache.spark.sql.SparkSession, d: String): (String, Int) =
     bpeRulesCache.computeIfAbsent(d, _ => {
-      val base = docs(s, d)
-        .select(col("doc_id"), col("tok"),
-          (TextFns.h60(col("doc_id").cast("string")) % 100).as("bucket"))
-        .filter(col("bucket") < 90)
-        .select(col("doc_id"), col("tok"))
-      val rules = bpeTrainOf(base).select(col("merge_rank"), col("pair"))
-        .localCheckpoint(true)
-      // the frozen-apply contract (q179) replays ranks 1..BpeRounds in
-      // order; a gap would make bpeApplyRound's guard silently skip a
-      // round — fail LOUDLY at index-build time instead
-      val nRules = rules.count()
-      require(nRules == BpeRounds,
-        s"bpeRulesIndex: trained $nRules rules, expected $BpeRounds (degenerate corpus?)")
-      val dir = graft.Scratch.fresh("bpe_")
-      (dir, Snapshots.commit(rules, dir, replace = true))
+      val dir = graft.IndexStore.resolve(s, "bpe_rules", 1, d, Seq("documents.parquet")) {
+        dirOf =>
+          val base = docs(s, d)
+            .select(col("doc_id"), col("tok"),
+              (TextFns.h60(col("doc_id").cast("string")) % 100).as("bucket"))
+            .filter(col("bucket") < 90)
+            .select(col("doc_id"), col("tok"))
+          val rules = bpeTrainOf(base).select(col("merge_rank"), col("pair"))
+            .localCheckpoint(true)
+          // the frozen-apply contract (q179) replays ranks 1..BpeRounds in
+          // order; a gap would make bpeApplyRound's guard silently skip a
+          // round — fail LOUDLY at index-build time instead
+          val nRules = rules.count()
+          require(nRules == BpeRounds,
+            s"bpeRulesIndex: trained $nRules rules, expected $BpeRounds (degenerate corpus?)")
+          Map("rules" -> Snapshots.commit(rules, dirOf("rules"), replace = true))
+      }("rules")
+      (dir, Snapshots.versions(s, dir).last)
     })
 
   private[graft] val bpeTrainSql: String = {

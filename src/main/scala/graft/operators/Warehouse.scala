@@ -1415,31 +1415,36 @@ object Warehouse {
   private[graft] def priceDriftIndex(
       s: org.apache.spark.sql.SparkSession, d: String): (String, Int, String, Int) =
     priceDriftCache.computeIfAbsent(d, _ => {
-      val h = graft.functions.TextFns.h60(col("o_orderkey").cast("string")) % 100
-      val baseRows = Tables.orders(s, d)
-        .select(col("o_totalprice").as("x"), h.as("bucket"))
-        .filter(col("bucket") < 90).select(col("x"))
-      val stats = baseRows.agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
-      val width = (col("hi") - col("lo")) / lit(20.0)
-      val baseHist = baseRows.crossJoin(broadcast(stats))
-        .withColumn("bin",
-          least(floor((col("x") - col("lo")) / width), lit(19.0)).cast(IntegerType))
-        .groupBy(col("bin")).agg(count(lit(1)).as("n_base"))
-      val hDir = graft.Scratch.fresh("pd_h_")
-      val sDir = graft.Scratch.fresh("pd_s_")
-      (hDir, Snapshots.commit(baseHist, hDir, replace = true),
-        sDir, Snapshots.commit(stats, sDir, replace = true))
+      val parts = graft.IndexStore.resolve(s, "price_drift", 1, d, Seq("orders.parquet")) {
+        dirOf =>
+          val h = graft.functions.TextFns.h60(col("o_orderkey").cast("string")) % 100
+          val baseRows = Tables.orders(s, d)
+            .select(col("o_totalprice").as("x"), h.as("bucket"))
+            .filter(col("bucket") < 90).select(col("x"))
+          val stats = baseRows.agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+          val width = (col("hi") - col("lo")) / lit(20.0)
+          val baseHist = baseRows.crossJoin(broadcast(stats))
+            .withColumn("bin",
+              least(floor((col("x") - col("lo")) / width), lit(19.0)).cast(IntegerType))
+            .groupBy(col("bin")).agg(count(lit(1)).as("n_base"))
+          Map(
+            "hist" -> Snapshots.commit(baseHist, dirOf("hist"), replace = true),
+            "stats" -> Snapshots.commit(stats, dirOf("stats"), replace = true))
+      }
+      val (hDir, sDir) = (parts("hist"), parts("stats"))
+      (hDir, Snapshots.versions(s, hDir).last, sDir, Snapshots.versions(s, sDir).last)
     })
 
   private[graft] def shipDateClusteredFact(
       s: org.apache.spark.sql.SparkSession, d: String): String =
-    factSnapCache.computeIfAbsent(d, _ => {
-      val dir = graft.Scratch.fresh("zm_")
-      val fact = Tables.lineitem(s, d)
-        .select(
-          col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
-          col("l_returnflag"), to_date(col("l_shipdate")).as("ship_date"))
-      clusterCommit(fact, dir, "ship_date", 16, statsCols = Seq("ship_date"))
-      dir
-    })
+    factSnapCache.computeIfAbsent(d, _ =>
+      graft.IndexStore.resolve(s, "clustered_fact", 1, d, Seq("lineitem.parquet")) {
+        dirOf =>
+          val fact = Tables.lineitem(s, d)
+            .select(
+              col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+              col("l_returnflag"), to_date(col("l_shipdate")).as("ship_date"))
+          Map("fact" -> clusterCommit(fact, dirOf("fact"), "ship_date", 16,
+            statsCols = Seq("ship_date")))
+      }("fact"))
 }
