@@ -1114,12 +1114,21 @@ object MLOps {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private[graft] def e2eWarehouse(s: SparkSession, d: String): String =
-    e2eWarehouseCache.computeIfAbsent(d, _ => {
-      val wh = graft.Scratch.fresh("e2e_wh_")
-      graft.pipelines.EtlJob.run(s, d, wh)
-      graft.pipelines.ClusteringJob.runDeterministic(s, d, wh)
-      wh
-    })
+    e2eWarehouseCache.computeIfAbsent(d, _ =>
+      graft.IndexStore.resolve(
+        s, "e2e_warehouse", 1, d,
+        Seq("lineitem.parquet", "orders.parquet", "part.parquet")) { dirOf =>
+        // the whole warehouse (star tables + product_clustering +
+        // ledgers) is ONE plain-dir part: the ETL writes its own
+        // multi-table layout, and the atomic rename publishes it all
+        // or nothing — no JVM can ever read a warehouse whose fact
+        // landed but whose clustering didn't
+        graft.IndexStore.publishPlainDir(dirOf("wh")) { tmp =>
+          graft.pipelines.EtlJob.run(s, d, tmp)
+          graft.pipelines.ClusteringJob.runDeterministic(s, d, tmp)
+        }
+        Map("wh" -> 0)
+      }("wh"))
 
   /** KMeans on a z-scored frame; labels canonicalized by (cluster size
     * desc, first-feature centroid asc) so re-runs and library versions
