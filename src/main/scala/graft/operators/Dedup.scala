@@ -719,6 +719,53 @@ object Dedup {
         FROM cc ORDER BY doc_id""")
     ),
 
+    // CROSS-SOURCE DUPLICATION MATRIX — the provenance analytics a
+    // multi-source training corpus needs before mixing: for every
+    // (source, source) pair, how many near-dup edges cross it and how
+    // similar they are. A hot off-diagonal cell means two feeds crawl
+    // the same upstream (dedup BEFORE weighting, or the mixture
+    // double-counts it); a hot diagonal means a feed self-duplicates.
+    // Pairs come from the SAME banded LSH join as q47 (never
+    // all-pairs); the matrix aggregation is pair-table-sized, i.e.
+    // tiny relative to the corpus. Mean similarity is the exact
+    // integer micro-mean of the 6-dp jaccards (sum of rounded micro
+    // values div count — no double averaging to drift).
+    Q(
+      "q187_dup_source_matrix",
+      (s, d) => {
+        val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+        minhashPairs(s, d)
+          .filter(col("jaccard") >= DupJaccard)
+          .join(src.as("qa"), col("doc_a") === col("qa.doc_id"))
+          .join(src.as("qb"), col("doc_b") === col("qb.doc_id"))
+          .select(
+            least(col("qa.source"), col("qb.source")).as("source_a"),
+            greatest(col("qa.source"), col("qb.source")).as("source_b"),
+            round(col("jaccard") * 1000000).cast("long").as("j_micro"))
+          .groupBy(col("source_a"), col("source_b"))
+          .agg(
+            count(lit(1)).as("n_pairs"),
+            sum(col("j_micro")).as("j_sum"))
+          .select(
+            col("source_a"), col("source_b"), col("n_pairs"),
+            expr("j_sum div n_pairs").as("mean_jaccard_micro"))
+          .orderBy(col("source_a"), col("source_b"))
+      },
+      Some(s"""
+        WITH $minhashPairsSql,
+        lab AS (SELECT least(qa.source, qb.source) AS source_a,
+                       greatest(qa.source, qb.source) AS source_b,
+                       CAST(ROUND(p.jaccard * 1000000) AS BIGINT) AS j_micro
+                FROM pairs p
+                JOIN documents qa ON p.doc_a = qa.doc_id
+                JOIN documents qb ON p.doc_b = qb.doc_id
+                WHERE p.jaccard >= $DupJaccard)
+        SELECT source_a, source_b,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(j_micro) // COUNT(*) AS BIGINT) AS mean_jaccard_micro
+        FROM lab GROUP BY 1, 2 ORDER BY 1, 2""")
+    ),
+
     // Quality-aware survivor selection: within each near-dup cluster,
     // KEEP THE BEST member, not the first — min-id survivors (q84's
     // is_canonical) systematically keep whichever copy was crawled

@@ -24,6 +24,37 @@ object Text {
   private def r6(a: Column, b: Column): Column =
     round(a.cast("double") / b.cast("double"), 6)
 
+  /** The q186 repetition signals over any (doc_id, tok) frame — exact
+    * integer micro-rationals throughout, per-row array arithmetic only
+    * (map-only at any scale). See the q186 Q entry for the rationale
+    * and threshold calibration.
+    */
+  private[graft] def gopherRepetition(docsWithTok: DataFrame): DataFrame = {
+    val g2 = TextFns.shingles(col("tok"), 2)
+    val g3 = TextFns.shingles(col("tok"), 3)
+    docsWithTok
+      .select(
+        col("doc_id"),
+        size(col("tok")).cast("long").as("n_words"),
+        array_max(transform(array_distinct(col("tok")),
+          w => size(filter(col("tok"), x => x === w)))).cast("long").as("top_count"),
+        size(g2).cast("long").as("n2"),
+        size(array_distinct(g2)).cast("long").as("d2"),
+        size(g3).cast("long").as("n3"),
+        size(array_distinct(g3)).cast("long").as("d3"))
+      .select(
+        col("doc_id"), col("n_words"),
+        expr("top_count * 1000000 div n_words").as("top_word_micro"),
+        when(col("n2") === 0, lit(0L))
+          .otherwise(expr("(n2 - d2) * 1000000 div n2")).as("dup_2gram_micro"),
+        when(col("n3") === 0, lit(0L))
+          .otherwise(expr("(n3 - d3) * 1000000 div n3")).as("dup_3gram_micro"))
+      .withColumn("keep",
+        col("top_word_micro") <= 120000L &&
+          col("dup_2gram_micro") <= 50000L &&
+          col("dup_3gram_micro") === 0L)
+  }
+
   private val StopWords = Seq("the", "a", "or", "and", "of", "to", "in")
   private val stopList = StopWords.map(w => s"'$w'").mkString(", ")
 
@@ -413,6 +444,49 @@ object Text {
                          AND ROUND(CAST(n_stop AS DOUBLE)/CAST(n_tokens AS DOUBLE), 6) <= 0.3
                          AND ROUND(CAST(n_distinct AS DOUBLE)/CAST(n_tokens AS DOUBLE), 6) >= 0.4
                     THEN 'good' ELSE 'low' END AS quality
+        FROM m ORDER BY doc_id""")
+    ),
+
+    // (implementation in [[gopherRepetition]]; CorpusOpsSpec drives it
+    // on hand-checkable fixtures)
+    // Gopher-style REPETITION filter (Rae et al. 2021, §A1.1 — the
+    // public repetition-signal family, adapted word-level to this
+    // corpus's single-line documents): per doc, the top-word mass and
+    // the duplicated 2-/3-gram mass, each as an EXACT integer
+    // micro-rational (count×1e6 div total — no doubles, so the filter
+    // decision can never flip between engines), plus the keep flag at
+    // thresholds calibrated to this corpus's distribution (medians:
+    // top-word 0.093, dup-2gram 0.028, dup-3gram 0) the way Gopher's
+    // 0.2/0.2/0.18 were to MassiveText's. Scale shape: all signals
+    // are per-row array arithmetic over the already-split token
+    // array — a MAP-ONLY pass, zero shuffles before the output sort;
+    // at 100 TB this is the cheapest possible cleaning verb.
+    Q(
+      "q186_gopher_repetition",
+      (s, d) => gopherRepetition(docs(s, d)).orderBy(col("doc_id")),
+      Some(s"""
+        WITH t AS (SELECT doc_id, ${T.tokens} AS tok FROM documents),
+        g AS (SELECT doc_id,
+                     CAST(len(tok) AS BIGINT) AS n_words,
+                     CAST(list_max(list_transform(list_distinct(tok),
+                          w -> len(list_filter(tok, x -> x = w)))) AS BIGINT) AS top_count,
+                     list_transform(range(1, len(tok)),
+                          i -> tok[i] || ' ' || tok[i+1]) AS g2,
+                     list_transform(range(1, len(tok)-1),
+                          i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2]) AS g3
+              FROM t),
+        m AS (SELECT doc_id, n_words,
+                     CAST(top_count * 1000000 // n_words AS BIGINT) AS top_word_micro,
+                     CAST(CASE WHEN len(g2) = 0 THEN 0
+                          ELSE 1000000 * (len(g2) - len(list_distinct(g2))) // len(g2)
+                          END AS BIGINT) AS dup_2gram_micro,
+                     CAST(CASE WHEN len(g3) = 0 THEN 0
+                          ELSE 1000000 * (len(g3) - len(list_distinct(g3))) // len(g3)
+                          END AS BIGINT) AS dup_3gram_micro
+              FROM g)
+        SELECT doc_id, n_words, top_word_micro, dup_2gram_micro, dup_3gram_micro,
+               (top_word_micro <= 120000 AND dup_2gram_micro <= 50000
+                AND dup_3gram_micro = 0) AS keep
         FROM m ORDER BY doc_id""")
     ),
 

@@ -648,4 +648,40 @@ class CorpusOpsSpec extends SparkSpec {
       s"good rate ${gIn}/$gAll must exceed low rate ${lIn}/$lAll")
     spark.catalog.clearCache()
   }
+
+  test("gopher repetition signals: every metric by hand on fixtures") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, split}
+    val docs = Seq(
+      // "a a a b": top 3/4=750000; 2grams [a a, a a, a b] dup 1/3=333333;
+      // 3grams [a a a, a a b] dup 0 → dropped on top-word AND dup-2gram
+      (1L, "a a a b"),
+      // all distinct → 0/0/0, kept
+      (2L, "w x y z"),
+      // "p q p q p q": top 3/6=500000; 2grams [pq,qp,pq,qp,pq] dup 3/5=600000;
+      // 3grams [pqp,qpq,pqp,qpq] dup 2/4=500000 → dropped everywhere
+      (3L, "p q p q p q"),
+      // 10 words, 'a'/'b' twice each → top 2/10 = 200000; the repeated
+      // "a b" is 1 dup 2-gram in 9 → 111111 → dropped on both cuts
+      (4L, "a b c d e f g h a b"))
+      .toDF("doc_id", "text")
+      .withColumn("tok", split(col("text"), " "))
+    val out = graft.operators.Text.gopherRepetition(docs)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5))))
+      .toMap
+    assert(out(1L) == ((4L, 750000L, 333333L, 0L, false)))
+    assert(out(2L) == ((4L, 250000L, 0L, 0L, false)),
+      "4 distinct words: top 1/4 = 250000 > threshold")
+    assert(out(3L) == ((6L, 500000L, 600000L, 500000L, false)))
+    assert(out(4L) == ((10L, 200000L, 111111L, 0L, false)))
+    // and a genuinely kept doc: 10 distinct words
+    val kept = graft.operators.Text.gopherRepetition(
+      Seq((5L, "q w e r t y u i o p")).toDF("doc_id", "text")
+        .withColumn("tok", split(col("text"), " ")))
+      .collect().head
+    assert(kept.getBoolean(5), "10 distinct words must pass every cut")
+    spark.catalog.clearCache()
+  }
 }
