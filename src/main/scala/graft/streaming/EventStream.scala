@@ -71,9 +71,22 @@ object EventStream {
     Tables.normalizeEventTs(reader.parquet(dir))
   }
 
-  /** Run a streaming DF to completion into a memory sink; return the
-    * final table. Query names are unique per call so concurrent runs
-    * (bench + verify in one JVM) don't collide.
+  /** Run a streaming DF to completion into a DISTRIBUTED parquet sink
+    * (foreachBatch) and return the result read back; query names are
+    * unique per call so concurrent runs (bench + verify in one JVM)
+    * don't collide.
+    *
+    * Until round 13 this was a MEMORY sink — which COLLECTS every
+    * batch's result to the driver. The sf10 streaming probe killed it
+    * for real: q60's complete-mode session aggregate (one row per
+    * (user, session) — grows with the data, unlike the hour- or
+    * sketch-bounded surfaces) serialized >1 GiB of task results and
+    * died on spark.driver.maxResultSize. foreachBatch replicates the
+    * memory sink's semantics exactly — complete mode REPLACES the
+    * result per batch (→ overwrite), update/append mode APPENDS each
+    * batch's emitted rows (→ append; MemorySink stores update-mode
+    * batches the same way) — with the rows staying executor-side end
+    * to end, which is the only shape that survives 100 TB.
     *
     * `expectedInput` is the loud-failure invariant: total source input
     * rows across all micro-batches must equal the static footer count
@@ -113,11 +126,18 @@ object EventStream {
     }
     spark.streams.addListener(listener)
     try {
+      val outDir = graft.Scratch.fresh("stream_out_")
+      val schema = df.schema
+      val writeBatch: (DataFrame, Long) => Unit = (batch, _) =>
+        batch.write
+          .mode(if (mode == "complete") org.apache.spark.sql.SaveMode.Overwrite
+                else org.apache.spark.sql.SaveMode.Append)
+          .parquet(outDir)
       val q = df.writeStream
-        .format("memory")
         .queryName(name)
         .outputMode(mode)
         .trigger(Trigger.AvailableNow())
+        .foreachBatch(writeBatch)
         .start()
       q.awaitTermination()
       expectedInput.foreach { exp =>
@@ -131,7 +151,13 @@ object EventStream {
           s"stream ingested $got input rows but the static files hold $exp — " +
             "schema drift or dropped data; refusing to emit a result")
       }
-      spark.table(name)
+      // an empty source fires no batch → no dir; degrade to an empty
+      // frame with the query's schema instead of a read error
+      if (new java.io.File(outDir).exists())
+        spark.read.schema(schema).parquet(outDir)
+      else
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     } finally spark.streams.removeListener(listener)
   }
 
