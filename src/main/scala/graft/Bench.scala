@@ -173,7 +173,7 @@ object Bench {
       slowest.takeWhile { case (k, _) => acc += k.length + 12; acc < 1100 }
     }
     val qs = kept.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
-    f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","n_queries":${done.size},"n_dnf":${dnf.size},"n_err":${errs.size},"n_flaky":${flaky.size},"n_skipped":${skipped.size},"queries_slowest":${kept.size},"queries":$qs,"full_record":"${OutFile.toString}"}"""
+    f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":${jstr(sfDir)},"n_queries":${done.size},"n_dnf":${dnf.size},"n_err":${errs.size},"n_flaky":${flaky.size},"n_skipped":${skipped.size},"queries_slowest":${kept.size},"queries":$qs,"full_record":${jstr(OutFile.toString)}}"""
   }
 
   private def jstr(s: String): String =

@@ -25,7 +25,12 @@ import org.apache.spark.sql.SparkSession
   * cold store) are benign: index builds are DETERMINISTIC functions of
   * the fingerprinted sources (md5-keyed bucketing, fixed-round
   * iteration), so both racers commit identical content and either
-  * sentinel pins a valid build.
+  * sentinel pins a valid build. Snapshot commits publish via
+  * put-if-absent manifests, so the LOSER of a same-version part or
+  * sentinel commit gets [[operators.ConcurrentSnapshotException]];
+  * resolve catches it and degrades to waiting for the winner's
+  * sentinel, then returns the winner's publish — a race never
+  * crashes a query.
   *
   * FORMAT-VERSION RULE: any change to an index's schema, content
   * derivation, or partitioning MUST bump the caller's `formatVersion`
@@ -108,25 +113,69 @@ object IndexStore {
       val meta = operators.Snapshots.meta(s, sent, published.last)
       val parts = meta.getOrElse("parts", "").split(",").filter(_.nonEmpty)
       System.err.println(s"[index] $name fp=$fp reused (published v${published.last})")
+      touch(base) // prune() ages by LAST USE, not build time
       parts.map(p => p -> partDir(p)).toMap
     } else {
       val t0 = System.nanoTime()
-      val versions = build(partDir)
-      require(versions.nonEmpty, s"index $name build published no parts")
-      // sentinel LAST: its single manifest is the atomic publish point
-      import s.implicits._
-      val sdf = Seq(1).toDF("published")
-      operators.Snapshots.commit(sdf, sent, replace = true,
-        meta = Map(
-          "parts" -> versions.keys.toSeq.sorted.mkString(","),
-          "fingerprint" -> fp) ++
-          versions.map { case (p, v) => s"part_$p" -> v.toString })
-      System.err.println(
-        f"[index] $name fp=$fp built+published in ${(System.nanoTime() - t0) / 1e9}%.1fs")
-      prune(s"$root/$name-v$formatVersion", keepFp = fp)
-      versions.keys.map(p => p -> partDir(p)).toMap
+      try {
+        val versions = build(partDir)
+        require(versions.nonEmpty, s"index $name build published no parts")
+        // sentinel LAST: its single manifest is the atomic publish point
+        import s.implicits._
+        val sdf = Seq(1).toDF("published")
+        operators.Snapshots.commit(sdf, sent, replace = true,
+          meta = Map(
+            "parts" -> versions.keys.toSeq.sorted.mkString(","),
+            "fingerprint" -> fp) ++
+            versions.map { case (p, v) => s"part_$p" -> v.toString })
+        System.err.println(
+          f"[index] $name fp=$fp built+published in ${(System.nanoTime() - t0) / 1e9}%.1fs")
+        prune(s"$root/$name-v$formatVersion", keepFp = fp)
+        versions.keys.map(p => p -> partDir(p)).toMap
+      } catch {
+        // race loser: a concurrent builder committed the same part or
+        // sentinel version first. Builds are deterministic, so the
+        // winner's publish is what we would have published — wait for
+        // its sentinel and reuse it instead of crashing the query.
+        case _: operators.ConcurrentSnapshotException =>
+          System.err.println(
+            s"[index] $name fp=$fp lost publish race; awaiting winner's sentinel")
+          awaitPublished(s, name, fp, sent, partDir)
+      }
     }
   }
+
+  /** After losing a publish race: poll for the winner's sentinel (it
+    * commits the sentinel LAST, possibly seconds after the part commit
+    * we collided on) and return its parts. Bounded wait — if the
+    * winner died between winning the part commit and publishing, we
+    * surface that as an error rather than spin forever; the NEXT
+    * resolve on the (sentinel-less) fingerprint rebuilds cleanly.
+    */
+  private def awaitPublished(
+      s: SparkSession, name: String, fp: String, sent: String,
+      partDir: String => String): Map[String, String] = {
+    val deadline = System.nanoTime() + 10L * 60 * 1000 * 1000 * 1000 // 10 min
+    while (System.nanoTime() < deadline) {
+      val vs = operators.Snapshots.versions(s, sent)
+      if (vs.nonEmpty) {
+        val meta = operators.Snapshots.meta(s, sent, vs.last)
+        val parts = meta.getOrElse("parts", "").split(",").filter(_.nonEmpty)
+        System.err.println(s"[index] $name fp=$fp reused winner's publish (v${vs.last})")
+        return parts.map(p => p -> partDir(p)).toMap
+      }
+      Thread.sleep(500)
+    }
+    throw new IllegalStateException(
+      s"index $name fp=$fp: lost publish race but winner never published a sentinel")
+  }
+
+  /** Best-effort mtime bump so prune's age gate measures last USE. */
+  private def touch(dir: String): Unit =
+    try java.nio.file.Files.setLastModifiedTime(
+      java.nio.file.Paths.get(dir),
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+    catch { case _: Exception => () }
 
   /** Publish a PLAIN (non-snapshot) directory part: `write` lands the
     * data in a unique temp sibling, which is then renamed into place
@@ -142,17 +191,27 @@ object IndexStore {
     try java.nio.file.Files.move(java.nio.file.Paths.get(tmp), t,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     catch {
+      // ONLY the benign racer-won shapes — a broad FileSystemException
+      // catch would swallow AtomicMoveNotSupportedException on stores
+      // without atomic rename and silently publish a missing dir
       case _: java.nio.file.FileAlreadyExistsException |
-          _: java.nio.file.FileSystemException =>
+          _: java.nio.file.DirectoryNotEmptyException =>
         deleteRecursively(java.nio.file.Paths.get(tmp)) // racer won; identical content
     }
+    if (!java.nio.file.Files.exists(t))
+      throw new IllegalStateException(
+        s"publishPlainDir: rename reported success but $target does not exist")
     target
   }
 
-  /** Prune SIBLING fingerprints older than [[PruneAgeMs]] (mtime of
-    * the fp dir). Age-gated so a concurrently-live session on another
-    * dataset (bench at sf0.1 racing verify at sf0.01) can never lose
-    * its index mid-read; truly stale dataset generations age out.
+  /** Prune SIBLING fingerprints older than [[PruneAgeMs]] by the fp
+    * dir's mtime — which [[touch]] bumps on every reused resolve, so
+    * the age gate measures LAST USE, not build time: a still-current
+    * index on another dataset (e.g. the ~713 s sf10 tri index being
+    * reused daily) stays fresh however old its build is. Age-gated so
+    * a concurrently-live session on another dataset (bench at sf0.1
+    * racing verify at sf0.01) can never lose its index mid-read;
+    * truly idle dataset generations age out.
     */
   private val PruneAgeMs = 48L * 3600 * 1000
 

@@ -50,11 +50,11 @@ object Prebuild {
       s: SparkSession, d: String): String = {
     // mark AFTER the build succeeds: marking first would let a thrown
     // build leave the pair flagged, mislabeling a later successful
-    // retry as "reused" — exactly the failure case the audit exists for
+    // retry as "reused" — exactly the failure case the audit exists
+    // for. The atomic add IS the label: two threads forcing the same
+    // pair concurrently get exactly one "built".
     val key = (name, d)
-    val first = !forcedSet.contains(key)
     build(s, d)
-    forcedSet.add(key)
-    if (first) "built" else "reused"
+    if (forcedSet.add(key)) "built" else "reused"
   }
 }

@@ -8,6 +8,7 @@ package graft
   */
 class IndexStoreSpec extends SparkSpec {
   import spark.implicits._
+  import scala.jdk.CollectionConverters._
 
   /** Run `body` with the store rooted at a throwaway dir. */
   private def withTempStore[A](body: String => A): A = {
@@ -106,6 +107,73 @@ class IndexStoreSpec extends SparkSpec {
     }
   }
 
+  test("a publish-race LOSER degrades to reusing the winner's publish (no crash)") {
+    withTempStore { root =>
+      val d = tempDataset()
+      val fp = IndexStore.fingerprint(d, Seq("src.txt"))
+      val base = s"$root/t_loser-v1/$fp"
+      // build callback plays the LOSER: a peer JVM (simulated inline)
+      // fully publishes part+sentinel, then our part commit collides
+      val parts = IndexStore.resolve(spark, "t_loser", 1, d, Seq("src.txt")) { dirOf =>
+        // "peer" wins: commits the part and the sentinel
+        val v = operators.Snapshots.commit(Seq((7L, 7L)).toDF("x", "y"),
+          s"$base/a", replace = true)
+        operators.Snapshots.commit(Seq(1).toDF("published"), s"$base/_publish",
+          replace = true, meta = Map("parts" -> "a", "fingerprint" -> fp,
+            "part_a" -> v.toString))
+        // we lose our own commit (what Snapshots.publish throws when a
+        // same-version manifest already exists)
+        throw new operators.ConcurrentSnapshotException("lost the race (simulated)")
+      }
+      assert(parts == Map("a" -> s"$base/a"),
+        "race loser must return the winner's published parts")
+      assert(operators.Snapshots.read(spark, parts("a")).collect()
+        .map(_.getLong(0)).toSeq == Seq(7L))
+    }
+  }
+
+  test("two concurrent builders on a cold store both resolve a complete identical index") {
+    withTempStore { root =>
+      val d = tempDataset()
+      val gate = new java.util.concurrent.CyclicBarrier(2)
+      val results = new java.util.concurrent.ConcurrentHashMap[Int, Map[String, String]]()
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      def racer(id: Int): Thread = new Thread(() =>
+        try {
+          val r = IndexStore.resolve(spark, "t_race", 1, d, Seq("src.txt")) { dirOf =>
+            gate.await(30, java.util.concurrent.TimeUnit.SECONDS) // both enter build
+            val v = operators.Snapshots.commit(Seq((5L, 6L)).toDF("x", "y"),
+              dirOf("snap"), replace = true)
+            val plain = IndexStore.publishPlainDir(dirOf("plain")) { tmp =>
+              Seq((8L, 9L)).toDF("x", "y").write.parquet(tmp)
+            }
+            assert(plain == dirOf("plain"))
+            Map("snap" -> v, "plain" -> 0)
+          }
+          results.put(id, r)
+        } catch { case t: Throwable => errs.add(t) })
+      val ts = Seq(racer(1), racer(2))
+      ts.foreach(_.start()); ts.foreach(_.join(120000))
+      assert(errs.isEmpty, s"neither racer may crash: ${Option(errs.peek()).map(_.toString)}")
+      assert(results.size == 2)
+      assert(results.get(1) == results.get(2), "both must resolve the same part dirs")
+      val r = results.get(1)
+      // both parts complete and readable — no torn plain dir
+      assert(operators.Snapshots.read(spark, r("snap")).collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSeq == Seq((5L, 6L)))
+      assert(spark.read.parquet(r("plain")).collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSeq == Seq((8L, 9L)))
+      assert(!java.nio.file.Files.list(java.nio.file.Paths.get(r("plain")).getParent)
+        .iterator().asScala.exists(_.getFileName.toString.contains(".tmp-")),
+        "no orphaned plain-dir temp may survive the race")
+      // a sentinel exists and pins both parts
+      val sent = r("snap").stripSuffix("/snap") + "/_publish"
+      val vs = operators.Snapshots.versions(spark, sent)
+      assert(vs.nonEmpty)
+      assert(operators.Snapshots.meta(spark, sent, vs.last)("parts") == "plain,snap")
+    }
+  }
+
   test("pruning removes only STALE sibling fingerprints (age-gated)") {
     withTempStore { root =>
       val d = tempDataset()
@@ -131,6 +199,28 @@ class IndexStoreSpec extends SparkSpec {
       go()
       assert(java.nio.file.Files.exists(fresh), "fresh sibling must survive pruning")
       assert(!java.nio.file.Files.exists(stale), "stale sibling must be pruned")
+    }
+  }
+
+  test("reuse refreshes the fp dir mtime so prune ages by last USE, not build time") {
+    withTempStore { root =>
+      val d = tempDataset()
+      def go() = IndexStore.resolve(spark, "t_touch", 1, d, Seq("src.txt")) { dirOf =>
+        Map("a" -> operators.Snapshots.commit(Seq((1L, 0L)).toDF("x", "y"),
+          dirOf("a"), replace = true))
+      }
+      go()
+      val fpDir = java.nio.file.Paths.get(
+        root, "t_touch-v1", IndexStore.fingerprint(d, Seq("src.txt")))
+      // simulate an old BUILD: backdate past the 48 h prune gate
+      java.nio.file.Files.setLastModifiedTime(fpDir,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 72L * 3600 * 1000))
+      go() // a reuse — must bump the mtime back to "now"
+      val age = System.currentTimeMillis() -
+        java.nio.file.Files.getLastModifiedTime(fpDir).toMillis
+      assert(age < 3600 * 1000L,
+        "reused resolve must refresh the fp dir mtime (prune gate = last use)")
     }
   }
 }

@@ -1,0 +1,22 @@
+#!/bin/bash
+# End-of-round ritual guard: fails unless the given canonical bench
+# record contains EXACTLY the benched-query set of the compiled HEAD
+# (catches a bench_canonical_r{N}.json produced before the last
+# feature commit — the round-13 record-hygiene defect).
+# Usage: tools/ritual_check.sh bench_canonical_r14.json
+set -e
+cd "$(dirname "$0")/.."
+CANON="${1:?usage: tools/ritual_check.sh bench_canonical_rN.json}"
+tools/run_main.sh graft.BenchList > /tmp/ritual_expected.txt
+python3 - "$CANON" <<'EOF'
+import json, sys
+canon = json.load(open(sys.argv[1]))
+got = set(canon.get("queries", {})) | set(canon.get("dnf", []))
+exp = set(open("/tmp/ritual_expected.txt").read().split())
+missing, extra = sorted(exp - got), sorted(got - exp)
+if missing or extra:
+    if missing: print(f"RITUAL_CHECK: FAIL — canonical record missing {len(missing)} benched queries of HEAD: {missing[:10]}")
+    if extra:   print(f"RITUAL_CHECK: FAIL — canonical record has {len(extra)} queries HEAD no longer benches: {extra[:10]}")
+    sys.exit(1)
+print(f"RITUAL_CHECK: PASS — canonical record matches HEAD's {len(exp)} benched queries")
+EOF
