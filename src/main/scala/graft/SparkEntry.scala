@@ -13,7 +13,8 @@ object SparkEntry {
     operators.Relational.all ++ operators.Analytics.all ++ operators.Events.all ++
       operators.Text.all ++ operators.Dedup.all ++ operators.Similarity.all ++
       operators.MLOps.all ++ operators.Multimodal.all ++ operators.Streaming.all ++
-      operators.Sources.all ++ operators.Warehouse.all ++ operators.Graph.all
+      operators.Sources.all ++ operators.Warehouse.all ++ operators.Graph.all ++
+      operators.SqlSurface.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1976,26 +1976,43 @@ object MLOps {
           .localCheckpoint(true)
         val ml = kmeansCanonical(flat, xCols, "part_id", kk)
           .select(col("part_id"), col("cluster"))
+          .cache() // consumed by ARI + the fused WSS pass
         val lloyd = embeddingLloydLabeled(s, flat, xCols, kk)
           .select(col("part_id"), col("cluster"))
-          .cache() // consumed by ARI + WSS
-        // order-independent WSS: decimal-exact feature sums → one double
-        // division per (cluster, feature) mean, per-row fixed-order d²,
-        // decimal-exact total
-        def wssOf(lab: DataFrame): DataFrame = {
-          val joined = lab.join(flat, "part_id")
-          val mAggs = xCols.map(f => (dsum12(col(f)) / count(lit(1)).cast("double")).as(s"m_$f"))
-          val means = joined.groupBy(col("cluster")).agg(mAggs.head, mAggs.tail: _*)
-          joined.join(broadcast(means), "cluster")
-            .select(xCols.map(f => (col(f) - col(s"m_$f")) * (col(f) - col(s"m_$f")))
+          .cache() // consumed by ARI + the fused WSS pass
+        // BOTH labelings' WSS in ONE join+aggregate over the flat frame
+        // (an `arm` tag on the unioned labels replaces the former two
+        // single-labeling passes — same arithmetic per arm, half the
+        // flat scans/joins). Order-independent as before: decimal-exact
+        // feature sums → one double division per (arm, cluster, feature)
+        // mean, per-row fixed-order d², decimal-exact per-arm total.
+        val labeled = ml.withColumn("arm", lit("ml"))
+          .unionByName(lloyd.withColumn("arm", lit("lloyd")))
+        val joined = labeled.join(flat, "part_id")
+          .cache() // consumed by the means agg AND the d² join-back
+        val mAggs = xCols.map(f => (dsum12(col(f)) / count(lit(1)).cast("double")).as(s"m_$f"))
+        val means = joined.groupBy(col("arm"), col("cluster"))
+          .agg(mAggs.head, mAggs.tail: _*)
+          .cache() // ≤ 2k rows; consumed by the d² join-back AND n_clusters
+        val wss = joined.join(broadcast(means), Seq("arm", "cluster"))
+          .select(col("arm"),
+            xCols.map(f => (col(f) - col(s"m_$f")) * (col(f) - col(s"m_$f")))
               .reduceLeft(_ + _).as("d2"))
-            .agg(sum(col("d2").cast(org.apache.spark.sql.types.DecimalType(38, 6))).as("wss"))
-        }
+          .groupBy(col("arm"))
+          .agg(sum(col("d2").cast(org.apache.spark.sql.types.DecimalType(38, 6))).as("wss"))
+          .groupBy()
+          .agg(
+            max(when(col("arm") === "ml", col("wss"))).as("wss_ml"),
+            max(when(col("arm") === "lloyd", col("wss"))).as("wss_lloyd"))
+        // n_clusters rides the tiny means frame: one row per non-empty
+        // (arm, cluster), so the distinct-cluster count needs no extra
+        // pass over the labeled data
+        val nClusters = means
+          .agg(countDistinct(when(col("arm") === "ml", col("cluster"))).as("n_clusters"))
         val stats = ariRow(ml, lloyd, kk, kk) // exact ints; b_pairs = Lloyd marginal
         stats
-          .crossJoin(wssOf(ml).select(col("wss").as("wss_ml")))
-          .crossJoin(wssOf(lloyd).select(col("wss").as("wss_lloyd")))
-          .crossJoin(ml.agg(countDistinct(col("cluster")).as("n_clusters")))
+          .crossJoin(wss)
+          .crossJoin(nClusters)
           .select(
             col("n_parts"),
             col("n_clusters"),

@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.{Q, Tables}
+
+/** SQL entry surface for the DSS layer: the reference's UI issues raw
+  * SQL strings against the warehouse
+  * (/root/reference/pages/1_Clustering_Analysis.py:84-100 builds
+  * `SELECT … FROM …` text and hands it to the connection), while the
+  * graft operator inventory is DataFrame-API-first. This module closes
+  * that gap: [[registerViews]] exposes every warehouse table as a temp
+  * view, and a `spark.sql`-driven TWIN of an inventory query is gated
+  * on the SAME oracle — so a SQL-speaking client can drive the engine
+  * and gets the IDENTICAL Catalyst plan the DataFrame API produces
+  * (both surfaces meet in the same logical plan; pinned by
+  * PlanSpec's sameResult check, q188 ≡ q27).
+  */
+object SqlSurface {
+
+  /** Expose the scale-factor dir's tables as session temp views.
+    * Idempotent and metadata-only (createOrReplaceTempView registers
+    * the logical plan; no scan happens until a query runs), so
+    * re-registering per query execution is free. `events` goes through
+    * [[Tables.events]] for the ts-vintage normalization every other
+    * consumer gets.
+    */
+  def registerViews(s: SparkSession, d: String): Unit = {
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "documents", "embeddings")
+      .foreach(t => Tables(s, d, t).createOrReplaceTempView(t))
+    Tables.events(s, d).createOrReplaceTempView("events")
+  }
+
+  /** Run a SQL statement against the registered warehouse views. */
+  def sql(s: SparkSession, d: String, statement: String): DataFrame = {
+    registerViews(s, d)
+    s.sql(statement)
+  }
+
+  /** Spark-dialect text of the q27 twin. Written to optimize to the
+    * exact plan of q27's DataFrame build: the same decimal-exact sum
+    * (Det.dsum ≡ CAST(SUM(CAST(… AS DECIMAL(38,6))) AS DOUBLE)), the
+    * same COALESCE defaults, the same pre-join filter (Catalyst pushes
+    * it below the join either way).
+    */
+  val Q27TwinSql: String = """
+    SELECT p.p_partkey,
+           COALESCE(CAST(SUM(CAST(l.l_quantity AS DECIMAL(38,6))) AS DOUBLE),
+                    CAST(0 AS DOUBLE)) AS qty,
+           COALESCE(COUNT(DISTINCT l.l_orderkey), CAST(0 AS BIGINT)) AS n_orders
+    FROM part p
+    LEFT JOIN (SELECT * FROM lineitem
+               WHERE l_shipdate >= TIMESTAMP '2001-06-01') l
+           ON p.p_partkey = l.l_partkey
+    GROUP BY p.p_partkey
+    ORDER BY p.p_partkey"""
+
+  def all: Seq[Q] = Seq(
+    // the SQL-string twin of q27 (A7 coalesce-left-join-agg), gated on
+    // q27's own oracle: a SQL client and a DataFrame client must get
+    // the same rows AND the same physical plan from this engine
+    Q(
+      "q188_sql_entry",
+      (s, d) => sql(s, d, Q27TwinSql),
+      Some("""
+        SELECT p.p_partkey,
+               COALESCE(CAST(SUM(CAST(l.l_quantity AS DECIMAL(38,6))) AS DOUBLE), CAST(0 AS DOUBLE)) AS qty,
+               COALESCE(CAST(COUNT(DISTINCT l.l_orderkey) AS BIGINT), 0) AS n_orders
+        FROM part p
+        LEFT JOIN (SELECT * FROM lineitem WHERE l_shipdate >= TIMESTAMP '2001-06-01') l
+               ON p.p_partkey = l.l_partkey
+        GROUP BY p.p_partkey
+        ORDER BY p.p_partkey""")
+    )
+  )
+}

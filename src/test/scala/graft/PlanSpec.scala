@@ -12,6 +12,15 @@ class PlanSpec extends SparkSpec {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, sf("sf0.001")).queryExecution.executedPlan.toString
 
+  test("SQL entry surface optimizes to the DataFrame twin's plan (q188 ≡ q27)") {
+    val viaSql = SparkEntry.queries("q188_sql_entry")(spark, sf("sf0.001"))
+      .queryExecution.optimizedPlan
+    val viaApi = SparkEntry.queries("q27_coalesce_leftjoin")(spark, sf("sf0.001"))
+      .queryExecution.optimizedPlan
+    assert(viaSql.sameResult(viaApi),
+      s"SQL twin diverged from the DataFrame plan:\nSQL:\n$viaSql\nAPI:\n$viaApi")
+  }
+
   test("time/flag filters are pushed to the parquet scan (q02)") {
     val p = plan("q02_filter_project")
     assert(p.contains("PushedFilters: ["), p)
