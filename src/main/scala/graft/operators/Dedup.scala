@@ -1130,6 +1130,78 @@ object Dedup {
         FROM sp GROUP BY doc_id ORDER BY doc_id""")
     ),
 
+    // EXACT duplicated-substring cover at gram granularity (round 14,
+    // completing the span family): q141 detects spans from WINNOWED
+    // (sampled, ~2/(W+1) density) fingerprints — guaranteed only for
+    // regions >= K+W-1 = 34 chars, with anchor-granular boundaries.
+    // This verb is the EXACT form (the semantics of Lee et al. 2022's
+    // suffix-array ExactSubstr dedup, 50-token threshold, re-expressed
+    // as the bucketed shuffle a cluster can run): EVERY K-gram position
+    // is hashed, a position is duplicated iff its exact K-char string
+    // occurs a second time anywhere in the corpus (other doc or same
+    // doc), and overlapping duplicated grams merge into maximal
+    // per-doc islands — so every duplicated region >= K = 20 chars is
+    // reported with EXACT character bounds (collisions at the md5-h60
+    // level only). The "suffix-array" global order is replaced by a
+    // hash-bucketed recurrence: candidate generation is ONE groupBy(fp)
+    // aggregate (map-side combinable) + a left-semi probe back — docs
+    // never meet docs, no all-pairs, and a boilerplate gram shared by
+    // a million positions costs one aggregate row. Scale: the full
+    // gram frame is corpus-linear in characters — the exact price;
+    // the winnowed q141 remains the cheap default, this is the
+    // exactness tier (cached once, consumed by both recurrence sides
+    // per the self-join rule).
+    Q(
+      "q189_exact_dup_cover",
+      (s, d) => {
+        val grams = Tables.documents(s, d)
+          .select(col("doc_id"), col("text"), col("n_chars"))
+          .filter(col("n_chars") >= SpanK)
+          .repartition(col("doc_id"))
+          .select(
+            col("doc_id"), col("n_chars"),
+            explode(sequence(lit(1L), col("n_chars") - (SpanK - 1))).as("pos"),
+            col("text"))
+          .select(
+            col("doc_id"), col("n_chars"), col("pos"),
+            TextFns.h60(expr(s"substring(text, pos, $SpanK)")).as("fp"))
+          .cache()
+        val recurring = grams
+          .groupBy(col("fp")).agg(count(lit(1)).as("n"))
+          .filter(col("n") >= 2)
+          .select(col("fp"))
+        islandize(grams.join(recurring, Seq("fp"), "left_semi"))
+          .withColumn("len", col("e") - col("s") + 1)
+          .groupBy(col("doc_id"))
+          .agg(
+            count(lit(1)).as("n_spans"),
+            sum(col("len")).as("dup_chars"),
+            max(col("len")).as("max_span"),
+            max(col("n_chars")).as("nc"))
+          .select(
+            col("doc_id"), col("n_spans"), col("dup_chars"), col("max_span"),
+            expr("dup_chars * 1000000 div nc").as("dup_ppm"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH p AS (
+          SELECT doc_id, n_chars, text,
+                 unnest(generate_series(1, CAST(n_chars - ${SpanK - 1} AS BIGINT))) AS pos
+          FROM documents WHERE n_chars >= $SpanK),
+        anch AS MATERIALIZED (
+          SELECT doc_id, n_chars, pos,
+                 ${T.h60(s"substr(text, CAST(pos AS INT), $SpanK)")} AS fp
+          FROM p),
+        rec AS (SELECT fp FROM anch GROUP BY fp HAVING COUNT(*) >= 2),
+        ${islandsSql("fp IN (SELECT fp FROM rec)")}
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_spans,
+               CAST(SUM(e - s + 1) AS BIGINT) AS dup_chars,
+               CAST(MAX(e - s + 1) AS BIGINT) AS max_span,
+               CAST((CAST(SUM(e - s + 1) AS BIGINT) * 1000000) // MAX(n_chars) AS BIGINT) AS dup_ppm
+        FROM sp GROUP BY doc_id ORDER BY doc_id""")
+    ),
+
     // Duplicated-span REMOVAL — the consumer of q141's cut-list: emit
     // the cleaned corpus with every duplicated span excised
     // (conservative cleaning: both copies go; survivor-keeping is the

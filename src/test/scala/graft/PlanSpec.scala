@@ -21,6 +21,15 @@ class PlanSpec extends SparkSpec {
       s"SQL twin diverged from the DataFrame plan:\nSQL:\n$viaSql\nAPI:\n$viaApi")
   }
 
+  test("exact dup-cover candidates are hash-bucketed, never all-pairs (q189)") {
+    val p = plan("q189_exact_dup_cover")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"exact-cover recurrence must never form doc pairs:\n$p")
+    assert(p.contains("LeftSemi"),
+      s"recurrence probe must be a semi join on the gram hash:\n$p")
+    assert(!p.contains("Expand"), s"no Expand in the exact-cover plan:\n$p")
+  }
+
   test("time/flag filters are pushed to the parquet scan (q02)") {
     val p = plan("q02_filter_project")
     assert(p.contains("PushedFilters: ["), p)

@@ -206,6 +206,49 @@ class TextDedupSpec extends SparkSpec {
       s"same region, same anchors -> same dup_chars; got ${out(1L)._2} vs ${out(2L)._2}")
   }
 
+  test("q189 exact cover: exact char bounds, sub-34-char regions winnowing can miss, intra-doc repeats") {
+    // contexts are engineered so the TRUE maximal duplicated region is
+    // exactly the planted string: the chars adjacent to each planted
+    // copy differ between the copies (a shared space on either side
+    // would honestly extend the duplicated region — the exact verb
+    // would be right to report it)
+    val shared = "alpha bravo charlie delta echo foxtrot golf" // 43 chars
+    val short = "twenty two characters!" // 22 — below q141's 34-char guarantee
+    val motif = "zebra yankee xray walrus!" // 25, planted twice in one doc
+    assert(shared.length == 43 && short.length == 22 && motif.length == 25)
+    val dir = docsDir(Seq(
+      (1L, "the first document opens with its own introduction1" + shared + "2 and then it finishes"),
+      (2L, "meanwhile a rather different preamble comes second3" + shared + "4 closing differently"),
+      (3L, "this text shares no twenty character gram with anything else in the fixture corpus at all, honestly"),
+      (4L, "completely fresh opening words A" + short + "B unique trailing text follows"),
+      (5L, "another disjoint preamble sits C" + short + "D with some other ending"),
+      (6L, "X" + motif + " strictly unique middle padding goes here " + motif + "Y trailing words")))
+    val out = SparkEntry.queries("q189_exact_dup_cover")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(out.keySet == Set(1L, 2L, 4L, 5L, 6L),
+      s"exactly the dup-carrying docs must report: $out")
+    // cross-doc region: one span covering EXACTLY the planted 43 chars
+    Seq(1L, 2L).foreach { id =>
+      val (n, dup, mx, ppm) = out(id)
+      assert(n == 1 && dup == 43L && mx == 43L,
+        s"doc $id must report one exact 43-char span, got $n/$dup/$mx")
+      assert(ppm > 0 && ppm <= 1000000)
+    }
+    // 22-char region: inside the exact verb's K=20 reach (q141's
+    // winnowed guarantee starts at 34) — exact bounds again
+    Seq(4L, 5L).foreach { id =>
+      val (n, dup, mx, _) = out(id)
+      assert(n == 1 && dup == 22L && mx == 22L,
+        s"doc $id must report one exact 22-char span, got $n/$dup/$mx")
+    }
+    // intra-doc repetition: both copies exactly covered, not merged
+    val (n6, dup6, mx6, _) = out(6L)
+    assert(n6 == 2 && dup6 == 50L && mx6 == 25L,
+      s"doc 6 must report two exact 25-char spans, got $n6/$dup6/$mx6")
+  }
+
   test("q141 hard guarantee: a minimum-length (34-char) region is detected under EVERY random surrounding context") {
     // true winnowing's worst-case bound: a duplicated region of
     // K+W-1 = 34 chars contains one full W-gram window, and
