@@ -65,7 +65,14 @@ object GenData {
     // to them. Single files stay splittable (row groups).
     def write(df: DataFrame, t: String): Unit = {
       val tmp = s"$out/_tmp_$t"
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      // cap row groups at 16 MB: a coalesce(1) file is still SPLITTABLE
+      // only at row-group granularity, and the default 128 MB block made
+      // the sf10 documents file ONE row group — every scan stage over it
+      // ran single-core (q186's 600 s DNF). 16 MB keeps single-file
+      // layout but restores scan parallelism.
+      df.coalesce(1).write.mode("overwrite")
+        .option("parquet.block.size", 8L * 1024 * 1024)
+        .parquet(tmp)
       val fs = new org.apache.hadoop.fs.Path(out)
         .getFileSystem(spark.sessionState.newHadoopConf())
       val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))

@@ -674,12 +674,51 @@ object Similarity {
         graft.functions.ArrayDot.register(s)
         val el = elems(s, d).cache()
         val k = math.max(IvfCells, (Tables.embeddings(s, d).count() / 400L).toInt)
+        // seed cells from a vec_id HASH, never from `label`: the label
+        // column has a FIXED small domain (10 values at every SF), so a
+        // label-seeded init collapses the k-cell partition to ≤10
+        // mega-cells whatever k is — Lloyd rounds cannot repopulate an
+        // empty cell, and the within-cell pair join goes quadratic in
+        // corpus size (sf10: 10 cells × C(20k,2) ≈ 2×10⁹ pairs, the
+        // round-14 sweep's 600 s DNF). Hash-seeding keeps all k cells
+        // ~N/k-sized, so pairs stay ~N × 400 — linear in the corpus.
         val lab = Tables.embeddings(s, d)
-          .select(col("vec_id"), (col("label") % k).cast(IntegerType).as("cell"))
-        val c1 = meansOf(el, cellsOf(scoresOf(el, meansOf(el, lab)), 1))
-        val cells = cellsOf(scoresOf(el, c1), 1)
-        val ev = Tables.embeddings(s, d)
+          .select(col("vec_id"),
+            (graft.functions.TextFns.h60(col("vec_id").cast("string")) % k)
+              .cast(IntegerType).as("cell"))
+        // k grows with the corpus (k = n/400), so the assignment rounds
+        // must NOT use the element-exploded scoresOf/cellsOf pair (its
+        // pos-join materializes N×dim×k rows into an N×k-group
+        // aggregate plus an N×k window sort — 1.2×10⁹ rows at sf10,
+        // the second half of the round-14 DNF). Instead: broadcast the
+        // k mean VECTORS (k×dim doubles — 48 KB here, ~5 MB even at
+        // k=50 000) and take the per-vector argmax with the native
+        // codegen'd graft_dot + a map-side-combining max(struct) — no
+        // dim explosion, no window, shuffle = one row per vector. The
+        // oracle keeps its decimal-exact element-join scoring: the two
+        // argmaxes agree unless two cells' true scores sit within
+        // double error (~1e-15) of each other; exact ties break to the
+        // lower cell id on both sides.
+        def argmaxCells(evb: DataFrame, cents: DataFrame): DataFrame = {
+          val cv = cents
+            .groupBy(col("cell"))
+            .agg(collect_list(struct(col("pos"), col("c"))).as("pc"))
+            .select(col("cell"),
+              transform(array_sort(col("pc")), x => x.getField("c")).as("cv"))
+            .withColumn("h", expr("graft_dot(cv, cv)") / 2.0)
+          evb.crossJoin(broadcast(cv))
+            .select(col("vec_id"), col("cell"),
+              (expr("graft_dot(v, cv)") - col("h")).as("score"))
+            .groupBy(col("vec_id"))
+            .agg(max(struct(col("score"), (-col("cell")).as("nc"))).as("best"))
+            .select(col("vec_id"), (-col("best.nc")).cast(IntegerType).as("cell"))
+        }
+        val evb = Tables.embeddings(s, d)
           .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+          .cache()
+        val c1 = meansOf(el, argmaxCells(evb, meansOf(el, lab)))
+        val cells = argmaxCells(evb, c1)
+        val ev = evb
           .withColumn("norm", sqrt(expr("graft_dot(v, v)")))
           .join(cells, "vec_id")
           .cache()
@@ -700,7 +739,8 @@ object Similarity {
         WITH $elemsSql,
         $normsSql,
         kk AS (SELECT GREATEST($IvfCells, COUNT(*) // 400) AS k FROM embeddings),
-        lab AS (SELECT vec_id, CAST(label % (SELECT k FROM kk) AS INT) AS cell
+        lab AS (SELECT vec_id,
+                       CAST(${graft.functions.TextFns.Sql.h60("CAST(vec_id AS VARCHAR)")} % (SELECT k FROM kk) AS INT) AS cell
                 FROM embeddings),
         ${ivfRoundSql(0, "lab")},
         a0 AS (SELECT vec_id, cell FROM (

@@ -463,7 +463,20 @@ object Text {
     // at 100 TB this is the cheapest possible cleaning verb.
     Q(
       "q186_gopher_repetition",
-      (s, d) => gopherRepetition(docs(s, d)).orderBy(col("doc_id")),
+      // repartition BETWEEN scan and tokenize: the per-row HOF
+      // arithmetic is the cost here, and without a shuffle its
+      // parallelism equals the FILE's row-group layout — a one-row-
+      // group corpus file (the sf10 sweep's documents.parquet) ran the
+      // whole pipeline on ONE core (>600 s DNF); with the repartition
+      // the same input finishes in seconds. One corpus-linear shuffle
+      // of raw text buys layout-independent parallelism — the same
+      // trade spanAnchors makes, and the CLAUDE.md scale rule q186's
+      // original "zero shuffles" claim wrongly skipped.
+      (s, d) => gopherRepetition(
+        Tables.documents(s, d)
+          .repartition(col("doc_id"))
+          .withColumn("tok", TextFns.tokens(col("text")))
+      ).orderBy(col("doc_id")),
       Some(s"""
         WITH t AS (SELECT doc_id, ${T.tokens} AS tok FROM documents),
         g AS (SELECT doc_id,
