@@ -617,19 +617,18 @@ object Analytics {
     Q(
       "q71_approx_distinct",
       (s, d) => {
-        // ONE fact scan feeds both certificate arms (round-14 fusion of
-        // the 1.7×-vs-baseline row): the 3-column projection is cached
-        // and each arm aggregates from it — same two single-purpose
-        // aggregates (the q114 recipe), minus the second parquet scan.
-        val base = Tables.lineitem(s, d)
-          .select(col("l_returnflag"), col("l_orderkey"), col("l_partkey"))
-          .cache()
-        val sketchArm = base
+        // two DIRECT scans, deliberately NOT a shared cached projection:
+        // round 14 measured the cache variant at 1.76 s vs 1.37 s here —
+        // materializing 6 M rows costs more than the second 3-column
+        // parquet scan it saves (columnar scans are cheap; caches are
+        // not free). The certificate's floor is the exact 2-distinct
+        // Expand, a cost class re-baselined in BASELINE.md.
+        val sketchArm = Tables.lineitem(s, d)
           .groupBy(col("l_returnflag"))
           .agg(
             approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
             approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
-        val exactArm = base
+        val exactArm = Tables.lineitem(s, d)
           .groupBy(col("l_returnflag"))
           .agg(
             countDistinct(col("l_orderkey")).as("exact_orders"),
