@@ -293,11 +293,14 @@ object Similarity {
     * engines — one IEEE division, one multiplication, one floor, all
     * correctly rounded and engine-identical — and both the code dot
     * (int64) and the rerank (DECIMAL(38,12)) are exact, so the whole
-    * approximate index hash-matches.
+    * approximate index hash-matches. `allowCte`/`allowJoin` thread the
+    * q192 candidate-side metadata filter into the SAME chain (empty for
+    * the unfiltered q139).
     */
-  private val sq8OracleSql: String = s"""
+  private def sq8OracleSqlWhere(allowCte: String, allowJoin: String): String = s"""
         WITH $elemsSql,
         $normsSql,
+        $allowCte
         sc AS (SELECT pos, MAX(ABS(x)) AS scale FROM el GROUP BY pos),
         codes AS (SELECT el.vec_id, el.pos,
                          CAST(CASE WHEN sc.scale = 0 THEN 0
@@ -306,6 +309,7 @@ object Similarity {
         qd AS (SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
                       CAST(SUM(CAST(a.code AS BIGINT) * b.code) AS BIGINT) AS qdot
                FROM codes a JOIN codes b ON a.pos = b.pos AND a.vec_id != b.vec_id
+               $allowJoin
                WHERE a.vec_id < 8
                GROUP BY 1, 2),
         short AS (SELECT query_id, cand_id FROM (
@@ -330,6 +334,19 @@ object Similarity {
         FROM scored
         QUALIFY rnk <= 10
         ORDER BY query_id, rnk"""
+
+  private val sq8OracleSql: String = sq8OracleSqlWhere("", "")
+
+  /** q192's oracle: the identical SQ8 chain with the candidate side
+    * PRE-filtered on metadata (label % 4 = 1) before the int8 scoring —
+    * the shortlist is drawn from the filtered candidates only, so k
+    * results always come back and recall is judged within the filtered
+    * set (post-filtering a fixed unfiltered shortlist — the naive
+    * composition — returns < k rows whenever the filter is selective).
+    */
+  private val filteredAnnOracleSql: String = sq8OracleSqlWhere(
+    "allow AS (SELECT vec_id FROM embeddings WHERE label % 4 = 1),",
+    "JOIN allow al ON b.vec_id = al.vec_id")
 
   /** Exact brute-force cosine top-k (the q51 plan): decimal-exact
     * element-sum dots over the pos-join — the correctness anchor, and
@@ -373,7 +390,23 @@ object Similarity {
   /** SQ8 top-k: int8 code scan + decimal-exact shortlist rerank (the
     * q139 plan).
     */
-  private[graft] def sq8Topk(s: SparkSession, d: String): DataFrame = {
+  private[graft] def sq8Topk(s: SparkSession, d: String): DataFrame =
+    sq8TopkWhere(s, d, None)
+
+  /** [[sq8Topk]] with an optional candidate-side metadata filter (the
+    * q192 plan — "filtered vector search"): `allowed` is a (vec_id)
+    * relation of permitted candidates, applied as a broadcast LEFT-SEMI
+    * join onto the int8 CODE scan BEFORE candidate scoring
+    * (pre-filtering). Order matters for both recall and cost: the
+    * shortlist is drawn from filtered candidates only — so the query
+    * always returns k results and never silently loses true neighbors
+    * the way post-filtering a fixed unfiltered shortlist does — and the
+    * filter discards candidates while they are still 1-byte codes,
+    * before any full-precision work. Queries themselves are never
+    * filtered (a query vector needn't satisfy its own predicate).
+    */
+  private[graft] def sq8TopkWhere(
+      s: SparkSession, d: String, allowed: Option[DataFrame]): DataFrame = {
     val el = elems(s, d).cache()
     val scales = el.groupBy(col("pos")).agg(max(abs(col("x"))).as("scale"))
     val codes = el
@@ -384,9 +417,12 @@ object Similarity {
           .otherwise(floor(col("x") / col("scale") * 127.0 + 0.5).cast(IntegerType))
           .as("code"))
       .cache()
+    // membership = broadcast left-semi join, never a collected isin
+    val cand = allowed.fold(codes)(a =>
+      codes.join(broadcast(a), Seq("vec_id"), "left_semi"))
     val qdots = codes.as("a")
       .filter(col("vec_id") < 8)
-      .join(codes.as("b"),
+      .join(cand.as("b"),
         col("a.pos") === col("b.pos") && col("a.vec_id") =!= col("b.vec_id"))
       .groupBy(col("a.vec_id").as("query_id"), col("b.vec_id").as("cand_id"))
       .agg(sum(col("a.code").cast("long") * col("b.code")).as("qdot"))
@@ -397,6 +433,15 @@ object Similarity {
           Window.partitionBy(col("query_id")).orderBy(col("qdot").desc, col("cand_id"))))
       .filter(col("srn") <= SqShortlist)
       .select(col("query_id"), col("cand_id"))
+    exactRerank(el, shortlist)
+  }
+
+  /** Exact-rerank tail shared by the quantized ANN paths (SQ8 q139,
+    * filtered q192, PQ q191): full-precision decimal dots over the
+    * broadcast (query_id, cand_id) shortlist, 6-dp cosine, top-10 with
+    * the (cos DESC, cand_id) tiebreak — identical contract to q51.
+    */
+  private def exactRerank(el: DataFrame, shortlist: DataFrame): DataFrame = {
     val pairDots = broadcast(shortlist)
       .join(el.as("a"), col("query_id") === col("a.vec_id"))
       .join(el.as("b"), col("cand_id") === col("b.vec_id") && col("a.pos") === col("b.pos"))
@@ -415,6 +460,177 @@ object Similarity {
       .filter(col("rnk") <= 10)
       .orderBy(col("query_id"), col("rnk"))
   }
+
+  /** PQ (product quantization, Jégou et al. 2011) configuration: the
+    * 64-dim corpus splits into [[PqM]] subspaces of [[PqSubDim]] dims;
+    * each subspace learns [[PqK]] codewords by [[PqIters]] deterministic
+    * Lloyd rounds (exact decimal distances, explicit (dist, codeword)
+    * tiebreak — the q76 IVF training discipline applied per subspace),
+    * so a vector compresses to 8 nibbles and the DuckDB oracle replays
+    * TRAINING, ENCODING, and the ADC scan bit-for-bit.
+    */
+  private val PqSubDim = 8
+  private val PqK = 32
+  private val PqIters = 2
+
+  /** Exact-rerank depth for the PQ path — deeper than SQ8's 32 because
+    * 5-bit-per-subspace quantization is lossier than 8-bit-per-dim, and
+    * this synthetic corpus is near-structureless (overlapping blobs —
+    * the same property that bounds q76's IVF recall), so codebooks
+    * carry less signal than they would on real embeddings. Measured
+    * recall@10 vs exact q51 at (K=32, shortlist=96): 0.85 at sf0.001,
+    * 0.90 at sf0.01 (gated ≥0.8 in NativeFnSpec); the swept
+    * alternatives (K=16 short=48 → 0.625, K=32 short=48 → 0.73) sit
+    * below the IVF family's floor.
+    */
+  private val PqShortlist = 96
+
+  /** Element table with the subspace id: m = pos / [[PqSubDim]]. */
+  private def pqElems(s: SparkSession, d: String): DataFrame =
+    elems(s, d).withColumn("m", (col("pos") / PqSubDim).cast(IntegerType))
+
+  /** One deterministic PQ assignment pass: nearest codeword per
+    * (vector, subspace) under exact decimal L2², tiebreak to the lower
+    * codeword id. The codebook (PqM·PqK·PqSubDim = 1024 rows) always
+    * broadcasts; the argmin is a k-bounded window per (vector,
+    * subspace).
+    */
+  private def pqAssign(el: DataFrame, cent: DataFrame): DataFrame =
+    el.join(broadcast(cent), Seq("m", "pos"))
+      .groupBy(col("vec_id"), col("m"), col("c"))
+      .agg(sum(((col("x") - col("cx")) * (col("x") - col("cx"))).cast(Acc)).as("dist"))
+      .withColumn(
+        "rn",
+        row_number().over(
+          Window.partitionBy(col("vec_id"), col("m")).orderBy(col("dist"), col("c"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("m"), col("c"))
+
+  /** PQ top-k (the q191 plan): train per-subspace codebooks (exact
+    * decimal Lloyd from the deterministic vec_id%K init, empty
+    * codewords carried forward), encode every vector as PqM codes, then
+    * answer queries by ADC — per query, the 8×16×8 dot-product table
+    * against the codebook is precomputed ONCE (decimal-exact) and every
+    * candidate's approximate dot is the sum of its PqM table lookups:
+    * 8 joined rows per candidate instead of SQ8's 64 element rows, the
+    * compression that makes billion-vector scans feasible. Shortlist →
+    * full-precision rerank, same contract as q51/q139. At corpus scale
+    * the codes relation is the only per-candidate state (4 bits ×
+    * subspace), the table lookup join broadcasts (dt is queries×128
+    * rows), and training cost amortizes like any standing index.
+    */
+  private[graft] def pqTopk(s: SparkSession, d: String): DataFrame = {
+    val el = pqElems(s, d).cache()
+    var cent = el
+      .groupBy((col("vec_id") % PqK).cast(IntegerType).as("c"), col("m"), col("pos"))
+      .agg((sum(col("x").cast(Acc)).cast("double") / count(lit(1)).cast("double")).as("cx"))
+      .localCheckpoint(true)
+    for (_ <- 1 to PqIters) {
+      val codes = pqAssign(el, cent)
+      val stats = el.join(codes, Seq("vec_id", "m"))
+        .groupBy(col("c"), col("m"), col("pos"))
+        .agg(sum(col("x").cast(Acc)).as("sx"), count(lit(1)).as("n"))
+      cent = cent
+        .join(stats, Seq("c", "m", "pos"), "left")
+        .select(col("c"), col("m"), col("pos"),
+          when(col("n").isNotNull, col("sx").cast("double") / col("n").cast("double"))
+            .otherwise(col("cx")).as("cx"))
+        .localCheckpoint(true)
+    }
+    val codes = pqAssign(el, cent)
+    val dt = el.filter(col("vec_id") < 8)
+      .join(broadcast(cent), Seq("m", "pos"))
+      .groupBy(col("vec_id").as("query_id"), col("m"), col("c"))
+      .agg(sum((col("x") * col("cx")).cast(Acc)).as("adp"))
+    val adc = codes
+      .join(broadcast(dt), Seq("m", "c"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id").as("cand_id"))
+      .agg(sum(col("adp")).as("adc"))
+    val shortlist = adc
+      .withColumn(
+        "srn",
+        row_number().over(
+          Window.partitionBy(col("query_id")).orderBy(col("adc").desc, col("cand_id"))))
+      .filter(col("srn") <= PqShortlist)
+      .select(col("query_id"), col("cand_id"))
+    exactRerank(el, shortlist)
+  }
+
+  /** One PQ Lloyd round in DuckDB: distances → argmin assignment →
+    * per-codeword sums → new codebook with the carry-forward arm. Every
+    * CTE is AS MATERIALIZED — each is referenced by the next round AND
+    * the fallback arm, the DuckDB-1.0 inlining hazard class.
+    */
+  private def pqRoundSql(i: Int): String = s"""pqd$i AS MATERIALIZED (SELECT e.vec_id, e.m, c.c,
+             SUM(CAST((e.x - c.cx)*(e.x - c.cx) AS DECIMAL(38,12))) AS dist
+           FROM elp e JOIN pqc${i - 1} c ON e.m = c.m AND e.pos = c.pos
+           GROUP BY 1, 2, 3),
+        pqa$i AS MATERIALIZED (SELECT vec_id, m, c FROM (
+             SELECT vec_id, m, c,
+                    row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, c) AS rn
+             FROM pqd$i) WHERE rn = 1),
+        pqs$i AS MATERIALIZED (SELECT a.c, e.m, e.pos,
+             SUM(CAST(e.x AS DECIMAL(38,12))) AS sx, COUNT(*) AS n
+           FROM elp e JOIN pqa$i a ON e.vec_id = a.vec_id AND e.m = a.m
+           GROUP BY 1, 2, 3),
+        pqc$i AS MATERIALIZED (SELECT p.c, p.m, p.pos,
+             CASE WHEN s.n IS NOT NULL THEN CAST(s.sx AS DOUBLE) / CAST(s.n AS DOUBLE)
+                  ELSE p.cx END AS cx
+           FROM pqc${i - 1} p LEFT JOIN pqs$i s
+             ON p.c = s.c AND p.m = s.m AND p.pos = s.pos)"""
+
+  /** Oracle mirror of q191: training (init means, [[PqIters]] Lloyd
+    * rounds), encoding, the ADC table + candidate sums, shortlist, and
+    * exact rerank — all in the decimal-exact arithmetic both engines
+    * compute identically.
+    */
+  private val pqOracleSql: String = s"""
+        WITH $elemsSql,
+        $normsSql,
+        elp AS (SELECT vec_id, pos, x, CAST(pos // $PqSubDim AS INT) AS m FROM el),
+        pqc0 AS MATERIALIZED (SELECT CAST(vec_id % $PqK AS INT) AS c, m, pos,
+             CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS cx
+           FROM elp GROUP BY 1, 2, 3),
+        ${pqRoundSql(1)},
+        ${pqRoundSql(2)},
+        pqdF AS MATERIALIZED (SELECT e.vec_id, e.m, c.c,
+             SUM(CAST((e.x - c.cx)*(e.x - c.cx) AS DECIMAL(38,12))) AS dist
+           FROM elp e JOIN pqc$PqIters c ON e.m = c.m AND e.pos = c.pos
+           GROUP BY 1, 2, 3),
+        kcodes AS MATERIALIZED (SELECT vec_id, m, c FROM (
+             SELECT vec_id, m, c,
+                    row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, c) AS rn
+             FROM pqdF) WHERE rn = 1),
+        dt AS (SELECT e.vec_id AS query_id, c.m, c.c,
+                    SUM(CAST(e.x * c.cx AS DECIMAL(38,12))) AS adp
+             FROM elp e JOIN pqc$PqIters c ON e.m = c.m AND e.pos = c.pos
+             WHERE e.vec_id < 8
+             GROUP BY 1, 2, 3),
+        adc AS (SELECT d.query_id, k.vec_id AS cand_id, SUM(d.adp) AS adc
+             FROM kcodes k JOIN dt d ON k.m = d.m AND k.c = d.c
+             WHERE k.vec_id != d.query_id
+             GROUP BY 1, 2),
+        short AS (SELECT query_id, cand_id FROM (
+             SELECT query_id, cand_id,
+                    row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, cand_id) AS srn
+             FROM adc) WHERE srn <= $PqShortlist),
+        pdots AS (SELECT s.query_id, s.cand_id,
+                    CAST(SUM(CAST(a.x*b.x AS DECIMAL(38,12))) AS DOUBLE) AS dot
+             FROM short s
+             JOIN el a ON s.query_id = a.vec_id
+             JOIN el b ON s.cand_id = b.vec_id AND a.pos = b.pos
+             GROUP BY 1, 2),
+        scored AS (SELECT d.query_id, d.cand_id,
+                    ROUND(d.dot / (na.norm * nb.norm), 6) AS cos
+             FROM pdots d
+             JOIN norms na ON d.query_id = na.vec_id
+             JOIN norms nb ON d.cand_id = nb.vec_id)
+        SELECT query_id, cand_id, cos,
+               CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS INT) AS rnk
+        FROM scored
+        QUALIFY rnk <= 10
+        ORDER BY query_id, rnk"""
 
   /** ANN auto-dispatch thresholds (bytes of the embeddings relation,
     * Catalyst plan statistics — no job). Conf-overridable so a
@@ -605,6 +821,33 @@ object Similarity {
     // quantizer. Guard: an all-zero dimension quantizes to code 0, not
     // NaN.
     Q("q139_sq8_topk", (s, d) => sq8Topk(s, d), Some(sq8OracleSql)),
+
+    // Product quantization (q191): the 4-bits-per-subspace tier of the
+    // quantized-ANN family — SQ8 compresses 4× (1 byte/dim), PQ
+    // compresses 32× (PqM codes per vector), which is what a
+    // billion-vector corpus actually ships to its scan tier. Training,
+    // encoding, the ADC table scan, and the exact rerank all replay in
+    // the oracle (decimal distances, explicit tiebreaks), so the whole
+    // learned index is hash-gated like q76's IVF.
+    Q("q191_pq_topk", (s, d) => pqTopk(s, d), Some(pqOracleSql)),
+
+    // Filtered vector search (q192): top-k among candidates passing a
+    // metadata predicate (label % 4 = 1, ~30% of the corpus) — the
+    // hybrid search verb every retrieval stack needs. PRE-filtered: the
+    // predicate lands on the candidate CODE scan via a broadcast
+    // left-semi join before any scoring, so the shortlist is drawn
+    // from eligible candidates only (always k results, no recall
+    // collapse) and ineligible vectors are dropped while still 1-byte
+    // codes. Queries are the same 8 unfiltered probes as q51/q139.
+    Q(
+      "q192_filtered_ann",
+      (s, d) => {
+        val allow = Tables.embeddings(s, d)
+          .filter(col("label") % 4 === 1)
+          .select(col("vec_id"))
+        sq8TopkWhere(s, d, Some(allow))
+      },
+      Some(filteredAnnOracleSql)),
 
     // [[annTopk]]'s dispatch boundary under the hash oracle (the q115
     // pattern applied to ANN): the SAME top-k contract evaluated

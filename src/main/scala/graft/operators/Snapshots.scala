@@ -434,7 +434,28 @@ object Snapshots {
       colName: String,
       lo: Any,
       hi: Any,
+      version: Option[Int] = None): DataFrame =
+    scanBox(spark, tableDir, Seq((colName, lo, hi)), version)
+
+  /** Multi-predicate zone-map scan — [[scanRange]] generalized to a
+    * conjunction of BETWEEN predicates (a "box" in predicate space): a
+    * data file is read only if NO predicate proves it disjoint from the
+    * file's recorded [min, max] on that column. On a single-column
+    * clustered table only that column's predicate prunes; on a
+    * Z-ORDERED table ([[Warehouse.zorderCommit]] — Morton-interleaved
+    * sort keys) EVERY boxed dimension carries per-file locality, so the
+    * predicates prune multiplicatively: the 2-D box that forces a
+    * date-clustered table to read every file of the matching date range
+    * touches O(1) files of the interleaved layout. Semantics are
+    * identical to `read(...).filter(AND of betweens)` — pruning can
+    * only drop files no surviving row lives in.
+    */
+  def scanBox(
+      spark: SparkSession,
+      tableDir: String,
+      preds: Seq[(String, Any, Any)],
       version: Option[Int] = None): DataFrame = {
+    require(preds.nonEmpty, "scanBox needs at least one predicate")
     val table = new Path(tableDir)
     val vs = versions(spark, tableDir)
     require(vs.nonEmpty, s"no committed snapshot under $tableDir")
@@ -442,24 +463,27 @@ object Snapshots {
     require(vs.contains(v), s"version $v not in $vs")
     val lines = readManifest(spark, table, v)
     val schema = schemaOf(lines)
-    val dt = schema.flatMap(_.fields.find(_.name == colName)).map(_.dataType)
     val st = statsOf(lines)
-    def cmp(a: String, b: String): Option[Int] = dt match {
+    def cmp(dt: Option[DataType])(a: String, b: String): Option[Int] = dt match {
       case Some(_: NumericType) =>
         try Some(new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b)))
         catch { case _: NumberFormatException => None }
       case Some(StringType) | Some(DateType) => Some(a.compareTo(b))
       case _ => None
     }
-    val loS = String.valueOf(lo)
-    val hiS = String.valueOf(hi)
-    def keep(rel: String): Boolean = st.get((rel, colName)) match {
-      case None => true // no stats recorded: must read
-      case Some((n, _, _)) if n == 0L => false // all-null: BETWEEN drops it
-      case Some((_, mn, mx)) =>
-        // keep unless provably disjoint: max < lo or min > hi
-        !(mx.flatMap(cmp(_, loS)).exists(_ < 0) ||
-          mn.flatMap(cmp(_, hiS)).exists(_ > 0))
+    def keepOne(rel: String, colName: String, loS: String, hiS: String): Boolean = {
+      val dt = schema.flatMap(_.fields.find(_.name == colName)).map(_.dataType)
+      st.get((rel, colName)) match {
+        case None => true // no stats recorded: must read
+        case Some((n, _, _)) if n == 0L => false // all-null: BETWEEN drops it
+        case Some((_, mn, mx)) =>
+          // keep unless provably disjoint: max < lo or min > hi
+          !(mx.flatMap(cmp(dt)(_, loS)).exists(_ < 0) ||
+            mn.flatMap(cmp(dt)(_, hiS)).exists(_ > 0))
+      }
+    }
+    def keep(rel: String): Boolean = preds.forall { case (c, lo, hi) =>
+      keepOne(rel, c, String.valueOf(lo), String.valueOf(hi))
     }
     val kept = fileLines(lines).filter(keep).map(rel => new Path(table, rel).toString)
     val base =
@@ -470,10 +494,12 @@ object Snapshots {
       else schema match {
         case Some(s0) => spark.createDataFrame(spark.sparkContext.emptyRDD[Row], s0)
         case None => throw new java.io.IOException(
-          s"snapshot scanRange: version $v of $tableDir pruned to zero files " +
+          s"snapshot scanBox: version $v of $tableDir pruned to zero files " +
             "and has no schema header — pin a version with a recorded schema")
       }
-    base.filter(col(colName).between(lit(lo), lit(hi)))
+    preds.foldLeft(base) { case (df, (c, lo, hi)) =>
+      df.filter(col(c).between(lit(lo), lit(hi)))
+    }
   }
 
   /** Expire history — the Iceberg expire-snapshots verb, and the

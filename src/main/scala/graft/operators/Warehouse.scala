@@ -160,6 +160,62 @@ object Warehouse {
     df.repartitionByRange(nFiles, col(clusterCol))
       .sortWithinPartitions(col(clusterCol))
 
+  /** 32-bit Morton code: interleave the low 16 bits of `a` (odd bit
+    * positions) and `b` (even) — a static 32-term bitwise expression
+    * tree, fully inside whole-stage codegen. Rows close in BOTH keys
+    * land close in z, so a range-partition on z gives every file a
+    * small bounding box on every interleaved dimension — the layout
+    * property multi-column zone-map pruning ([[Snapshots.scanBox]])
+    * needs.
+    */
+  private def morton(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (0 until 16).map { i =>
+      shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i + 1)
+        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i))
+    }.reduce(_ bitwiseOR _)
+
+  /** Z-order clustered snapshot commit — the multi-dimensional twin of
+    * [[clusterCommit]] (Delta/Iceberg OPTIMIZE ZORDER): quantize two
+    * numeric sort keys to 16-bit bins against their global min/max
+    * (one broadcast 1-row stats frame — no collect), interleave the
+    * bins into a Morton code, range-partition + sort the rows by it
+    * into `nFiles` files, and commit with per-file min/max stats on
+    * `statsCols`. Layout is a TABLE property, not a result property:
+    * readers see identical rows whatever the file arrangement; the
+    * z-curve only decides which files a 2-D box predicate can skip.
+    * `keyA`/`keyB` are caller-supplied NUMERIC expressions (cast dates
+    * to day numbers etc.) so the binning stays type-uniform.
+    */
+  def zorderCommit(
+      df: org.apache.spark.sql.DataFrame,
+      tableDir: String,
+      keyA: org.apache.spark.sql.Column,
+      keyB: org.apache.spark.sql.Column,
+      nFiles: Int,
+      statsCols: Seq[String]): Int = {
+    val keyed = df
+      .withColumn("__za", keyA.cast("double"))
+      .withColumn("__zb", keyB.cast("double"))
+    val st = keyed.agg(
+      min(col("__za")).as("__alo"), max(col("__za")).as("__ahi"),
+      min(col("__zb")).as("__blo"), max(col("__zb")).as("__bhi"))
+    def bin(v: org.apache.spark.sql.Column,
+        lo: org.apache.spark.sql.Column, hi: org.apache.spark.sql.Column) =
+      when(hi <= lo, lit(0L)).otherwise(
+        least(floor((v - lo) / (hi - lo) * 65536.0), lit(65535.0)).cast("long"))
+    val z = keyed
+      .crossJoin(broadcast(st))
+      .withColumn("__z", morton(
+        bin(col("__za"), col("__alo"), col("__ahi")),
+        bin(col("__zb"), col("__blo"), col("__bhi"))))
+      .drop("__za", "__zb", "__alo", "__ahi", "__blo", "__bhi")
+    val out = z
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+    Snapshots.commit(out, tableDir, replace = true, statsCols = statsCols)
+  }
+
   /** Snapshot-preserving compaction — the Iceberg rewrite-commit
     * semantic: rewrite the LATEST version's rows into
     * `ceil(on_disk_bytes / targetBytes)` evenly-sized files and
@@ -1388,6 +1444,40 @@ object Warehouse {
         WHERE CAST(l_shipdate AS DATE) BETWEEN DATE '1995-02-01' AND DATE '1995-07-31'
           AND l_returnflag = 'R'
         ORDER BY l_orderkey, l_linenumber""")
+    ),
+
+    // Z-ORDER data skipping (round 14): the 2-D box predicate — a date
+    // window AND a part-key range together — served through the
+    // Morton-interleaved fact snapshot via Snapshots.scanBox. On the
+    // q154/q158 date-clustered layout this predicate's part-key half
+    // prunes NOTHING (every file spans all part keys); on the z-ordered
+    // layout both dimensions prune multiplicatively (SnapshotSpec pins
+    // the file counts). Same gate discipline as q154: pruning must
+    // never change an answer, so the result hash-matches the plain
+    // full-scan oracle. The snapshot is a standing table property
+    // (IndexStore + Prebuild), not a per-query cost.
+    Q(
+      "q190_zorder_box_scan",
+      (s, d) => {
+        val dir = zorderFact(s, d)
+        Snapshots
+          .scanBox(s, dir, Seq(
+            ("ship_date",
+              java.sql.Date.valueOf("1995-03-01"), java.sql.Date.valueOf("1995-08-31")),
+            ("l_partkey", Long.box(1L), Long.box(400L))))
+          .groupBy(col("l_partkey"))
+          .agg(
+            count(lit(1)).as("n_rows"),
+            Det.dsum(col("l_quantity")).as("sum_qty"))
+          .orderBy(col("l_partkey"))
+      },
+      Some("""
+        SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        WHERE CAST(l_shipdate AS DATE) BETWEEN DATE '1995-03-01' AND DATE '1995-08-31'
+          AND l_partkey BETWEEN 1 AND 400
+        GROUP BY 1 ORDER BY 1""")
     )
   )
 
@@ -1446,5 +1536,31 @@ object Warehouse {
               col("l_returnflag"), to_date(col("l_shipdate")).as("ship_date"))
           Map("fact" -> clusterCommit(fact, dirOf("fact"), "ship_date", 16,
             statsCols = Seq("ship_date")))
+      }("fact"))
+
+  private val zorderSnapCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The (ship_date, l_partkey) Z-ORDERED fact snapshot behind q190 —
+    * the multi-dimensional clustering twin of [[shipDateClusteredFact]]
+    * (same IndexStore lifecycle: built once per dataset, published
+    * cross-JVM, reused by every later session). 16 files range-
+    * partitioned on the Morton interleave of the two keys, per-file
+    * min/max stats on BOTH columns, so a 2-D box predicate prunes on
+    * each dimension — the date-clustered layout can only prune dates.
+    * Registered in [[graft.Prebuild]] (ETL-tier cost, untimed).
+    */
+  private[graft] def zorderFact(
+      s: org.apache.spark.sql.SparkSession, d: String): String =
+    zorderSnapCache.computeIfAbsent(d, _ =>
+      graft.IndexStore.resolve(s, "zorder_fact", 1, d, Seq("lineitem.parquet")) {
+        dirOf =>
+          val fact = Tables.lineitem(s, d)
+            .select(
+              col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+              col("l_quantity"), to_date(col("l_shipdate")).as("ship_date"))
+          Map("fact" -> zorderCommit(fact, dirOf("fact"),
+            datediff(col("ship_date"), lit("1970-01-01")), col("l_partkey"),
+            nFiles = 16, statsCols = Seq("ship_date", "l_partkey")))
       }("fact"))
 }

@@ -87,6 +87,58 @@ class NativeFnSpec extends SparkSpec {
     assert(recall >= 0.95, s"SQ8 recall@10 degraded to $recall")
   }
 
+  test("PQ top-k: dense per-query contract, no self-matches, recall holds") {
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "cand_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(SparkEntry.queries("q51_cosine_topk")(spark, sf("sf0.001")))
+    val pq = SparkEntry.queries("q191_pq_topk")(spark, sf("sf0.001"))
+    val rows = pq.collect()
+    assert(rows.length == 80, s"8 queries x top-10, got ${rows.length}")
+    assert(rows.groupBy(_.getLong(0)).forall { case (_, rs) =>
+      rs.map(_.getInt(3)).sorted.toSeq == (1 to 10)
+    }, "ranks must be dense 1..10 per query")
+    assert(rows.forall(r => r.getLong(0) != r.getLong(1)), "a query matched itself")
+    val recall = pairs(pq).intersect(exact).size.toDouble / exact.size
+    // K=32 codewords x 8 subspaces, 96-deep rerank: measured 0.85 here,
+    // 0.90 at sf0.01 — the same structureless-corpus ceiling that bounds
+    // the IVF test above, so the floor matches IVF's
+    assert(recall >= 0.8, s"PQ recall@10 degraded to $recall")
+  }
+
+  test("filtered ANN: every hit satisfies the predicate; recall within the filtered set holds") {
+    ArrayDot.register(spark)
+    val d = sf("sf0.001")
+    val fa = SparkEntry.queries("q192_filtered_ann")(spark, d)
+    val rows = fa.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.length == 80, "pre-filtering must still return k results per query")
+    val allowed = Tables.embeddings(spark, d)
+      .filter(col("label") % 4 === 1)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(rows.forall(r => allowed(r._2)), "a hit escaped the metadata filter")
+    // exact filtered ground truth via the codegen kernel (the q64 shape
+    // with the same predicate on the candidate side)
+    val e = Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", sqrt(expr("graft_dot(v, v)")))
+    val q = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qn"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("cand_id"))
+    val exact = e.filter(col("label") % 4 === 1)
+      .join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("cand_id"),
+        round(expr("graft_dot(v, qv)") / (col("norm") * col("qn")), 6).as("cos"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 10)
+      .select("query_id", "cand_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = rows.toSet.intersect(exact).size.toDouble / exact.size
+    // measured 1.0 at sf0.001 AND sf0.01: the 32-deep shortlist drawn
+    // from the ~30% filtered candidate set blankets the true top-10
+    assert(recall >= 0.95, s"filtered-ANN recall@10 degraded to $recall")
+  }
+
   test("persisted IVF index serves the same answers; pinned versions survive a rebuild") {
     import graft.operators.Similarity
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf").resolve("idx").toString

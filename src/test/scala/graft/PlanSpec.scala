@@ -385,6 +385,25 @@ class PlanSpec extends SparkSpec {
       s"no candidate stage may be a nested loop:\n$p")
   }
 
+  test("PQ candidate stage is a broadcast table-lookup join, never a nested loop (q191)") {
+    // ADC's whole point: the per-query dot tables (queries × PqM×PqK
+    // rows) and the codebook broadcast; candidates meet them through
+    // (m, c) / (m, pos) hash joins — no stage may degenerate to a
+    // cartesian/nested-loop shape, and the codes relation is the only
+    // corpus-sized input to the scoring join
+    val p = plan("q191_pq_topk")
+    assert(p.contains("BroadcastHashJoin"), s"codebook/ADC tables must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"no PQ stage may be a nested loop:\n$p")
+  }
+
+  test("filtered ANN pre-filters via a broadcast semi-join on the code scan (q192)") {
+    val p = plan("q192_filtered_ann")
+    assert(p.contains("LeftSemi"), s"the metadata filter must be a semi-join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"no candidate stage may be a nested loop:\n$p")
+  }
+
   test("CMS cell build is bounded-state: no Expand, broadcast estimate join, 3 exchanges (q132)") {
     // the sketch's whole point is state bounded at depth×width whatever
     // the key cardinality: the depth explode must stay map-side (no

@@ -462,6 +462,74 @@ class SnapshotSpec extends SparkSpec {
     assert(got == (60 to 65))
   }
 
+  test("scanBox: predicates prune independently; a stats-less column never prunes; results unchanged") {
+    val dir = newTable()
+    val df = (1 to 1000).toDF("k")
+      .withColumn("j", $"k" % 7)
+      .withColumn("payload", $"k" * 2)
+      .repartitionByRange(4, $"k").sortWithinPartitions("k")
+    // stats on k only: the j predicate must fall back to read-everything
+    Snapshots.commit(df, dir, statsCols = Seq("k"))
+    val box = Snapshots.scanBox(spark, dir, Seq(("k", 10, 20), ("j", 0, 2)))
+    assert(box.inputFiles.length == 1,
+      s"the k half of the box must still prune to 1 of 4 files, got ${box.inputFiles.length}")
+    val expected = Snapshots.read(spark, dir)
+      .filter($"k".between(10, 20) && $"j".between(0, 2))
+      .collect().map(_.getInt(0)).sorted.toSeq
+    assert(box.collect().map(_.getInt(0)).sorted.toSeq == expected,
+      "scanBox must equal the residual conjunction filter")
+    // any provably-disjoint predicate empties the scan before tasks launch
+    val none = Snapshots.scanBox(spark, dir, Seq(("k", 5000, 6000), ("j", 0, 2)))
+    assert(none.inputFiles.isEmpty && none.count() == 0)
+  }
+
+  test("z-order: the interleaved layout prunes the secondary dimension; 1-D clustering cannot") {
+    val d = "/root/testdata/sf0.001"
+    val fact = Tables.lineitem(spark, d).select(
+      col("l_orderkey"), col("l_partkey"), col("l_quantity"),
+      to_date(col("l_shipdate")).as("ship_date"))
+    // the 1-D twin records part-key stats too — recording stats is not
+    // enough, the LAYOUT must localize the key for them to prune
+    val oneD = newTable()
+    operators.Warehouse.clusterCommit(fact, oneD, "ship_date", 16,
+      statsCols = Seq("ship_date", "l_partkey"))
+    val zd = newTable()
+    operators.Warehouse.zorderCommit(fact, zd,
+      datediff(col("ship_date"), lit("1970-01-01")), col("l_partkey"),
+      nFiles = 16, statsCols = Seq("ship_date", "l_partkey"))
+    val partPred = ("l_partkey", Long.box(1L), Long.box(50L))
+    val wideDate = ("ship_date",
+      java.sql.Date.valueOf("1990-01-01"), java.sql.Date.valueOf("2000-12-31"))
+    val midDate = ("ship_date",
+      java.sql.Date.valueOf("1995-01-01"), java.sql.Date.valueOf("1996-12-31"))
+    // part-key-only box (date unbounded): every date-clustered file
+    // spans ~the whole part-key domain, so it reads ~everything
+    // (observed 15 of 16 — one boundary file pruned by luck); the
+    // z-layout localizes the key into the b-quadrant's cells (observed
+    // 8 of 16 — each of the 4 a-quadrant segments straddles a file
+    // boundary; the ratio sharpens as file count grows)
+    val oneDPart = Snapshots.scanBox(spark, oneD, Seq(wideDate, partPred))
+    val zPart = Snapshots.scanBox(spark, zd, Seq(wideDate, partPred))
+    assert(oneDPart.inputFiles.length >= 12,
+      s"1-D date clustering shouldn't localize part keys, scanned ${oneDPart.inputFiles.length}")
+    assert(zPart.inputFiles.length <= 10,
+      s"z-order must localize the part-key quadrant, scanned ${zPart.inputFiles.length} of 16")
+    // the full 2-D box prunes on both dimensions (observed 4 of 16)
+    val zBox = Snapshots.scanBox(spark, zd, Seq(midDate, partPred))
+    assert(zBox.inputFiles.length <= 6,
+      s"2-D box on the z-layout: scanned ${zBox.inputFiles.length} of 16")
+    // layout is a table property: both scans equal the plain filter
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Double)] = df
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq.sorted
+    val plain = canon(fact.filter(
+      col("ship_date").between(lit(java.sql.Date.valueOf("1995-01-01")),
+        lit(java.sql.Date.valueOf("1996-12-31"))) &&
+        col("l_partkey").between(1L, 50L)))
+    assert(canon(zBox) == plain, "z-order pruning must never change an answer")
+    assert(canon(Snapshots.scanBox(spark, oneD, Seq(midDate, partPred))) == plain)
+  }
+
   test("q154's clustered fact layout prunes a 3-month range to a strict file subset") {
     val dir = newTable()
     val fact = Tables.lineitem(spark, "/root/testdata/sf0.001")
