@@ -192,7 +192,36 @@ object Warehouse {
       keyA: org.apache.spark.sql.Column,
       keyB: org.apache.spark.sql.Column,
       nFiles: Int,
-      statsCols: Seq[String]): Int = {
+      statsCols: Seq[String]): Int =
+    zorderWrite(df, tableDir, keyA, keyB, nFiles, statsCols, replace = true)
+
+  /** Append a DELTA to a z-ordered table without touching shipped
+    * files — the incremental half of the z-order lifecycle. The delta
+    * is z-clustered AMONG ITSELF (bins against its own min/max: z only
+    * decides file layout within this commit; zone-map stats are raw
+    * column values, so pruning composes across commits at file
+    * granularity regardless of which commit wrote a file). Standing
+    * files keep their stats; a box predicate prunes standing and delta
+    * files alike. Periodic full recluster = [[zorderCommit]]
+    * (replace), the Iceberg OPTIMIZE cadence.
+    */
+  def zorderAppend(
+      df: org.apache.spark.sql.DataFrame,
+      tableDir: String,
+      keyA: org.apache.spark.sql.Column,
+      keyB: org.apache.spark.sql.Column,
+      nFiles: Int,
+      statsCols: Seq[String]): Int =
+    zorderWrite(df, tableDir, keyA, keyB, nFiles, statsCols, replace = false)
+
+  private def zorderWrite(
+      df: org.apache.spark.sql.DataFrame,
+      tableDir: String,
+      keyA: org.apache.spark.sql.Column,
+      keyB: org.apache.spark.sql.Column,
+      nFiles: Int,
+      statsCols: Seq[String],
+      replace: Boolean): Int = {
     val keyed = df
       .withColumn("__za", keyA.cast("double"))
       .withColumn("__zb", keyB.cast("double"))
@@ -213,7 +242,7 @@ object Warehouse {
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")
-    Snapshots.commit(out, tableDir, replace = true, statsCols = statsCols)
+    Snapshots.commit(out, tableDir, replace = replace, statsCols = statsCols)
   }
 
   /** Snapshot-preserving compaction — the Iceberg rewrite-commit
@@ -1478,6 +1507,39 @@ object Warehouse {
         WHERE CAST(l_shipdate AS DATE) BETWEEN DATE '1995-03-01' AND DATE '1995-08-31'
           AND l_partkey BETWEEN 1 AND 400
         GROUP BY 1 ORDER BY 1""")
+    ),
+
+    // The z-order LIFECYCLE under the gate (round 14): q190 proves the
+    // clustered layout; q193 proves the layout SURVIVES APPEND-ONLY
+    // MAINTENANCE — the standing era is z-clustered once, later data
+    // arrives as its own z-appended delta files (shipped files
+    // untouched), and a box predicate SPANNING the commit boundary
+    // prunes standing and delta files alike at file granularity. The
+    // answer must hash-match the plain full-scan oracle: append-time
+    // clustering never changes a result, only which files a reader can
+    // skip. SnapshotSpec pins the per-era file counts.
+    Q(
+      "q193_zorder_append_scan",
+      (s, d) => {
+        val dir = zorderLifecycleFact(s, d)
+        Snapshots
+          .scanBox(s, dir, Seq(
+            ("ship_date",
+              java.sql.Date.valueOf("1996-07-01"), java.sql.Date.valueOf("1997-06-30")),
+            ("l_partkey", Long.box(1L), Long.box(400L))))
+          .groupBy(col("l_partkey"))
+          .agg(
+            count(lit(1)).as("n_rows"),
+            Det.dsum(col("l_quantity")).as("sum_qty"))
+          .orderBy(col("l_partkey"))
+      },
+      Some("""
+        SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        WHERE CAST(l_shipdate AS DATE) BETWEEN DATE '1996-07-01' AND DATE '1997-06-30'
+          AND l_partkey BETWEEN 1 AND 400
+        GROUP BY 1 ORDER BY 1""")
     )
   )
 
@@ -1562,5 +1624,35 @@ object Warehouse {
           Map("fact" -> zorderCommit(fact, dirOf("fact"),
             datediff(col("ship_date"), lit("1970-01-01")), col("l_partkey"),
             nFiles = 16, statsCols = Seq("ship_date", "l_partkey")))
+      }("fact"))
+
+  private val zorderLifecycleCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The z-order LIFECYCLE table behind q193 — two committed versions:
+    * v1 z-clusters the standing era (ship year ≤ 1996, 12 files), v2
+    * z-APPENDS the later years as their own 4 delta files
+    * ([[zorderAppend]] — shipped files untouched, the immutability
+    * contract of an export the q183 shard appender also honors).
+    * Readers of the latest version see one table whose box predicates
+    * prune standing and delta files alike.
+    */
+  private[graft] def zorderLifecycleFact(
+      s: org.apache.spark.sql.SparkSession, d: String): String =
+    zorderLifecycleCache.computeIfAbsent(d, _ =>
+      graft.IndexStore.resolve(s, "zorder_lifecycle", 1, d, Seq("lineitem.parquet")) {
+        dirOf =>
+          val fact = Tables.lineitem(s, d)
+            .select(
+              col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+              col("l_quantity"), to_date(col("l_shipdate")).as("ship_date"))
+          val zkeys = (datediff(col("ship_date"), lit("1970-01-01")), col("l_partkey"))
+          val dir = dirOf("fact")
+          zorderCommit(fact.filter(year(col("ship_date")) <= 1996),
+            dir, zkeys._1, zkeys._2,
+            nFiles = 12, statsCols = Seq("ship_date", "l_partkey"))
+          Map("fact" -> zorderAppend(fact.filter(year(col("ship_date")) >= 1997),
+            dir, zkeys._1, zkeys._2,
+            nFiles = 4, statsCols = Seq("ship_date", "l_partkey")))
       }("fact"))
 }

@@ -530,6 +530,32 @@ class SnapshotSpec extends SparkSpec {
     assert(canon(Snapshots.scanBox(spark, oneD, Seq(midDate, partPred))) == plain)
   }
 
+  test("z-order append lifecycle: era-disjoint boxes read only their era's files; history intact") {
+    val d = "/root/testdata/sf0.001"
+    val dir = operators.Warehouse.zorderLifecycleFact(spark, d)
+    assert(operators.Warehouse.zorderLifecycleFact(spark, d) == dir,
+      "the lifecycle snapshot must be memoized per dataset")
+    val total = Snapshots.files(spark, dir).size
+    assert(total >= 13 && total <= 16, s"12 standing + 4 appended files, got $total")
+    // a delta-era box prunes EVERY standing file (their ship_date max
+    // ends at 1996) — pruning composes across commits
+    val delta = Snapshots.scanBox(spark, dir, Seq(("ship_date",
+      java.sql.Date.valueOf("1997-01-01"), java.sql.Date.valueOf("1998-12-31"))))
+    assert(delta.inputFiles.length <= 4,
+      s"a delta-era box must read only appended files: ${delta.inputFiles.length}")
+    assert(delta.count() > 0)
+    // a standing-era box prunes every delta file and still localizes
+    // the date inside the standing z-layout
+    val standing = Snapshots.scanBox(spark, dir, Seq(("ship_date",
+      java.sql.Date.valueOf("1995-01-01"), java.sql.Date.valueOf("1995-12-31"))))
+    assert(standing.inputFiles.length <= 8,
+      s"a standing-era box reads a strict standing subset: ${standing.inputFiles.length}")
+    // the append never rewrote shipped data: v1 is still the standing era
+    val v1Max = Snapshots.read(spark, dir, Some(1))
+      .agg(max(col("ship_date"))).head().getDate(0).toString
+    assert(v1Max <= "1996-12-31", s"v1 must predate the delta, max ship_date $v1Max")
+  }
+
   test("q154's clustered fact layout prunes a 3-month range to a strict file subset") {
     val dir = newTable()
     val fact = Tables.lineitem(spark, "/root/testdata/sf0.001")
