@@ -29,6 +29,7 @@ object Prebuild {
     "clustered_fact" -> ((s, d) => { operators.Warehouse.shipDateClusteredFact(s, d); () }),
     "zorder_fact" -> ((s, d) => { operators.Warehouse.zorderFact(s, d); () }),
     "zorder_lifecycle" -> ((s, d) => { operators.Warehouse.zorderLifecycleFact(s, d); () }),
+    "cdf_lifecycle" -> ((s, d) => { operators.Warehouse.cdfLifecycle(s, d); () }),
     "basket_index" -> ((s, d) => { operators.Analytics.basketIndex(s, d); () }),
     "mix_index" -> ((s, d) => { operators.Text.mixIndex(s, d); () }),
     "bpe_rules" -> ((s, d) => { operators.Text.bpeRulesIndex(s, d); () }),

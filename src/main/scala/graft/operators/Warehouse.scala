@@ -1540,6 +1540,57 @@ object Warehouse {
         WHERE CAST(l_shipdate AS DATE) BETWEEN DATE '1996-07-01' AND DATE '1997-06-30'
           AND l_partkey BETWEEN 1 AND 400
         GROUP BY 1 ORDER BY 1""")
+    ),
+
+    // Change-data-feed (round 14): Snapshots.diff over the 4-version
+    // cdfLifecycle — inserts (the appended 10%), deletes (the
+    // copy-on-write key delete), updates (the merged price doubling),
+    // unchanged keys dropped. The oracle recomputes both endpoint
+    // versions' CONTENT from the base table with the same md5-bucket
+    // predicates and replays the keyed full-outer diff, so the gate
+    // covers the whole mutation chain: commit, delete, merge, append,
+    // and the diff verb itself.
+    Q(
+      "q194_snapshot_diff",
+      (s, d) => {
+        val dir = cdfLifecycle(s, d)
+        Snapshots
+          .diff(s, dir, 1, Snapshots.versions(s, dir).last, Seq("o_orderkey"))
+          .select(
+            col("o_orderkey"), col("change_type"),
+            col("old_o_totalprice").as("old_price"),
+            col("new_o_totalprice").as("new_price"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some {
+        val h = graft.functions.TextFns.Sql.h60("CAST(o_orderkey AS VARCHAR)")
+        s"""
+        WITH b AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                          CAST($h % 100 AS INT) AS bucket
+                   FROM orders),
+        v1 AS (SELECT * FROM b WHERE bucket < 90),
+        vN AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+                      CASE WHEN bucket % 15 = 2 THEN o_totalprice * 2
+                           ELSE o_totalprice END AS o_totalprice,
+                      bucket
+               FROM b WHERE bucket < 90 AND bucket % 15 != 7
+               UNION ALL
+               SELECT * FROM b WHERE bucket >= 90),
+        d AS (SELECT COALESCE(f.o_orderkey, t.o_orderkey) AS o_orderkey,
+                     CASE WHEN f.o_orderkey IS NULL THEN 'insert'
+                          WHEN t.o_orderkey IS NULL THEN 'delete'
+                          WHEN f.o_custkey      IS DISTINCT FROM t.o_custkey
+                            OR f.o_orderstatus  IS DISTINCT FROM t.o_orderstatus
+                            OR f.o_totalprice   IS DISTINCT FROM t.o_totalprice
+                            OR f.bucket         IS DISTINCT FROM t.bucket
+                            THEN 'update' END AS change_type,
+                     f.o_totalprice AS old_price,
+                     t.o_totalprice AS new_price
+              FROM v1 f FULL OUTER JOIN vN t ON f.o_orderkey = t.o_orderkey)
+        SELECT o_orderkey, change_type, old_price, new_price
+        FROM d WHERE change_type IS NOT NULL
+        ORDER BY o_orderkey"""
+      }
     )
   )
 
@@ -1625,6 +1676,47 @@ object Warehouse {
             datediff(col("ship_date"), lit("1970-01-01")), col("l_partkey"),
             nFiles = 16, statsCols = Seq("ship_date", "l_partkey")))
       }("fact"))
+
+  private val cdfLifecycleCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The 4-version snapshot behind q194 — a deterministic mutation
+    * history over orders, every step keyed off the md5 bucket
+    * (h60(o_orderkey) % 100, the q177/q180 salted-toss discipline) so
+    * the DuckDB oracle can recompute both endpoint versions' CONTENT
+    * from the base table:
+    *   v1 replace: the standing 90% (bucket < 90);
+    *   v2 delete:  bucket % 15 = 7 (copy-on-write key delete);
+    *   v3 merge:   bucket % 15 = 2 rows get o_totalprice doubled
+    *               (copy-on-write keyed update);
+    *   v4 append:  the late-arriving 10% (bucket ≥ 90).
+    * [[Snapshots.diff]](v1 → v4) must report exactly those three change
+    * sets — any torn rewrite, lost row, or phantom file in ANY of the
+    * four commit paths surfaces as a diff row the oracle doesn't have.
+    */
+  private[graft] def cdfLifecycle(
+      s: org.apache.spark.sql.SparkSession, d: String): String =
+    cdfLifecycleCache.computeIfAbsent(d, _ =>
+      graft.IndexStore.resolve(s, "cdf_lifecycle", 1, d, Seq("orders.parquet")) {
+        dirOf =>
+          val b = (graft.functions.TextFns.h60(col("o_orderkey").cast("string")) % 100)
+            .cast(IntegerType)
+          val base = Tables.orders(s, d)
+            .select(
+              col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+              col("o_totalprice"), b.as("bucket"))
+          val standing = base.filter(col("bucket") < 90)
+          val dir = dirOf("t")
+          Snapshots.commit(standing, dir, replace = true)
+          Snapshots.delete(
+            standing.filter(col("bucket") % 15 === 7).select(col("o_orderkey")),
+            dir, Seq("o_orderkey"))
+          Snapshots.merge(
+            standing.filter(col("bucket") % 15 === 2)
+              .withColumn("o_totalprice", col("o_totalprice") * 2),
+            dir, Seq("o_orderkey"))
+          Map("t" -> Snapshots.commit(base.filter(col("bucket") >= 90), dir))
+      }("t"))
 
   private val zorderLifecycleCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()

@@ -530,6 +530,26 @@ class SnapshotSpec extends SparkSpec {
     assert(canon(Snapshots.scanBox(spark, oneD, Seq(midDate, partPred))) == plain)
   }
 
+  test("diff: keyed CDF reports insert/delete/update, drops unchanged keys, null-safe compare") {
+    val dir = newTable()
+    Snapshots.commit(
+      Seq((1L, Option("a")), (2L, Option("b")), (3L, Option.empty[String]), (4L, Option("d")))
+        .toDF("id", "v"), dir)
+    Snapshots.commit(
+      Seq((2L, Option("B")), (3L, Option.empty[String]), (4L, Option("d")), (5L, Option("e")))
+        .toDF("id", "v"), dir, replace = true)
+    val rows = Snapshots.diff(spark, dir, 1, 2, Seq("id")).collect()
+    val byId = rows.map(r => r.getLong(r.fieldIndex("id")) ->
+      r.getString(r.fieldIndex("change_type"))).toMap
+    // 3 (null <=> null) and 4 (equal) are unchanged — dropped
+    assert(byId == Map(1L -> "delete", 2L -> "update", 5L -> "insert"), s"got $byId")
+    val upd = rows.find(_.getLong(0) == 2L).get
+    assert(upd.getString(upd.fieldIndex("old_v")) == "b")
+    assert(upd.getString(upd.fieldIndex("new_v")) == "B")
+    val ins = rows.find(_.getLong(0) == 5L).get
+    assert(ins.isNullAt(ins.fieldIndex("old_v")) && ins.getString(ins.fieldIndex("new_v")) == "e")
+  }
+
   test("z-order append lifecycle: era-disjoint boxes read only their era's files; history intact") {
     val d = "/root/testdata/sf0.001"
     val dir = operators.Warehouse.zorderLifecycleFact(spark, d)
