@@ -831,6 +831,42 @@ object Similarity {
     // learned index is hash-gated like q76's IVF.
     Q("q191_pq_topk", (s, d) => pqTopk(s, d), Some(pqOracleSql)),
 
+    // PQ quality CERTIFICATE (q195 — the q57/q71/q114 discipline
+    // applied to the quantized-ANN tier): recall@10 of the PQ path
+    // against the exact brute-force arm, both recomputed inside the
+    // query AND replayed by the oracle, with the bound as a hashed
+    // boolean — if PQ recall ever drops below 0.70 (the floor across
+    // all gated SFs: measured 0.85/0.90/0.74 at sf0.001/0.01/0.1) the
+    // hash gate itself fails, not just a spec. recall_micro is the
+    // exact integer micro-rational (hits·1e6 div pairs), so the
+    // certificate can never flip between engines.
+    Q(
+      "q195_pq_certificate",
+      (s, d) => {
+        val pq = pqTopk(s, d).select(col("query_id"), col("cand_id"))
+        val ex = bruteTopk(s, d)
+          .select(col("query_id").as("eq"), col("cand_id").as("ec"))
+        pq.join(ex,
+            col("query_id") === col("eq") && col("cand_id") === col("ec"), "left")
+          .agg(
+            count(lit(1)).as("n_pairs"),
+            sum(when(col("eq").isNotNull, 1L).otherwise(0L)).as("n_hits"))
+          .select(
+            col("n_pairs"), col("n_hits"),
+            expr("CAST(n_hits * 1000000 DIV n_pairs AS BIGINT)").as("recall_micro"))
+          .withColumn("bound_ok", col("recall_micro") >= 700000L)
+      },
+      Some(s"""
+        SELECT n_pairs, n_hits,
+               CAST(n_hits * 1000000 // n_pairs AS BIGINT) AS recall_micro,
+               CAST(n_hits * 1000000 // n_pairs AS BIGINT) >= 700000 AS bound_ok
+        FROM (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                 CAST(SUM(CASE WHEN e.query_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+          FROM ($pqOracleSql) p
+          LEFT JOIN ($topkOracleSql) e
+            ON p.query_id = e.query_id AND p.cand_id = e.cand_id)""")),
+
     // Filtered vector search (q192): top-k among candidates passing a
     // metadata predicate (label % 4 = 1, ~30% of the corpus) — the
     // hybrid search verb every retrieval stack needs. PRE-filtered: the
