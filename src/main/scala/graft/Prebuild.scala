@@ -30,6 +30,7 @@ object Prebuild {
     "zorder_fact" -> ((s, d) => { operators.Warehouse.zorderFact(s, d); () }),
     "zorder_lifecycle" -> ((s, d) => { operators.Warehouse.zorderLifecycleFact(s, d); () }),
     "cdf_lifecycle" -> ((s, d) => { operators.Warehouse.cdfLifecycle(s, d); () }),
+    "pq_index" -> ((s, d) => { operators.Similarity.pqIndex(s, d); () }),
     "basket_index" -> ((s, d) => { operators.Analytics.basketIndex(s, d); () }),
     "mix_index" -> ((s, d) => { operators.Text.mixIndex(s, d); () }),
     "bpe_rules" -> ((s, d) => { operators.Text.bpeRulesIndex(s, d); () }),

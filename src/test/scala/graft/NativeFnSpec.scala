@@ -106,6 +106,26 @@ class NativeFnSpec extends SparkSpec {
     assert(recall >= 0.8, s"PQ recall@10 degraded to $recall")
   }
 
+  test("PQ serve: the pinned index answers exactly like an inline recompute; the delta is real") {
+    val d = sf("sf0.001")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    val served = rows(SparkEntry.queries("q196_pq_serve")(spark, d))
+    // inline twin: fresh standing-bucket training + frozen-codebook
+    // encode of everyone — the staleness net (a stale/torn published
+    // codebook or codes part cannot match a fresh recompute)
+    val el = Similarity.pqElems(spark, d).cache()
+    val cent = Similarity.pqTrain(el.filter(Similarity.pqStanding))
+    val inline = rows(Similarity.pqAdcTopk(el, cent, Similarity.pqAssign(el, cent)))
+    assert(served == inline, "served PQ index diverged from the inline recompute")
+    // the delivery split is non-degenerate: both buckets populated
+    val nDelta = Tables.embeddings(spark, d)
+      .filter(!Similarity.pqStanding).count()
+    assert(nDelta > 0 && nDelta < 500, s"delta bucket degenerate: $nDelta of 500")
+    // index memoized per dataset
+    assert(Similarity.pqIndex(spark, d) == Similarity.pqIndex(spark, d))
+  }
+
   test("filtered ANN: every hit satisfies the predicate; recall within the filtered set holds") {
     ArrayDot.register(spark)
     val d = sf("sf0.001")
