@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver greps Bench's final compact JSON line out of sbt's stdout
+// tail; sbt's default LoggedOutput strategy decorates every forked
+// line with "[info] "/"[error] " and the record fails to parse
+// (BENCH_r14 `parsed: null`). StdoutOutput hands the forked JVM sbt's
+// own stdout/stderr — output passes through undecorated.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Second live RDBMS for the JDBC catalog specs: the DuckDB JDBC driver
 // (same engine + version as the correctness oracle) already sits in the
 // image's local artifact cache. Discovered by glob — NOT a

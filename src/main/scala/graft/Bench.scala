@@ -176,6 +176,23 @@ object Bench {
     f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":${jstr(sfDir)},"n_queries":${done.size},"n_dnf":${dnf.size},"n_err":${errs.size},"n_flaky":${flaky.size},"n_skipped":${skipped.size},"queries_slowest":${kept.size},"queries":$qs,"full_record":${jstr(OutFile.toString)}}"""
   }
 
+  /** Emit the compact line straight to file descriptor 1, NOT through
+    * `System.out`. When the driver runs the suite under sbt in-process,
+    * sbt redirects `System.out` through its logger and every println
+    * arrives "[info] "-prefixed — the otherwise-valid JSON line fails
+    * to parse (BENCH_r14 `parsed: null`). A raw write to
+    * [[java.io.FileDescriptor.out]] bypasses any `System.setOut`
+    * redirection; in fork mode build.sbt's `StdoutOutput` strategy
+    * keeps the pipe undecorated. A leading newline guards against a
+    * prior partial line on the shared descriptor. The stream is
+    * flushed but never closed (closing would close fd 1).
+    */
+  private def emitCompact(line: String): Unit = {
+    val fd1 = new java.io.FileOutputStream(java.io.FileDescriptor.out)
+    fd1.write(("\n" + line + "\n").getBytes("UTF-8"))
+    fd1.flush()
+  }
+
   private def jstr(s: String): String =
     "\"" + s.flatMap {
       case '"' => "\\\""
@@ -392,8 +409,7 @@ object Bench {
     // stdout gets exactly ONE line, the compact one — the full line
     // overflows the driver's ~2 KB tail capture (see [[compactLine]])
     checkpoint(jsonLine(sfDir, done, dnf, errs, flaky, skipped))
-    println(compactLine(sfDir, done, dnf, errs, flaky, skipped))
-    System.out.flush()
+    emitCompact(compactLine(sfDir, done, dnf, errs, flaky, skipped))
     spark.stop()
   }
 }

@@ -471,8 +471,8 @@ object Snapshots {
       case Some(StringType) | Some(DateType) => Some(a.compareTo(b))
       case _ => None
     }
-    def keepOne(rel: String, colName: String, loS: String, hiS: String): Boolean = {
-      val dt = schema.flatMap(_.fields.find(_.name == colName)).map(_.dataType)
+    def keepOne(rel: String, colName: String, dt: Option[DataType],
+        loS: String, hiS: String): Boolean =
       st.get((rel, colName)) match {
         case None => true // no stats recorded: must read
         case Some((n, _, _)) if n == 0L => false // all-null: BETWEEN drops it
@@ -481,9 +481,15 @@ object Snapshots {
           !(mx.flatMap(cmp(dt)(_, loS)).exists(_ < 0) ||
             mn.flatMap(cmp(dt)(_, hiS)).exists(_ > 0))
       }
+    // (dt, loS, hiS) are constant per predicate — resolve them ONCE,
+    // not per file × predicate (a thousand-file manifest would pay the
+    // schema scan and boxing a thousand times over for nothing)
+    val resolved = preds.map { case (c, lo, hi) =>
+      (c, schema.flatMap(_.fields.find(_.name == c)).map(_.dataType),
+        String.valueOf(lo), String.valueOf(hi))
     }
-    def keep(rel: String): Boolean = preds.forall { case (c, lo, hi) =>
-      keepOne(rel, c, String.valueOf(lo), String.valueOf(hi))
+    def keep(rel: String): Boolean = resolved.forall { case (c, dt, loS, hiS) =>
+      keepOne(rel, c, dt, loS, hiS)
     }
     val kept = fileLines(lines).filter(keep).map(rel => new Path(table, rel).toString)
     val base =
@@ -711,13 +717,31 @@ object Snapshots {
       vTo: Int,
       keys: Seq[String]): DataFrame = {
     val from = read(spark, tableDir, Some(vFrom))
-    val nonKeys = from.columns.toSeq.filterNot(keys.contains)
-    def side(v: Int, tag: String) =
-      read(spark, tableDir, Some(v))
-        .select(
-          keys.map(col) ++ (lit(1).as(s"__$tag") +:
-            nonKeys.map(c => col(c).as(s"${tag}_$c"))): _*)
-    val j = side(vFrom, "old").join(side(vTo, "new"), keys, "full_outer")
+    val to = read(spark, tableDir, Some(vTo))
+    // compare over the UNION of both versions' schemas — commit()
+    // supports add-column evolution, so a column present on only one
+    // side must still participate (null-filled on the side lacking it):
+    // deriving nonKeys from vFrom alone would silently drop an update
+    // that only touches a vTo-added column, and a column removed by a
+    // replace would make vTo's select throw
+    val fromCols = from.columns.toSeq
+    val nonKeys =
+      (fromCols ++ to.columns.toSeq.filterNot(fromCols.contains)).filterNot(keys.contains)
+    def dtOf(c: String) =
+      from.schema.fields.find(_.name == c)
+        .orElse(to.schema.fields.find(_.name == c)).get.dataType
+    keys.foreach { k =>
+      require(fromCols.contains(k) && to.columns.contains(k),
+        s"diff key column '$k' must exist in both versions $vFrom and $vTo")
+    }
+    def side(df: DataFrame, tag: String) = {
+      val present = df.columns.toSet
+      df.select(
+        keys.map(col) ++ (lit(1).as(s"__$tag") +:
+          nonKeys.map(c =>
+            (if (present(c)) col(c) else lit(null).cast(dtOf(c))).as(s"${tag}_$c"))): _*)
+    }
+    val j = side(from, "old").join(side(to, "new"), keys, "full_outer")
     val changed = nonKeys
       .map(c => !(col(s"old_$c") <=> col(s"new_$c")))
       .reduceOption(_ || _)

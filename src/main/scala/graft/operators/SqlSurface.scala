@@ -55,6 +55,37 @@ object SqlSurface {
     GROUP BY p.p_partkey
     ORDER BY p.p_partkey"""
 
+  /** Spark-dialect twin of q06 (J8 snowflake resolution). The BROADCAST
+    * hints mirror the DataFrame build's `broadcast(n)`/`broadcast(r)`
+    * wrappers so both surfaces optimize to the identical plan
+    * (PlanSpec sameResult pin) — at 100 TB the fact-side scan must
+    * never shuffle for the two tiny dimensions either way a client
+    * phrases the query.
+    */
+  val Q06TwinSql: String = """
+    SELECT /*+ BROADCAST(n), BROADCAST(r) */
+           r.r_name, n.n_name,
+           COUNT(1) AS n_customers,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS sum_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    ORDER BY r.r_name, n.n_name"""
+
+  /** Spark-dialect twin of q16 (A10 pivot/crosstab) via native PIVOT
+    * syntax — the UI's contingency table as a SQL client would write
+    * it. The COALESCEs reproduce the DataFrame twin's `.na.fill(0)`.
+    */
+  val Q16TwinSql: String = """
+    SELECT o_orderpriority,
+           COALESCE(F, CAST(0 AS BIGINT)) AS F,
+           COALESCE(O, CAST(0 AS BIGINT)) AS O,
+           COALESCE(P, CAST(0 AS BIGINT)) AS P
+    FROM (SELECT o_orderstatus, o_orderpriority FROM orders)
+    PIVOT (COUNT(1) FOR o_orderstatus IN ('F' AS F, 'O' AS O, 'P' AS P))
+    ORDER BY o_orderpriority"""
+
   def all: Seq[Q] = Seq(
     // the SQL-string twin of q27 (A7 coalesce-left-join-agg), gated on
     // q27's own oracle: a SQL client and a DataFrame client must get
@@ -71,6 +102,36 @@ object SqlSurface {
                ON p.p_partkey = l.l_partkey
         GROUP BY p.p_partkey
         ORDER BY p.p_partkey""")
+    ),
+
+    // SQL twin of the snowflake join (q06 shape — the UI's category
+    // rollup, /root/reference/pages/1_Product_Categories.py:44-53),
+    // gated on q06's own oracle
+    Q(
+      "q197_sql_snowflake",
+      (s, d) => sql(s, d, Q06TwinSql),
+      Some("""
+        SELECT r.r_name, n.n_name,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(SUM(CAST(c.c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS sum_acctbal
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name, n.n_name
+        ORDER BY r.r_name, n.n_name""")
+    ),
+
+    // SQL twin of the pivot/crosstab (q16 shape — the UI's contingency
+    // table), native PIVOT syntax, gated on q16's own oracle
+    Q(
+      "q198_sql_pivot",
+      (s, d) => sql(s, d, Q16TwinSql),
+      Some("""
+        SELECT o_orderpriority,
+               CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS F,
+               CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS O,
+               CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS P
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")
     )
   )
 }

@@ -24,6 +24,30 @@ object Text {
   private def r6(a: Column, b: Column): Column =
     round(a.cast("double") / b.cast("double"), 6)
 
+  /** Most-frequent-token count of a token array, O(n log n) per row.
+    * The naive form — `array_max(transform(array_distinct(tok), w =>
+    * size(filter(tok, _ === w))))` — is O(len × distinct) per document:
+    * invisible on ~300-char docs but quadratic on a heavy-tail long
+    * document (50k distinct tokens → 2.5B comparisons for one row).
+    * This form sorts the array once and takes the longest run — still
+    * map-only (no explode/shuffle), linear after the sort, same result
+    * including null on an empty array (matching array_max's semantics,
+    * which the micro-rational division downstream relies on).
+    */
+  private[graft] def topRunCount(tok: Column): Column = {
+    val init = struct(
+      lit(null).cast("string").as("prev"), lit(0L).as("run"), lit(0L).as("best"))
+    val scanned = aggregate(
+      array_sort(tok),
+      init,
+      (s, w) => {
+        val run = when(s.getField("prev") <=> w, s.getField("run") + 1L).otherwise(lit(1L))
+        struct(w.as("prev"), run.as("run"), greatest(s.getField("best"), run).as("best"))
+      },
+      s => s.getField("best"))
+    when(size(tok) === 0, lit(null).cast("long")).otherwise(scanned)
+  }
+
   /** The q186 repetition signals over any (doc_id, tok) frame — exact
     * integer micro-rationals throughout, per-row array arithmetic only
     * (map-only at any scale). See the q186 Q entry for the rationale
@@ -36,8 +60,7 @@ object Text {
       .select(
         col("doc_id"),
         size(col("tok")).cast("long").as("n_words"),
-        array_max(transform(array_distinct(col("tok")),
-          w => size(filter(col("tok"), x => x === w)))).cast("long").as("top_count"),
+        topRunCount(col("tok")).as("top_count"),
         size(g2).cast("long").as("n2"),
         size(array_distinct(g2)).cast("long").as("d2"),
         size(g3).cast("long").as("n3"),

@@ -228,10 +228,17 @@ object Warehouse {
     val st = keyed.agg(
       min(col("__za")).as("__alo"), max(col("__za")).as("__ahi"),
       min(col("__zb")).as("__blo"), max(col("__zb")).as("__bhi"))
+    // null sort-key values land in bin 0 BY DECISION (alongside the
+    // degenerate hi<=lo case), not by accident: without the coalesce,
+    // floor over a null key yields null and least()'s null-skipping
+    // would silently cluster null-keyed rows with the max-key quadrant.
+    // Layout-only either way — zone-map stats and results stay correct.
     def bin(v: org.apache.spark.sql.Column,
         lo: org.apache.spark.sql.Column, hi: org.apache.spark.sql.Column) =
-      when(hi <= lo, lit(0L)).otherwise(
-        least(floor((v - lo) / (hi - lo) * 65536.0), lit(65535.0)).cast("long"))
+      coalesce(
+        when(hi <= lo, lit(0L)).otherwise(
+          least(floor((v - lo) / (hi - lo) * 65536.0), lit(65535.0)).cast("long")),
+        lit(0L))
     val z = keyed
       .crossJoin(broadcast(st))
       .withColumn("__z", morton(
@@ -1666,7 +1673,10 @@ object Warehouse {
   private[graft] def zorderFact(
       s: org.apache.spark.sql.SparkSession, d: String): String =
     zorderSnapCache.computeIfAbsent(d, _ =>
-      graft.IndexStore.resolve(s, "zorder_fact", 1, d, Seq("lineitem.parquet")) {
+      // formatVersion 2: explicit null-key bin (layout identical for
+      // the non-null TPC-H keys; bumped on principle — any bin-formula
+      // change invalidates the published layout)
+      graft.IndexStore.resolve(s, "zorder_fact", 2, d, Seq("lineitem.parquet")) {
         dirOf =>
           val fact = Tables.lineitem(s, d)
             .select(
@@ -1732,7 +1742,8 @@ object Warehouse {
   private[graft] def zorderLifecycleFact(
       s: org.apache.spark.sql.SparkSession, d: String): String =
     zorderLifecycleCache.computeIfAbsent(d, _ =>
-      graft.IndexStore.resolve(s, "zorder_lifecycle", 1, d, Seq("lineitem.parquet")) {
+      // formatVersion 2: explicit null-key bin (see zorderFact)
+      graft.IndexStore.resolve(s, "zorder_lifecycle", 2, d, Seq("lineitem.parquet")) {
         dirOf =>
           val fact = Tables.lineitem(s, d)
             .select(

@@ -684,4 +684,33 @@ class CorpusOpsSpec extends SparkSpec {
     assert(kept.getBoolean(5), "10 distinct words must pass every cut")
     spark.catalog.clearCache()
   }
+
+  test("topRunCount is doc-length-linear: heavy-tail long docs stay cheap") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, split}
+    // The round-14 form was O(len × distinct) per document — fine on
+    // ~300-char docs, quadratic on a heavy-tail long one (50k distinct
+    // tokens → 2.5B comparisons for a single row). The sorted-run-scan
+    // form is O(n log n); these fixtures are its worst case (all
+    // distinct) plus exact-count checks, sized so the quadratic form
+    // would take minutes while the linear one clears in seconds.
+    val allDistinct = (0 until 50000).map(i => s"w$i").mkString(" ")
+    val skewed = (("hot " * 137) + (0 until 30000).map(i => s"t$i").mkString(" ")).trim
+    val t0 = System.nanoTime()
+    val out = Seq((1L, allDistinct), (2L, skewed), (3L, "solo"))
+      .toDF("doc_id", "text")
+      .withColumn("tok", split(col("text"), " "))
+      .select(col("doc_id"), graft.operators.Text.topRunCount(col("tok")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(out == Map(1L -> 1L, 2L -> 137L, 3L -> 1L))
+    assert(sec < 30.0, f"long-doc topRunCount took $sec%.1f s — quadratic form reintroduced?")
+    // empty array keeps array_max's null (the micro-rational division
+    // downstream relies on it)
+    val empty = Seq((1L, Seq.empty[String])).toDF("doc_id", "tok")
+      .select(graft.operators.Text.topRunCount(col("tok")).as("c"))
+      .collect().head
+    assert(empty.isNullAt(0), "empty token array must yield null, not 0")
+    spark.catalog.clearCache()
+  }
 }

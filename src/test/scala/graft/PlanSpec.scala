@@ -21,6 +21,28 @@ class PlanSpec extends SparkSpec {
       s"SQL twin diverged from the DataFrame plan:\nSQL:\n$viaSql\nAPI:\n$viaApi")
   }
 
+  test("SQL snowflake twin optimizes to the DataFrame plan incl. broadcasts (q197 ≡ q06)") {
+    val viaSql = SparkEntry.queries("q197_sql_snowflake")(spark, sf("sf0.001"))
+      .queryExecution.optimizedPlan
+    val viaApi = SparkEntry.queries("q06_snowflake_join")(spark, sf("sf0.001"))
+      .queryExecution.optimizedPlan
+    assert(viaSql.sameResult(viaApi),
+      s"SQL snowflake twin diverged from the DataFrame plan:\nSQL:\n$viaSql\nAPI:\n$viaApi")
+    val phys = SparkEntry.queries("q197_sql_snowflake")(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(phys).size == 2,
+      s"both dimension joins must broadcast:\n$phys")
+  }
+
+  test("SQL pivot twin optimizes to the DataFrame plan (q198 ≡ q16)") {
+    val viaSql = SparkEntry.queries("q198_sql_pivot")(spark, sf("sf0.001"))
+      .queryExecution.optimizedPlan
+    val viaApi = SparkEntry.queries("q16_pivot")(spark, sf("sf0.001"))
+      .queryExecution.optimizedPlan
+    assert(viaSql.sameResult(viaApi),
+      s"SQL pivot twin diverged from the DataFrame plan:\nSQL:\n$viaSql\nAPI:\n$viaApi")
+  }
+
   test("exact dup-cover candidates are hash-bucketed, never all-pairs (q189)") {
     val p = plan("q189_exact_dup_cover")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

@@ -1,8 +1,12 @@
 #!/bin/bash
 # End-of-round ritual guard: fails unless the given canonical bench
-# record contains EXACTLY the benched-query set of the compiled HEAD
-# (catches a bench_canonical_r{N}.json produced before the last
-# feature commit — the round-13 record-hygiene defect).
+# record (a) contains EXACTLY the benched-query set of the compiled
+# HEAD (catches a bench_canonical_r{N}.json produced before the last
+# feature commit — the round-13 record-hygiene defect), and (b) gives
+# every query >= 2 measured runs (a one-run row means the suite tail
+# was budget-starved — the round-14 fresh-container cold-index-store
+# episode — and the recorded value is a first-run number 2-4x
+# canonical, not a measurement).
 # Usage: tools/ritual_check.sh bench_canonical_r14.json
 set -e
 cd "$(dirname "$0")/.."
@@ -14,9 +18,18 @@ canon = json.load(open(sys.argv[1]))
 got = set(canon.get("queries", {})) | set(canon.get("dnf", []))
 exp = set(open("/tmp/ritual_expected.txt").read().split())
 missing, extra = sorted(exp - got), sorted(got - exp)
+fail = False
 if missing or extra:
     if missing: print(f"RITUAL_CHECK: FAIL — canonical record missing {len(missing)} benched queries of HEAD: {missing[:10]}")
     if extra:   print(f"RITUAL_CHECK: FAIL — canonical record has {len(extra)} queries HEAD no longer benches: {extra[:10]}")
+    fail = True
+single = sorted(k for k, rs in canon.get("runs", {}).items() if len(rs) < 2)
+if single:
+    print(f"RITUAL_CHECK: FAIL — {len(single)} queries have only ONE run (budget-starved tail; re-run with a warm index store / larger SPARK_GRAFT_BENCH_BUDGET): {single[:12]}")
+    fail = True
+if canon.get("dnf"):
+    print(f"RITUAL_CHECK: note — record carries {len(canon['dnf'])} DNF entries: {sorted(canon['dnf'])[:10]}")
+if fail:
     sys.exit(1)
-print(f"RITUAL_CHECK: PASS — canonical record matches HEAD's {len(exp)} benched queries")
+print(f"RITUAL_CHECK: PASS — canonical record matches HEAD's {len(exp)} benched queries, all with >=2 runs")
 EOF
