@@ -441,7 +441,7 @@ object Similarity {
     * broadcast (query_id, cand_id) shortlist, 6-dp cosine, top-10 with
     * the (cos DESC, cand_id) tiebreak — identical contract to q51.
     */
-  private def exactRerank(el: DataFrame, shortlist: DataFrame): DataFrame = {
+  private[graft] def exactRerank(el: DataFrame, shortlist: DataFrame): DataFrame = {
     val pairDots = broadcast(shortlist)
       .join(el.as("a"), col("query_id") === col("a.vec_id"))
       .join(el.as("b"), col("cand_id") === col("b.vec_id") && col("a.pos") === col("b.pos"))
@@ -483,7 +483,21 @@ object Similarity {
     * alternatives (K=16 short=48 → 0.625, K=32 short=48 → 0.73) sit
     * below the IVF family's floor.
     */
-  private val PqShortlist = 96
+  private[graft] val PqShortlist = 96
+
+  /** Serve-path (q196) rerank depth. A codebook FROZEN on the standing
+    * bucket quantizes delta/drifted vectors worse than q191's
+    * in-query-trained one — measured recall@10 at sf0.1: 0.74 trained
+    * vs 0.66 frozen at the shared depth 96. Deepening the exact rerank
+    * is the standard compensation (the faiss `refine` discipline):
+    * serve-time cost grows only in the shortlist×dim rerank term (the
+    * ADC scan, the corpus-sized cost, is untouched), and recall at
+    * sf0.1 recovers to 0.8125 — ABOVE the trained path's 0.7375@96, so
+    * the depth, not the codebook, was the binding constraint on this
+    * corpus (NativeFnSpec gates both paths ≥0.70 plus a 10× shifted-
+    * copy drift fixture at 0.9625).
+    */
+  private[graft] val PqServeShortlist = 160
 
   /** Element table with the subspace id: m = pos / [[PqSubDim]]. */
   private[graft] def pqElems(s: SparkSession, d: String): DataFrame =
@@ -549,7 +563,8 @@ object Similarity {
     * vectors against `cent`, candidate sums over `codes`, shortlist,
     * exact rerank.
     */
-  private[graft] def pqAdcTopk(el: DataFrame, cent: DataFrame, codes: DataFrame): DataFrame = {
+  private[graft] def pqAdcTopk(el: DataFrame, cent: DataFrame, codes: DataFrame,
+      shortlistDepth: Int = PqShortlist): DataFrame = {
     val dt = el.filter(col("vec_id") < 8)
       .join(broadcast(cent), Seq("m", "pos"))
       .groupBy(col("vec_id").as("query_id"), col("m"), col("c"))
@@ -564,7 +579,7 @@ object Similarity {
         "srn",
         row_number().over(
           Window.partitionBy(col("query_id")).orderBy(col("adc").desc, col("cand_id"))))
-      .filter(col("srn") <= PqShortlist)
+      .filter(col("srn") <= shortlistDepth)
       .select(col("query_id"), col("cand_id"))
     exactRerank(el, shortlist)
   }
@@ -641,7 +656,8 @@ object Similarity {
     * injected via `extraCte`) and encoding-everyone then equals
     * "pinned standing codes ∪ frozen-codebook delta encode".
     */
-  private def pqOracleSqlFor(trainSrc: String, extraCte: String): String = s"""
+  private def pqOracleSqlFor(trainSrc: String, extraCte: String,
+      shortlistDepth: Int = PqShortlist): String = s"""
         WITH $elemsSql,
         $normsSql,
         elp AS (SELECT vec_id, pos, x, CAST(pos // $PqSubDim AS INT) AS m FROM el),
@@ -671,7 +687,7 @@ object Similarity {
         short AS (SELECT query_id, cand_id FROM (
              SELECT query_id, cand_id,
                     row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, cand_id) AS srn
-             FROM adc) WHERE srn <= $PqShortlist),
+             FROM adc) WHERE srn <= $shortlistDepth),
         pdots AS (SELECT s.query_id, s.cand_id,
                     CAST(SUM(CAST(a.x*b.x AS DECIMAL(38,12))) AS DOUBLE) AS dot
              FROM short s
@@ -699,7 +715,8 @@ object Similarity {
   private val pqServeOracleSql: String = pqOracleSqlFor(
     "elps",
     s"""elps AS (SELECT * FROM elp
-           WHERE ${graft.functions.TextFns.Sql.h60("'v' || CAST(vec_id AS VARCHAR)")} % 10 != 0),""")
+           WHERE ${graft.functions.TextFns.Sql.h60("'v' || CAST(vec_id AS VARCHAR)")} % 10 != 0),""",
+    PqServeShortlist)
 
   /** ANN auto-dispatch thresholds (bytes of the embeddings relation,
     * Catalyst plan statistics — no job). Conf-overridable so a
@@ -954,7 +971,7 @@ object Similarity {
         val standingCodes = Snapshots.read(s, cdDir)
         val el = pqElems(s, d).cache()
         val deltaCodes = pqAssign(el.filter(!pqStanding), cent)
-        pqAdcTopk(el, cent, standingCodes.unionByName(deltaCodes))
+        pqAdcTopk(el, cent, standingCodes.unionByName(deltaCodes), PqServeShortlist)
       },
       Some(pqServeOracleSql)),
 

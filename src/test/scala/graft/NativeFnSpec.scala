@@ -106,6 +106,72 @@ class NativeFnSpec extends SparkSpec {
     assert(recall >= 0.8, s"PQ recall@10 degraded to $recall")
   }
 
+  test("PQ recall@10 holds at sf0.1 for both training (q191) and frozen serve (q196)") {
+    // The sf0.001/0.01 gates above prove the codebook machinery; this
+    // row is the SCALE evidence (4x corpus, the largest gated SF) the
+    // IVF family already carries. Floor 0.70 = the q195 hash-gate bound
+    // (measured here: q191 0.74, q196 in the same band — the
+    // structureless-corpus ceiling documented at Similarity.PqShortlist).
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "cand_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val d = sf("sf0.1")
+    val exact = pairs(SparkEntry.queries("q51_cosine_topk")(spark, d))
+    val r191 = pairs(SparkEntry.queries("q191_pq_topk")(spark, d))
+      .intersect(exact).size.toDouble / exact.size
+    val r196 = pairs(SparkEntry.queries("q196_pq_serve")(spark, d))
+      .intersect(exact).size.toDouble / exact.size
+    info(f"sf0.1 recall@10: q191 trained = $r191%.4f, q196 frozen serve = $r196%.4f")
+    assert(r191 >= 0.70, s"q191 PQ recall@10 degraded at sf0.1: $r191")
+    assert(r196 >= 0.70, s"q196 frozen-serve recall@10 degraded at sf0.1: $r196")
+  }
+
+  test("PQ frozen codebook survives a 10x shifted-copy corpus (sf1-equivalent)") {
+    // The q196 deployment story at the next scale decade: a codebook
+    // trained ONCE on the standing sf0.1 bucket serves a corpus 10x
+    // bigger whose new vectors have DRIFTED (each copy c of the base
+    // corpus is offset by 0.013*c per dim — mild distribution shift, the
+    // realistic failure mode for a frozen quantizer). Recall@10 is
+    // judged against the exact cosine top-k over the SAME 20k-vector
+    // corpus, so the gate measures quantization quality alone.
+    import org.apache.spark.sql.functions.posexplode
+    val d = sf("sf0.1")
+    val copies = spark.range(10).select(col("id").cast("int").as("copy"))
+    val el = Tables.embeddings(spark, d)
+      .crossJoin(broadcast(copies))
+      .select(
+        (col("vec_id") + col("copy").cast("long") * 1000000L).as("vec_id"),
+        col("copy"),
+        transform(col("embedding"),
+          x => x + col("copy").cast("float") * lit(0.013f)).as("embedding"))
+      .repartition(col("vec_id"))
+      .select(col("vec_id"), col("copy"), posexplode(col("embedding")).as(Seq("pos", "xf")))
+      .select(col("vec_id"), col("copy"), col("pos"), col("xf").cast("double").as("x"))
+      .withColumn("m", (col("pos") / 8).cast("int"))
+      .cache()
+    // frozen codebook: trained on the BASE corpus's standing bucket
+    // only (q196's training set), never on the drifted copies
+    val cent = Similarity.pqTrain(
+      el.filter(col("copy") === 0 && Similarity.pqStanding).drop("copy"))
+    val served = el.drop("copy")
+    val pq = Similarity.pqAdcTopk(served, cent, Similarity.pqAssign(served, cent),
+      Similarity.PqServeShortlist)
+    // exact = full-candidate rerank (brute force): every query x cand pair
+    val allPairs = served.filter(col("vec_id") < 8).select(col("vec_id").as("query_id"))
+      .distinct()
+      .crossJoin(served.select(col("vec_id").as("cand_id")).distinct())
+      .filter(col("query_id") =!= col("cand_id"))
+    val exact = Similarity.exactRerank(served, allPairs)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "cand_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = pairs(pq).intersect(pairs(exact)).size.toDouble / pairs(exact).size
+    el.unpersist()
+    info(f"10x shifted-copy corpus recall@10 = $recall%.4f")
+    assert(recall >= 0.70,
+      s"frozen-codebook recall@10 collapsed on the 10x drifted corpus: $recall")
+  }
+
   test("PQ serve: the pinned index answers exactly like an inline recompute; the delta is real") {
     val d = sf("sf0.001")
     def rows(df: org.apache.spark.sql.DataFrame) = df
@@ -116,7 +182,8 @@ class NativeFnSpec extends SparkSpec {
     // codebook or codes part cannot match a fresh recompute)
     val el = Similarity.pqElems(spark, d).cache()
     val cent = Similarity.pqTrain(el.filter(Similarity.pqStanding))
-    val inline = rows(Similarity.pqAdcTopk(el, cent, Similarity.pqAssign(el, cent)))
+    val inline = rows(Similarity.pqAdcTopk(el, cent, Similarity.pqAssign(el, cent),
+      Similarity.PqServeShortlist))
     assert(served == inline, "served PQ index diverged from the inline recompute")
     // the delivery split is non-degenerate: both buckets populated
     val nDelta = Tables.embeddings(spark, d)
