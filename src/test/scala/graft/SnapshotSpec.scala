@@ -550,6 +550,64 @@ class SnapshotSpec extends SparkSpec {
     assert(ins.isNullAt(ins.fieldIndex("old_v")) && ins.getString(ins.fieldIndex("new_v")) == "e")
   }
 
+  test("diff: schema evolution — added and removed columns participate in the compare") {
+    val dir = newTable()
+    Snapshots.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir)
+    // v2 adds column w; row 1's ONLY change is in the added column —
+    // the round-14 shape silently dropped it (nonKeys derived from
+    // vFrom alone), reporting the update as unchanged
+    Snapshots.commit(
+      Seq((1L, "a", Option("x")), (2L, "b", Option.empty[String]))
+        .toDF("id", "v", "w"), dir, replace = true)
+    val d12 = Snapshots.diff(spark, dir, 1, 2, Seq("id")).collect()
+    val by12 = d12.map(r => r.getLong(r.fieldIndex("id")) ->
+      r.getString(r.fieldIndex("change_type"))).toMap
+    // row 2: v unchanged, w null on both sides (absent ≡ null) — dropped
+    assert(by12 == Map(1L -> "update"), s"got $by12")
+    val u = d12.head
+    assert(u.isNullAt(u.fieldIndex("old_w")) && u.getString(u.fieldIndex("new_w")) == "x")
+    assert(u.getString(u.fieldIndex("old_v")) == "a" &&
+      u.getString(u.fieldIndex("new_v")) == "a")
+    // v3 REMOVES v and w via replace; the round-14 shape threw on the
+    // vTo select — now removed columns null-fill and report as updates
+    Snapshots.commit(Seq(Tuple1(1L)).toDF("id"), dir, replace = true)
+    val d23 = Snapshots.diff(spark, dir, 2, 3, Seq("id")).collect()
+    val by23 = d23.map(r => r.getLong(r.fieldIndex("id")) ->
+      r.getString(r.fieldIndex("change_type"))).toMap
+    assert(by23 == Map(1L -> "update", 2L -> "delete"), s"got $by23")
+    val g = d23.find(_.getLong(0) == 1L).get
+    assert(g.getString(g.fieldIndex("old_v")) == "a" && g.isNullAt(g.fieldIndex("new_v")))
+  }
+
+  test("z-order: null sort keys land in bin 0, never the max-key quadrant; answers intact") {
+    val dir = newTable()
+    // the null-keyed rows carry LOW b so their z-position is decided by
+    // the null bin alone: with the explicit coalesce they sort with the
+    // low quadrant; under least()'s null-skip they'd take k-bin 65535
+    // and jump to the max-key file despite their low b
+    val df = Seq(
+      (1L, Option(10L), 100L), (2L, Option(20L), 200L), (3L, Option.empty[Long], 110L),
+      (4L, Option(30L), 400L), (5L, Option.empty[Long], 120L), (6L, Option(40L), 600L))
+      .toDF("id", "k", "b")
+    operators.Warehouse.zorderCommit(df, dir, col("k"), col("b"),
+      nFiles = 3, statsCols = Seq("k", "b"))
+    // results: pruning must never change an answer, null keys included
+    val all = Snapshots.read(spark, dir).collect().map(_.getLong(0)).toSet
+    assert(all == Set(1L, 2L, 3L, 4L, 5L, 6L))
+    // layout: null-keyed rows sort with the LOW quadrant (bin 0), so the
+    // file holding the max-key row must not contain them — without the
+    // explicit coalesce, least()'s null-skip sent nulls to bin 65535
+    val files = Snapshots.files(spark, dir)
+    def idsOf(f: org.apache.hadoop.fs.Path) = spark.read.parquet(f.toString)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val withMax = files.map(idsOf).find(_.contains(6L)).get
+    assert(!withMax.contains(3L) && !withMax.contains(5L),
+      s"null-keyed rows clustered with the max-key quadrant: $withMax")
+    val box = Snapshots.scanBox(spark, dir, Seq(("k", 10L, 20L)))
+      .collect().map(_.getLong(0)).toSet
+    assert(box == Set(1L, 2L), s"box over the null-carrying table wrong: $box")
+  }
+
   test("z-order append lifecycle: era-disjoint boxes read only their era's files; history intact") {
     val d = "/root/testdata/sf0.001"
     val dir = operators.Warehouse.zorderLifecycleFact(spark, d)
