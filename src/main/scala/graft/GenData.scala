@@ -85,6 +85,23 @@ object GenData {
     }
     val cps = spark.range(copies).select(col("id").cast("long").as("cp"))
     def shiftedDf(df: DataFrame, keys: Seq[String]): DataFrame = {
+      // CHAIN GUARD: shifting only works on an UNSHIFTED driver
+      // dataset. Chaining two GenData runs (×10 then ×10) makes copy
+      // strides overlap — key b+Off·i+Off·j repeats for every (i,j)
+      // with equal sum, so a "×100" chain yields only 19 distinct
+      // strides with up to 10× key multiplicity. Round 15 learned this
+      // the hard way: a chained /tmp/sf10 put duplicate o_orderkeys in
+      // front of q194's snapshot MERGE, whose one-row-per-key invariant
+      // (correctly) refused — and silently inflated every star-schema
+      // join fan-out in the sweep. Generate the target SF in ONE run:
+      // GenData <driver sf dir> <out> 100.
+      keys.foreach { k =>
+        val mx = df.agg(max(col(k))).head().getLong(0)
+        require(mx < Off,
+          s"GenData: source $k max $mx >= stride $Off — the source is itself " +
+            "a shifted GenData output; chained runs collide key spaces. " +
+            "Generate the target SF in ONE run (copies=N) from the driver dataset.")
+      }
       val rep = df.crossJoin(cps)
       keys.foldLeft(rep)((d, k) => d.withColumn(k, col(k) + col("cp") * Off))
         .select(df.columns.toIndexedSeq.map(col): _*)
@@ -130,6 +147,8 @@ object GenData {
 
     if (wanted("documents")) {
     val docs = read("documents")
+    require(docs.agg(max(col("doc_id"))).head().getLong(0) < Off,
+      "GenData: documents is itself a shifted output — chained runs collide (see shiftedDf)")
     val extra = docs.crossJoin(cps.filter(col("cp") >= 1))
     val salted = extra
       .select(
@@ -166,6 +185,8 @@ object GenData {
 
     if (wanted("embeddings")) {
     val emb = read("embeddings")
+    require(emb.agg(max(col("vec_id"))).head().getLong(0) < Off,
+      "GenData: embeddings is itself a shifted output — chained runs collide (see shiftedDf)")
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
     // rotate by cp MOD dim — copies can exceed the dimension (a ×100
     // sweep over 64-dim vectors previously fed slice() a negative
