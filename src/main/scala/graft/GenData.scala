@@ -95,12 +95,19 @@ object GenData {
       // (correctly) refused — and silently inflated every star-schema
       // join fan-out in the sweep. Generate the target SF in ONE run:
       // GenData <driver sf dir> <out> 100.
-      keys.foreach { k =>
-        val mx = df.agg(max(col(k))).head().getLong(0)
-        require(mx < Off,
-          s"GenData: source $k max $mx >= stride $Off — the source is itself " +
-            "a shifted GenData output; chained runs collide key spaces. " +
-            "Generate the target SF in ONE run (copies=N) from the driver dataset.")
+      // ONE aggregate job for all keys (not one full scan per key); an
+      // empty source yields null maxes, which pass trivially (nothing
+      // to collide) instead of an opaque NPE from getLong
+      if (keys.nonEmpty) {
+        val maxes = df.agg(max(col(keys.head)), keys.tail.map(k => max(col(k))): _*).head()
+        keys.zipWithIndex.foreach { case (k, i) =>
+          val mx = if (maxes.isNullAt(i)) Long.MinValue else maxes.getLong(i)
+          require(mx < Off,
+            s"GenData: source $k max $mx >= stride $Off — the source looks like " +
+              "a shifted GenData output (or exceeds the stride); chained runs " +
+              "collide key spaces. Generate the target SF in ONE run (copies=N) " +
+              "from the driver dataset.")
+        }
       }
       val rep = df.crossJoin(cps)
       keys.foldLeft(rep)((d, k) => d.withColumn(k, col(k) + col("cp") * Off))
@@ -147,8 +154,8 @@ object GenData {
 
     if (wanted("documents")) {
     val docs = read("documents")
-    require(docs.agg(max(col("doc_id"))).head().getLong(0) < Off,
-      "GenData: documents is itself a shifted output — chained runs collide (see shiftedDf)")
+    require(Option(docs.agg(max(col("doc_id"))).head().get(0)).forall(_.asInstanceOf[Long] < Off),
+      "GenData: documents looks like a shifted output — chained runs collide (see shiftedDf)")
     val extra = docs.crossJoin(cps.filter(col("cp") >= 1))
     val salted = extra
       .select(
@@ -185,8 +192,8 @@ object GenData {
 
     if (wanted("embeddings")) {
     val emb = read("embeddings")
-    require(emb.agg(max(col("vec_id"))).head().getLong(0) < Off,
-      "GenData: embeddings is itself a shifted output — chained runs collide (see shiftedDf)")
+    require(Option(emb.agg(max(col("vec_id"))).head().get(0)).forall(_.asInstanceOf[Long] < Off),
+      "GenData: embeddings looks like a shifted output — chained runs collide (see shiftedDf)")
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
     // rotate by cp MOD dim — copies can exceed the dimension (a ×100
     // sweep over 64-dim vectors previously fed slice() a negative

@@ -734,6 +734,20 @@ object Snapshots {
       require(fromCols.contains(k) && to.columns.contains(k),
         s"diff key column '$k' must exist in both versions $vFrom and $vTo")
     }
+    // a column present in BOTH versions with a CHANGED type would hit
+    // the old_c <=> new_c compare through implicit coercion — an
+    // AnalysisException for incompatible types, silent value coercion
+    // otherwise; neither is a diff. Refuse explicitly instead.
+    (keys ++ nonKeys).foreach { c =>
+      (from.schema.fields.find(_.name == c), to.schema.fields.find(_.name == c)) match {
+        case (Some(f), Some(t)) =>
+          require(f.dataType == t.dataType,
+            s"diff: column '$c' changed type between v$vFrom (${f.dataType.simpleString}) " +
+              s"and v$vTo (${t.dataType.simpleString}) — type evolution is not supported " +
+              "by diff; read the versions separately and cast explicitly")
+        case _ => ()
+      }
+    }
     def side(df: DataFrame, tag: String) = {
       val present = df.columns.toSet
       df.select(

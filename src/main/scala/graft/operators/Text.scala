@@ -33,8 +33,15 @@ object Text {
     * map-only (no explode/shuffle), linear after the sort, same result
     * including null on an empty array (matching array_max's semantics,
     * which the micro-rational division downstream relies on).
+    *
+    * Null tokens are filtered first: the null-safe `<=>` run compare
+    * would otherwise COUNT a null run, where the array_max/filter form
+    * it replaced (`===`) never matched nulls. Every current caller
+    * tokenizes via split() (null-free), but the helper is reusable, so
+    * the equivalence is enforced rather than assumed.
     */
-  private[graft] def topRunCount(tok: Column): Column = {
+  private[graft] def topRunCount(tokRaw: Column): Column = {
+    val tok = filter(tokRaw, w => w.isNotNull)
     val init = struct(
       lit(null).cast("string").as("prev"), lit(0L).as("run"), lit(0L).as("best"))
     val scanned = aggregate(

@@ -23,9 +23,15 @@ if missing or extra:
     if missing: print(f"RITUAL_CHECK: FAIL — canonical record missing {len(missing)} benched queries of HEAD: {missing[:10]}")
     if extra:   print(f"RITUAL_CHECK: FAIL — canonical record has {len(extra)} queries HEAD no longer benches: {extra[:10]}")
     fail = True
-single = sorted(k for k, rs in canon.get("runs", {}).items() if len(rs) < 2)
+# iterate the EXPECTED query set, not the record's runs keys: a query
+# listed in 'queries' but missing its 'runs' entry (or a record from a
+# binary predating the runs field) must FAIL the starvation check, not
+# silently pass it
+runs = canon.get("runs", {})
+dnf = set(canon.get("dnf", []))
+single = sorted(q for q in exp if q not in dnf and len(runs.get(q, [])) < 2)
 if single:
-    print(f"RITUAL_CHECK: FAIL — {len(single)} queries have only ONE run (budget-starved tail; re-run with a warm index store / larger SPARK_GRAFT_BENCH_BUDGET): {single[:12]}")
+    print(f"RITUAL_CHECK: FAIL — {len(single)} queries have fewer than TWO recorded runs (budget-starved tail or pre-runs-field record; re-run with a warm index store / larger SPARK_GRAFT_BENCH_BUDGET): {single[:12]}")
     fail = True
 if canon.get("dnf"):
     print(f"RITUAL_CHECK: note — record carries {len(canon['dnf'])} DNF entries: {sorted(canon['dnf'])[:10]}")
@@ -33,3 +39,7 @@ if fail:
     sys.exit(1)
 print(f"RITUAL_CHECK: PASS — canonical record matches HEAD's {len(exp)} benched queries, all with >=2 runs")
 EOF
+# session-heat reading (informational, not gating): geomean vs the
+# BASELINE.md canonical table and vs the previous round's canonical,
+# plus the 5 worst ratios — the keeper-session decision input
+python3 tools/heat.py "$CANON"
