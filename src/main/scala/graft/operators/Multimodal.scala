@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
-import org.apache.spark.sql.Row
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -89,6 +89,209 @@ object Multimodal {
       ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
     bos.toByteArray
   }
+
+  // ---------------------------------------------------------------
+  // Perceptual-hash image near-dup (q201/q202): the multimodal twin of
+  // the text SimHash family (q48/q49). An LLM training pipeline dedups
+  // images as surely as text; the standard tool is a 64-bit dHash
+  // (difference hash: compare adjacent downsample-block means) banded
+  // exactly like SimHash so candidates only ever meet inside a
+  // (band, value) bucket — never all-pairs.
+  //
+  // The test corpus needs images that are actually NEAR-duplicates of
+  // each other (q62's gradient formula makes every image perceptually
+  // alike — measured: 7% of ALL pairs within Hamming 3, band buckets
+  // holding a third of the corpus). So this family derives a TEXTURED
+  // image per doc: md5-random pixels keyed by the doc's BASE id
+  // (doc_id >> 2 — blocks of 4 docs share a base image, at every SF),
+  // plus a sparse per-doc perturbation (~0.5% of pixels shifted by
+  // 128). Same-base docs are the planted near-dups (Hamming mostly
+  // 0-3); cross-base hashes are 64 independent bits (measured: zero
+  // cross-base pairs at T=3, max band bucket 8 at 5000 docs). Pair
+  // count grows LINEARLY with the corpus (pairs only within 4-doc
+  // base blocks), and md5-random band values spread buckets uniformly
+  // (~n/65536), so the banded join stays skew-free by construction.
+  //
+  // Completeness is pigeonhole-exact, not probabilistic: 4 disjoint
+  // 16-bit bands over 64 bits — any pair within Hamming 3 differs in
+  // at most 3 bands, so at least one band matches and the pair IS a
+  // candidate. The banded result therefore EQUALS the all-pairs
+  // result for the threshold, which is what lets the oracle gate it.
+  // ---------------------------------------------------------------
+
+  private val DhBlocks = 9 // column blocks per row -> 8 comparisons
+  private val DhMaxHamming = 3 // <= bands-1, the pigeonhole bound
+
+  /** Imperative twin of [[graft.functions.TextFns.h60]] (first 15 hex
+    * chars of md5 as a 60-bit integer) for per-pixel use inside the
+    * codec loop, where a Column expression cannot reach.
+    */
+  private[graft] def h60(md: java.security.MessageDigest, s: String): Long = {
+    md.reset()
+    val dig = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (dig(i) & 0xffL); i += 1 }
+    (v << 4) | ((dig(7) & 0xf0L) >> 4)
+  }
+
+  /** Textured-corpus geometry: width (and the base pattern) key off
+    * doc_id >> 2, so each block of 4 consecutive docs shares one base
+    * image at every scale factor.
+    */
+  private[graft] def texWidth(id: Long): Int = (16 + (id >> 2) % 17).toInt
+
+  /** md5-random base pixel + sparse per-doc perturbation. */
+  private[graft] def texPixel(md: java.security.MessageDigest, id: Long, x: Int, y: Int): Int = {
+    val base = (h60(md, s"px|${id >> 2}|$x|$y") % 256).toInt
+    if ((id * 31 + x * 7 + y * 13) % 199 == 0) ((base + 128) % 256) else base
+  }
+
+  /** Encode the doc's textured image as a real PNG. */
+  private[graft] def encodeTexPng(
+      writer: javax.imageio.ImageWriter,
+      md: java.security.MessageDigest,
+      id: Long): Array[Byte] = {
+    val w = texWidth(id)
+    val img = new java.awt.image.BufferedImage(
+      w, ImgH, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < ImgH) {
+      var x = 0
+      while (x < w) { raster.setSample(x, y, 0, texPixel(md, id, x, y)); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(img)
+    } finally ios.close()
+    bos.toByteArray
+  }
+
+  /** 64-bit dHash of a decoded grayscale raster: per row, [[DhBlocks]]
+    * integer column blocks (boundaries floor(i·w/9)); bit(j,i) = 1 iff
+    * mean(block i) > mean(block i+1), compared cross-multiplied so the
+    * arithmetic stays exact integers (block widths differ by one when
+    * 9 does not divide w). Split into two non-negative 32-bit halves
+    * (rows 0-3 / rows 4-7) so the value survives BIGINT round-trips in
+    * both engines without sign games.
+    */
+  private[graft] def dhashOf(raster: java.awt.image.Raster): (Long, Long) = {
+    val w = raster.getWidth
+    var h0 = 0L
+    var h1 = 0L
+    val s = new Array[Long](DhBlocks)
+    val c = new Array[Long](DhBlocks)
+    var j = 0
+    while (j < ImgH) {
+      var i = 0
+      while (i < DhBlocks) {
+        val lo = i * w / DhBlocks
+        val hi = (i + 1) * w / DhBlocks
+        c(i) = (hi - lo).toLong
+        var acc = 0L
+        var x = lo
+        while (x < hi) { acc += raster.getSample(x, j, 0); x += 1 }
+        s(i) = acc
+        i += 1
+      }
+      i = 0
+      while (i < DhBlocks - 1) {
+        if (s(i) * c(i + 1) > s(i + 1) * c(i)) {
+          if (j < 4) h0 |= 1L << (j * 8 + i) else h1 |= 1L << ((j - 4) * 8 + i)
+        }
+        i += 1
+      }
+      j += 1
+    }
+    (h0, h1)
+  }
+
+  /** Per-doc perceptual hash through the REAL codec path: textured
+    * image → PNG encode (reused writer per partition) → binary column
+    * across a real exchange → PNG decode (reused reader per partition)
+    * → imperative dHash over the decoded raster. Hash parity with the
+    * analytic oracle gates the decode AND the hash arithmetic. Bands
+    * are the 4 disjoint 16-bit slices used by the q202 candidate join.
+    */
+  private[graft] def imageDhash(s: SparkSession, d: String): DataFrame = {
+    val src = Tables.documents(s, d).select(col("doc_id"))
+    val binSchema = new StructType()
+      .add("doc_id", LongType)
+      .add("payload", BinaryType)
+    val encoded = src.mapPartitions { rows =>
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.map { r =>
+        val id = r.getLong(0)
+        Row(id, encodeTexPng(writer, md, id))
+      }
+    }(org.apache.spark.sql.Encoders.row(binSchema))
+    val outSchema = new StructType()
+      .add("doc_id", LongType)
+      .add("h0", LongType)
+      .add("h1", LongType)
+    encoded
+      .repartition(col("doc_id"))
+      .mapPartitions { rows =>
+        val reader = javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
+        rows.map { r =>
+          val id = r.getLong(0)
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          reader.setInput(iis)
+          val img = reader.read(0)
+          iis.close()
+          val (h0, h1) = dhashOf(img.getRaster)
+          Row(id, h0, h1)
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
+      .select(
+        col("doc_id"), col("h0"), col("h1"),
+        (col("h0") % 65536).cast(IntegerType).as("band0"),
+        (shiftright(col("h0"), 16) % 65536).cast(IntegerType).as("band1"),
+        (col("h1") % 65536).cast(IntegerType).as("band2"),
+        (shiftright(col("h1"), 16) % 65536).cast(IntegerType).as("band3"))
+  }
+
+  /** Analytic oracle chain shared by q201/q202: regenerate the pixels
+    * (md5 base + perturbation), block sums, comparison bits, the two
+    * hash halves, and the band slices. `sums`/`hsh` are MATERIALIZED —
+    * each feeds two downstream CTEs (the DuckDB-1.0 inlining hazard).
+    */
+  private val dhashChainSql: String = s"""
+    d AS (SELECT doc_id, doc_id >> 2 AS b,
+                 CAST(16 + (doc_id >> 2) % 17 AS INT) AS w
+          FROM documents),
+    cells AS (SELECT doc_id, b, w, j, i,
+                     (i*w)//$DhBlocks AS lo, ((i+1)*w)//$DhBlocks AS hi
+              FROM d,
+                   (SELECT unnest(generate_series(0, ${ImgH - 1})) AS j),
+                   (SELECT unnest(generate_series(0, ${DhBlocks - 1})) AS i)),
+    sums AS MATERIALIZED (
+      SELECT doc_id, j, i, hi - lo AS c,
+             list_sum(list_transform(generate_series(lo, hi - 1),
+               x -> (CAST('0x' || substr(md5('px|' || b || '|' || x || '|' || j), 1, 15) AS BIGINT) % 256
+                     + CASE WHEN (doc_id*31 + x*7 + j*13) % 199 = 0 THEN 128 ELSE 0 END) % 256)) AS s
+      FROM cells),
+    bits AS (SELECT a.doc_id, a.j, a.i,
+                    CASE WHEN a.s * b2.c > b2.s * a.c THEN 1 ELSE 0 END AS bit
+             FROM sums a JOIN sums b2
+               ON a.doc_id = b2.doc_id AND a.j = b2.j AND b2.i = a.i + 1
+             WHERE a.i < ${DhBlocks - 1}),
+    hsh AS MATERIALIZED (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN j < 4 THEN bit * (1::BIGINT << (j*8 + i)) ELSE 0 END) AS BIGINT) AS h0,
+             CAST(SUM(CASE WHEN j >= 4 THEN bit * (1::BIGINT << ((j-4)*8 + i)) ELSE 0 END) AS BIGINT) AS h1
+      FROM bits GROUP BY doc_id),
+    hb AS MATERIALIZED (
+      SELECT doc_id, h0, h1,
+             CAST(h0 % 65536 AS INT) AS band0, CAST((h0 >> 16) % 65536 AS INT) AS band1,
+             CAST(h1 % 65536 AS INT) AS band2, CAST((h1 >> 16) % 65536 AS INT) AS band3
+      FROM hsh)"""
 
   val all: Seq[Q] = Seq(
     // binary ingestion + metadata: payload bytes, sizes, head fingerprint
@@ -306,6 +509,83 @@ object Multimodal {
                CAST(len(small) AS INT) AS resized_chars,
                md5(small) AS resized_md5
         FROM r ORDER BY doc_id""")
+    ),
+
+    // per-image 64-bit perceptual hash (dHash) through the real PNG
+    // encode→exchange→decode path, plus the 4×16-bit band slices —
+    // the image twin of q48's SimHash row. Parity gates the codec AND
+    // the exact-integer block comparisons.
+    Q(
+      "q201_image_dhash",
+      (s, d) => imageDhash(s, d).orderBy(col("doc_id")),
+      Some(s"""
+        WITH $dhashChainSql
+        SELECT doc_id, h0, h1, band0, band1, band2, band3
+        FROM hb ORDER BY doc_id""")
+    ),
+
+    // banded image near-dup pairs: candidates meet ONLY inside a
+    // (band_id, value) bucket (4 disjoint 16-bit bands — pigeonhole-
+    // complete for Hamming <= 3, so the banded result EQUALS the
+    // all-pairs result and stays oracle-gated); verification is an
+    // exact popcount over the two hash halves. Buckets are md5-random
+    // (~n/65536 docs each) and qualifying pairs live inside 4-doc base
+    // blocks, so both the shuffle and the output grow LINEARLY with
+    // the corpus.
+    Q(
+      "q202_image_neardup_pairs",
+      (s, d) => {
+        // consumed by both sides of the band self-join AND the two
+        // final hash lookups — cache, or the codec pipeline runs 4x
+        // (self-joins get no exchange reuse)
+        val hd = imageDhash(s, d).cache()
+        val bands = hd.select(
+          col("doc_id"),
+          explode(array(
+            struct(lit(0).as("band_id"), col("band0").as("band")),
+            struct(lit(1).as("band_id"), col("band1").as("band")),
+            struct(lit(2).as("band_id"), col("band2").as("band")),
+            struct(lit(3).as("band_id"), col("band3").as("band")))).as("bb"))
+          .select(col("doc_id"), col("bb.band_id").as("band_id"), col("bb.band").as("band"))
+        val cand = bands.as("a")
+          .join(
+            bands.as("b"),
+            col("a.band_id") === col("b.band_id") && col("a.band") === col("b.band") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct()
+        cand
+          .join(hd.as("ha"), col("doc_a") === col("ha.doc_id"))
+          .join(hd.as("hc"), col("doc_b") === col("hc.doc_id"))
+          .select(
+            col("doc_a"), col("doc_b"),
+            (bit_count(col("ha.h0").bitwiseXOR(col("hc.h0"))) +
+              bit_count(col("ha.h1").bitwiseXOR(col("hc.h1")))).cast(IntegerType).as("hamming"))
+          .filter(col("hamming") <= DhMaxHamming)
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some(s"""
+        WITH $dhashChainSql,
+        cand AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM hb a JOIN hb b ON a.band0 = b.band0 AND a.doc_id < b.doc_id
+          UNION
+          SELECT a.doc_id, b.doc_id
+          FROM hb a JOIN hb b ON a.band1 = b.band1 AND a.doc_id < b.doc_id
+          UNION
+          SELECT a.doc_id, b.doc_id
+          FROM hb a JOIN hb b ON a.band2 = b.band2 AND a.doc_id < b.doc_id
+          UNION
+          SELECT a.doc_id, b.doc_id
+          FROM hb a JOIN hb b ON a.band3 = b.band3 AND a.doc_id < b.doc_id),
+        sc AS (SELECT cn.doc_a, cn.doc_b,
+                      CAST(bit_count(xor(ha.h0, hc.h0)) + bit_count(xor(ha.h1, hc.h1)) AS INT) AS hamming
+               FROM cand cn
+               JOIN hb ha ON cn.doc_a = ha.doc_id
+               JOIN hb hc ON cn.doc_b = hc.doc_id)
+        SELECT doc_a, doc_b, hamming FROM sc
+        WHERE hamming <= $DhMaxHamming
+        ORDER BY doc_a, doc_b""")
     )
   )
 }

@@ -73,4 +73,50 @@ class MultimodalSpec extends SparkSpec {
       assert(r.getLong(2) == (Multimodal.clipLen(id) + 63) / 64)
     }
   }
+
+  test("dHash banding is pigeonhole-complete: banded pairs == brute-force pairs (q202)") {
+    // 4 disjoint 16-bit bands over 64 bits guarantee any pair within
+    // Hamming DhMaxHamming=3 shares a band — so the banded join must
+    // reproduce the all-pairs result EXACTLY, not approximately
+    val hd = Multimodal.imageDhash(spark, sf("sf0.001"))
+      .select("doc_id", "h0", "h1").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val brute = (for {
+      (a, a0, a1) <- hd; (b, b0, b1) <- hd if a < b
+      ham = java.lang.Long.bitCount(a0 ^ b0) + java.lang.Long.bitCount(a1 ^ b1)
+      if ham <= 3
+    } yield (a, b, ham)).toSet
+    val banded = SparkEntry.queries("q202_image_neardup_pairs")(spark, sf("sf0.001"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(banded == brute,
+      s"banded != brute: missing ${(brute -- banded).take(5)}, extra ${(banded -- brute).take(5)}")
+    assert(brute.nonEmpty, "fixture must contain planted near-dup pairs")
+    // planted structure holds: qualifying pairs live inside 4-doc base
+    // blocks (cross-base hashes are independent 64-bit values)
+    assert(brute.forall { case (a, b, _) => (a >> 2) == (b >> 2) },
+      s"unexpected cross-base pair: ${brute.find { case (a, b, _) => (a >> 2) != (b >> 2) }}")
+  }
+
+  test("decoded-raster dHash equals the analytic hash (codec transparency, q201)") {
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    for (id <- Seq(0L, 3L, 17L, 199L, 4242L)) {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(Multimodal.encodeTexPng(writer, md, id)))
+      val (h0, h1) = Multimodal.dhashOf(img.getRaster)
+      // analytic twin straight from the pixel formula, no codec
+      val w = Multimodal.texWidth(id)
+      var e0 = 0L; var e1 = 0L
+      for (j <- 0 until 8) {
+        val lo = (0 to 9).map(i => i * w / 9)
+        val s = (0 until 9).map(i =>
+          (lo(i) until lo(i + 1)).map(x => Multimodal.texPixel(md, id, x, j).toLong).sum)
+        val c = (0 until 9).map(i => (lo(i + 1) - lo(i)).toLong)
+        for (i <- 0 until 8 if s(i) * c(i + 1) > s(i + 1) * c(i)) {
+          if (j < 4) e0 |= 1L << (j * 8 + i) else e1 |= 1L << ((j - 4) * 8 + i)
+        }
+      }
+      assert((h0, h1) == (e0, e1), s"doc $id dHash diverged from the analytic form")
+    }
+  }
 }

@@ -43,6 +43,16 @@ class PlanSpec extends SparkSpec {
       s"SQL pivot twin diverged from the DataFrame plan:\nSQL:\n$viaSql\nAPI:\n$viaApi")
   }
 
+  test("image near-dup candidates meet only inside band buckets, never all-pairs (q202)") {
+    val p = plan("q202_image_neardup_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"banded image pairs must never form an unbucketed pair join:\n$p")
+    // the hash frame is cached: the codec pipeline (encode->exchange->
+    // decode) must materialize once, not once per self-join side
+    assert(p.contains("InMemoryTableScan"),
+      s"q202 must read the cached hash frame, not re-run the codec per side:\n$p")
+  }
+
   test("exact dup-cover candidates are hash-bucketed, never all-pairs (q189)") {
     val p = plan("q189_exact_dup_cover")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
