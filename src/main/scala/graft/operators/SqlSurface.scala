@@ -86,6 +86,24 @@ object SqlSurface {
     PIVOT (COUNT(1) FOR o_orderstatus IN ('F' AS F, 'O' AS O, 'P' AS P))
     ORDER BY o_orderpriority"""
 
+  /** Spark-dialect twin of q10 (W3 top-1-per-group): the
+    * `ROW_NUMBER() OVER (...) = 1` idiom exactly as a SQL client
+    * writes it. The point of this twin is plan-shape, not just rows:
+    * [[graft.plans.TopKRewrite]] is pattern-sensitive (it matches the
+    * Filter-over-Window logical shape), so the SQL spelling must reach
+    * the SAME native bounded top-k aggregate the DataFrame build gets
+    * — a window sort here would full-sort every group of a 100 TB
+    * fact. PlanSpec pins ObjectHashAggregate-and-no-Window on this
+    * query's physical plan.
+    */
+  val Q10TwinSql: String = """
+    SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date, o_totalprice
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                       ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+          FROM orders)
+    WHERE rn = 1
+    ORDER BY o_custkey"""
+
   def all: Seq[Q] = Seq(
     // the SQL-string twin of q27 (A7 coalesce-left-join-agg), gated on
     // q27's own oracle: a SQL client and a DataFrame client must get
@@ -132,6 +150,23 @@ object SqlSurface {
                CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS O,
                CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS P
         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+    ),
+
+    // SQL twin of the top-1-per-group window (q10 shape — the
+    // reference's "latest record per key",
+    // /root/reference/src/pipelines/analysis_service.py:31-38), gated
+    // on q10's own oracle; TopKRewrite must fire on the SQL spelling
+    // too (PlanSpec pin)
+    Q(
+      "q200_sql_window",
+      (s, d) => sql(s, d, Q10TwinSql),
+      Some("""
+        SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date, o_totalprice
+        FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+                                           ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+              FROM orders)
+        WHERE rn = 1
+        ORDER BY o_custkey""")
     )
   )
 }

@@ -43,6 +43,27 @@ class PlanSpec extends SparkSpec {
       s"SQL pivot twin diverged from the DataFrame plan:\nSQL:\n$viaSql\nAPI:\n$viaApi")
   }
 
+  test("SQL window twin gets the native bounded top-k, not a window sort (q200 ≡ q10)") {
+    // TopKRewrite is plan-shape-sensitive; the SQL ROW_NUMBER()=1
+    // spelling must reach the same map-side bounded aggregate as the
+    // DataFrame build — a Window here means the rule missed the SQL
+    // form and every group of the fact would be fully sorted. The rule
+    // rides GraftExtensions (the harness-session config), so assert on
+    // the extended session, like TopKRewriteSpec.
+    val ext = SparkSpec.extSession
+    val p = SparkEntry.queries("q200_sql_window")(ext, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(p.linesIterator.count(_.contains("ObjectHashAggregate")) >= 2,
+      s"expected partial+final ObjectHashAggregate on the SQL form:\n$p")
+    assert(!p.contains(" Window "), s"SQL top-1 fell back to a window sort:\n$p")
+    val viaSql = SparkEntry.queries("q200_sql_window")(ext, sf("sf0.001"))
+      .queryExecution.optimizedPlan
+    val viaApi = SparkEntry.queries("q10_latest_order_per_customer")(ext, sf("sf0.001"))
+      .queryExecution.optimizedPlan
+    assert(viaSql.sameResult(viaApi),
+      s"SQL window twin diverged from the DataFrame plan:\nSQL:\n$viaSql\nAPI:\n$viaApi")
+  }
+
   test("image near-dup candidates meet only inside band buckets, never all-pairs (q202)") {
     val p = plan("q202_image_neardup_pairs")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
