@@ -31,6 +31,7 @@ object Prebuild {
     "zorder_lifecycle" -> ((s, d) => { operators.Warehouse.zorderLifecycleFact(s, d); () }),
     "cdf_lifecycle" -> ((s, d) => { operators.Warehouse.cdfLifecycle(s, d); () }),
     "pq_index" -> ((s, d) => { operators.Similarity.pqIndex(s, d); () }),
+    "ivfpq_index" -> ((s, d) => { operators.Similarity.ivfPqIndex(s, d); () }),
     "basket_index" -> ((s, d) => { operators.Analytics.basketIndex(s, d); () }),
     "mix_index" -> ((s, d) => { operators.Text.mixIndex(s, d); () }),
     "bpe_rules" -> ((s, d) => { operators.Text.bpeRulesIndex(s, d); () }),

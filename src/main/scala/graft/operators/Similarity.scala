@@ -133,7 +133,7 @@ object Similarity {
                      CAST(SUM(CASE WHEN sp > 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket
               FROM sp GROUP BY vec_id)"""
 
-  private val IvfCells = 5
+  private[graft] val IvfCells = 5
   private val IvfProbes = 2
 
   /** Corpus vectors index into their top-[[IvfAssign]] cells, not just
@@ -196,13 +196,16 @@ object Similarity {
       .select(col("vec_id"), col("cell"))
 
   /** SQL mirror of one means→scores round; `asg` names the CTE holding
-    * (vec_id, cell).
+    * (vec_id, cell); `src` the element CTE the MEANS draw from (the
+    * training set — scores always cover the full `el`, since the final
+    * round's scores assign/probe everyone; q199 trains on the standing
+    * bucket only, so restricting the means restricts training).
     */
-  private def ivfRoundSql(i: Int, asg: String): String =
-    s"""c$i AS (SELECT a.cell, el.pos,
-                     CAST(SUM(CAST(el.x AS DECIMAL(38,12))) AS DOUBLE)
+  private def ivfRoundSql(i: Int, asg: String, src: String = "el"): String =
+    s"""c$i AS (SELECT a.cell, e.pos,
+                     CAST(SUM(CAST(e.x AS DECIMAL(38,12))) AS DOUBLE)
                        / CAST(COUNT(*) AS DOUBLE) AS c
-              FROM el JOIN $asg a ON el.vec_id = a.vec_id
+              FROM $src e JOIN $asg a ON e.vec_id = a.vec_id
               GROUP BY 1, 2),
         h$i AS (SELECT cell,
                      CAST(SUM(CAST(c*c AS DECIMAL(38,12))) AS DOUBLE) / 2.0 AS h
@@ -559,20 +562,29 @@ object Similarity {
     cent
   }
 
-  /** The SERVING half shared by q191/q196: ADC tables for the 8 query
-    * vectors against `cent`, candidate sums over `codes`, shortlist,
-    * exact rerank.
+  /** The SERVING half shared by q191/q196/q199: ADC tables for the 8
+    * query vectors against `cent`, candidate sums over `codes`,
+    * shortlist, exact rerank. `cand` (query_id, cand_id), when given,
+    * restricts the ADC scan to a pre-pruned candidate set (q199's IVF
+    * cell shortlist) — the code rows of unprobed candidates are
+    * dropped by the equi-join BEFORE any table lookups, so the scan
+    * cost is candidates×PqM rows instead of corpus×PqM×queries.
     */
   private[graft] def pqAdcTopk(el: DataFrame, cent: DataFrame, codes: DataFrame,
-      shortlistDepth: Int = PqShortlist): DataFrame = {
+      shortlistDepth: Int = PqShortlist, cand: Option[DataFrame] = None): DataFrame = {
     val dt = el.filter(col("vec_id") < 8)
       .join(broadcast(cent), Seq("m", "pos"))
       .groupBy(col("vec_id").as("query_id"), col("m"), col("c"))
       .agg(sum((col("x") * col("cx")).cast(Acc)).as("adp"))
-    val adc = codes
-      .join(broadcast(dt), Seq("m", "c"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .groupBy(col("query_id"), col("vec_id").as("cand_id"))
+    val adc = cand.fold(
+      codes
+        .join(broadcast(dt), Seq("m", "c"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumnRenamed("vec_id", "cand_id"))(cd =>
+      cd.join(codes, cd("cand_id") === codes("vec_id"))
+        .join(broadcast(dt), Seq("query_id", "m", "c"))
+        .drop("vec_id"))
+      .groupBy(col("query_id"), col("cand_id"))
       .agg(sum(col("adp")).as("adc"))
     val shortlist = adc
       .withColumn(
@@ -624,6 +636,99 @@ object Similarity {
       (parts("codebook"), parts("codes"))
     })
 
+  private val ivfPqIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[String, String]]()
+
+  /** The FROZEN IVF-PQ index (q199 — faiss IVFADC's composition,
+    * Jégou et al. 2011 §IV, on the existing pieces): ONE standing
+    * artifact holding both layers — the IVF coarse quantizer (q76's
+    * training: per-label exact-mean init + one Lloyd round, here over
+    * the standing bucket) with its posting lists, AND the PQ codebook
+    * (q191's training, same bucket) with the standing codes. Serving
+    * prunes cells FIRST and ADC-scans only the probed cells' codes —
+    * the composition that makes billion-vector ANN affordable: q196's
+    * unpruned ADC scan is corpus-sized per query; here the scan is
+    * (probed fraction)×corpus, and at real scale (cell count grows
+    * ~√N, fixed nprobe) that fraction keeps shrinking. No residual
+    * encoding (faiss IVFADC quantizes x − centroid; this corpus's
+    * overlapping blobs make centroids nearly collinear, so residuals
+    * buy no measurable recall here and a raw-vector codebook keeps the
+    * oracle the exact q191 chain) — the pruning, not the residual, is
+    * the scale lever. Both trainings replay in the DuckDB oracle, so
+    * the whole two-layer index stays hash-gated.
+    */
+  private[graft] def ivfPqIndex(s: SparkSession, d: String): Map[String, String] =
+    ivfPqIndexCache.computeIfAbsent(d, _ => {
+      graft.IndexStore.resolve(s, "ivfpq_index", 1, d, Seq("embeddings.parquet")) {
+        dirOf =>
+          val sel = pqElems(s, d).filter(pqStanding).cache()
+          val init = Tables.embeddings(s, d)
+            .filter(pqStanding)
+            .select(col("vec_id"), (col("label") % IvfCells).cast(IntegerType).as("cell"))
+          // q76's training discipline on the standing bucket: init
+          // means -> argmax reassign -> refined means. Scoring only
+          // standing vectors during training equals the oracle's
+          // score-everyone-then-join-standing (assignment is per-vector)
+          val trained = ivfTrain(sel, init).localCheckpoint(true)
+          val cent = pqTrain(sel)
+          Map(
+            "ivf_cent" -> Snapshots.commit(trained, dirOf("ivf_cent"), replace = true),
+            "ivf_cells" -> Snapshots.commit(
+              ivfAssignCells(sel, trained), dirOf("ivf_cells"), replace = true),
+            "codebook" -> Snapshots.commit(cent, dirOf("codebook"), replace = true),
+            "codes" -> Snapshots.commit(
+              pqAssign(sel, cent), dirOf("codes"), replace = true))
+      }
+    })
+
+  /** q76's IVF training chain, callable on any element frame: init
+    * means → argmax reassign → refined means.
+    */
+  private[graft] def ivfTrain(sel: DataFrame, init: DataFrame): DataFrame =
+    meansOf(sel, cellsOf(scoresOf(sel, meansOf(sel, init)), 1))
+
+  /** Top-`top` cell assignment under a trained coarse quantizer. */
+  private[graft] def ivfAssignCells(
+      el: DataFrame, cents: DataFrame, top: Int = IvfAssign): DataFrame =
+    cellsOf(scoresOf(el, cents), top)
+
+  /** The query half of q199, index parts already in hand: probe the
+    * [[IvfProbes]] best cells per query, gather candidates from the
+    * posting-list equi-join, ADC-scan only those candidates' codes,
+    * exact-rerank at [[PqServeShortlist]] — the frozen-codebook depth
+    * q196 established.
+    */
+  private[graft] def ivfPqServeCore(elp: DataFrame, cents: DataFrame,
+      cent: DataFrame, cells: DataFrame, codes: DataFrame): DataFrame = {
+    val probes = cellsOf(scoresOf(elp.filter(col("vec_id") < 8), cents), IvfProbes)
+      .select(col("vec_id").as("query_id"), col("cell"))
+    val cand = probes
+      .join(cells, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("cand_id"))
+      .distinct()
+    pqAdcTopk(elp, cent, codes, PqServeShortlist, Some(cand))
+  }
+
+  /** q199's serve path: frozen two-layer index + delta, prune-then-scan.
+    * The delivery's ~10% delta is assigned to its [[IvfAssign]] cells
+    * and PQ-encoded against the frozen artifacts (pure functions of the
+    * index — the q196 argument, applied to both layers), then
+    * [[ivfPqServeCore]] answers from the merged posting lists/codes.
+    */
+  private[graft] def ivfPqServe(s: SparkSession, d: String): DataFrame = {
+    val parts = ivfPqIndex(s, d)
+    val cents = Snapshots.read(s, parts("ivf_cent"))
+    val cent = Snapshots.read(s, parts("codebook"))
+    val elp = pqElems(s, d).cache()
+    val delta = elp.filter(!pqStanding)
+    val cells = Snapshots.read(s, parts("ivf_cells"))
+      .unionByName(ivfAssignCells(delta, cents))
+    val codes = Snapshots.read(s, parts("codes"))
+      .unionByName(pqAssign(delta, cent))
+    ivfPqServeCore(elp, cents, cent, cells, codes)
+  }
+
   /** One PQ Lloyd round in DuckDB: distances → argmin assignment →
     * per-codeword sums → new codebook with the carry-forward arm. Every
     * CTE is AS MATERIALIZED — each is referenced by the next round AND
@@ -657,7 +762,7 @@ object Similarity {
     * "pinned standing codes ∪ frozen-codebook delta encode".
     */
   private def pqOracleSqlFor(trainSrc: String, extraCte: String,
-      shortlistDepth: Int = PqShortlist): String = s"""
+      shortlistDepth: Int = PqShortlist, candJoin: String = ""): String = s"""
         WITH $elemsSql,
         $normsSql,
         elp AS (SELECT vec_id, pos, x, CAST(pos // $PqSubDim AS INT) AS m FROM el),
@@ -682,6 +787,7 @@ object Similarity {
              GROUP BY 1, 2, 3),
         adc AS (SELECT d.query_id, k.vec_id AS cand_id, SUM(d.adp) AS adc
              FROM kcodes k JOIN dt d ON k.m = d.m AND k.c = d.c
+             $candJoin
              WHERE k.vec_id != d.query_id
              GROUP BY 1, 2),
         short AS (SELECT query_id, cand_id FROM (
@@ -717,6 +823,45 @@ object Similarity {
     s"""elps AS (SELECT * FROM elp
            WHERE ${graft.functions.TextFns.Sql.h60("'v' || CAST(vec_id AS VARCHAR)")} % 10 != 0),""",
     PqServeShortlist)
+
+  /** q199's oracle: the q196 standing-bucket PQ chain with the IVF
+    * layer's training replayed on the same bucket (q76's CTE rounds,
+    * means drawn from `elps`) and the ADC scan restricted to the
+    * probed cells' members through `candJoin`. Since both cell
+    * assignment and PQ encoding are pure functions of the frozen
+    * artifacts, assign/encode-everyone here equals "pinned standing
+    * rows ∪ frozen-artifact delta" on the Spark side.
+    */
+  private val ivfPqOracleSql: String = {
+    val standing =
+      s"${graft.functions.TextFns.Sql.h60("'v' || CAST(vec_id AS VARCHAR)")} % 10 != 0"
+    pqOracleSqlFor(
+      "elps",
+      s"""elps AS (SELECT * FROM elp WHERE $standing),
+        lab AS (SELECT vec_id, CAST(label % $IvfCells AS INT) AS cell
+                FROM embeddings WHERE $standing),
+        ${ivfRoundSql(0, "lab", "elps")},
+        a0 AS (SELECT vec_id, cell FROM (
+                 SELECT vec_id, cell,
+                        row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn
+                 FROM s0)
+               WHERE rn = 1),
+        ${ivfRoundSql(1, "a0", "elps")},
+        cells AS (SELECT vec_id, cell FROM (
+                    SELECT vec_id, cell,
+                           row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn
+                    FROM s1)
+                  WHERE rn <= $IvfAssign),
+        probes AS (SELECT vec_id AS query_id, cell FROM (
+                     SELECT vec_id, cell,
+                            row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS pr
+                     FROM s1 WHERE vec_id < 8)
+                   WHERE pr <= $IvfProbes),
+        cand AS (SELECT DISTINCT p.query_id, c.vec_id AS cand_id
+                 FROM probes p JOIN cells c ON p.cell = c.cell AND c.vec_id != p.query_id),""",
+      PqServeShortlist,
+      "JOIN cand cn ON cn.query_id = d.query_id AND cn.cand_id = k.vec_id")
+  }
 
   /** ANN auto-dispatch thresholds (bytes of the embeddings relation,
     * Catalyst plan statistics — no job). Conf-overridable so a
@@ -974,6 +1119,17 @@ object Similarity {
         pqAdcTopk(el, cent, standingCodes.unionByName(deltaCodes), PqServeShortlist)
       },
       Some(pqServeOracleSql)),
+
+    // IVF-PQ serving (q199 — faiss IVFADC's composition on q76+q196's
+    // pieces): the frozen two-layer index (coarse quantizer + posting
+    // lists + PQ codebook + standing codes, ONE IndexStore artifact)
+    // prunes cells FIRST, ADC-scans only the probed cells' codes, and
+    // exact-reranks at the serve depth. q196's scan is corpus-sized per
+    // query; this one is (probed fraction)×corpus — the fraction that
+    // shrinks as the cell count grows ~√N at real scale. Both layers'
+    // training replays in the oracle, so the composed index is
+    // hash-gated end to end.
+    Q("q199_ivfpq_serve", (s, d) => ivfPqServe(s, d), Some(ivfPqOracleSql)),
 
     // Filtered vector search (q192): top-k among candidates passing a
     // metadata predicate (label % 4 = 1, ~30% of the corpus) — the

@@ -121,9 +121,13 @@ class NativeFnSpec extends SparkSpec {
       .intersect(exact).size.toDouble / exact.size
     val r196 = pairs(SparkEntry.queries("q196_pq_serve")(spark, d))
       .intersect(exact).size.toDouble / exact.size
-    info(f"sf0.1 recall@10: q191 trained = $r191%.4f, q196 frozen serve = $r196%.4f")
+    val r199 = pairs(SparkEntry.queries("q199_ivfpq_serve")(spark, d))
+      .intersect(exact).size.toDouble / exact.size
+    info(f"sf0.1 recall@10: q191 trained = $r191%.4f, q196 frozen serve = $r196%.4f, " +
+      f"q199 ivf-pq = $r199%.4f")
     assert(r191 >= 0.70, s"q191 PQ recall@10 degraded at sf0.1: $r191")
     assert(r196 >= 0.70, s"q196 frozen-serve recall@10 degraded at sf0.1: $r196")
+    assert(r199 >= 0.70, s"q199 ivf-pq recall@10 degraded at sf0.1: $r199")
   }
 
   test("PQ frozen codebook survives a 10x shifted-copy corpus (sf1-equivalent)") {
@@ -170,6 +174,78 @@ class NativeFnSpec extends SparkSpec {
     info(f"10x shifted-copy corpus recall@10 = $recall%.4f")
     assert(recall >= 0.70,
       s"frozen-codebook recall@10 collapsed on the 10x drifted corpus: $recall")
+  }
+
+  test("IVF-PQ frozen two-layer index survives the 10x shifted-copy corpus") {
+    // q199's drift fixture, mirroring the q196 one above: BOTH layers
+    // (coarse quantizer AND codebook) are trained once on the base
+    // corpus's standing bucket, then serve a 10x corpus whose new
+    // vectors drifted 0.013*copy per dim. The IVF pruning adds a
+    // second failure mode the PQ-only test cannot see — a drifted
+    // vector landing in the wrong cell is invisible to ADC — so this
+    // gate measures the composed index, not the codebook alone.
+    import org.apache.spark.sql.functions.posexplode
+    val d = sf("sf0.1")
+    val copies = spark.range(10).select(col("id").cast("int").as("copy"))
+    val el = Tables.embeddings(spark, d)
+      .crossJoin(broadcast(copies))
+      .select(
+        (col("vec_id") + col("copy").cast("long") * 1000000L).as("vec_id"),
+        col("copy"),
+        transform(col("embedding"),
+          x => x + col("copy").cast("float") * lit(0.013f)).as("embedding"))
+      .repartition(col("vec_id"))
+      .select(col("vec_id"), col("copy"), posexplode(col("embedding")).as(Seq("pos", "xf")))
+      .select(col("vec_id"), col("copy"), col("pos"), col("xf").cast("double").as("x"))
+      .withColumn("m", (col("pos") / 8).cast("int"))
+      .cache()
+    val base = el.filter(col("copy") === 0 && Similarity.pqStanding).drop("copy").cache()
+    val init = Tables.embeddings(spark, d)
+      .filter(Similarity.pqStanding)
+      .select(col("vec_id"), (col("label") % Similarity.IvfCells).cast("int").as("cell"))
+    val trained = Similarity.ivfTrain(base, init).localCheckpoint(true)
+    val cent = Similarity.pqTrain(base)
+    val served = el.drop("copy")
+    val pq = Similarity.ivfPqServeCore(served, trained, cent,
+      Similarity.ivfAssignCells(served, trained), Similarity.pqAssign(served, cent))
+    val allPairs = served.filter(col("vec_id") < 8).select(col("vec_id").as("query_id"))
+      .distinct()
+      .crossJoin(served.select(col("vec_id").as("cand_id")).distinct())
+      .filter(col("query_id") =!= col("cand_id"))
+    val exact = Similarity.exactRerank(served, allPairs)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "cand_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = pairs(pq).intersect(pairs(exact)).size.toDouble / pairs(exact).size
+    el.unpersist()
+    base.unpersist()
+    info(f"10x shifted-copy corpus ivf-pq recall@10 = $recall%.4f")
+    assert(recall >= 0.70,
+      s"frozen ivf-pq recall@10 collapsed on the 10x drifted corpus: $recall")
+  }
+
+  test("IVF-PQ serve: the pinned two-layer index answers exactly like an inline recompute") {
+    // the staleness net for the 4-part ivfpq_index artifact (the
+    // GraphSpec served==inline discipline): a stale/torn published
+    // part — either layer — cannot match a fresh recompute. Inline
+    // assigns/encodes EVERYONE against freshly trained artifacts,
+    // which equals standing-parts ∪ delta since both assignments are
+    // pure functions of the frozen artifacts.
+    val d = sf("sf0.001")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    val served = rows(SparkEntry.queries("q199_ivfpq_serve")(spark, d))
+    val elp = Similarity.pqElems(spark, d).cache()
+    val sel = elp.filter(Similarity.pqStanding).cache()
+    val init = Tables.embeddings(spark, d)
+      .filter(Similarity.pqStanding)
+      .select(col("vec_id"), (col("label") % Similarity.IvfCells).cast("int").as("cell"))
+    val trained = Similarity.ivfTrain(sel, init).localCheckpoint(true)
+    val cent = Similarity.pqTrain(sel)
+    val inline = rows(Similarity.ivfPqServeCore(elp, trained, cent,
+      Similarity.ivfAssignCells(elp, trained), Similarity.pqAssign(elp, cent)))
+    assert(served == inline, "served IVF-PQ index diverged from the inline recompute")
+    assert(Similarity.ivfPqIndex(spark, d) == Similarity.ivfPqIndex(spark, d))
   }
 
   test("PQ serve: the pinned index answers exactly like an inline recompute; the delta is real") {

@@ -74,6 +74,18 @@ class PlanSpec extends SparkSpec {
       s"q202 must read the cached hash frame, not re-run the codec per side:\n$p")
   }
 
+  test("IVF-PQ serve prunes by cell equi-join and broadcasts the ADC tables (q199)") {
+    val p = plan("q199_ivfpq_serve")
+    // candidates come from the posting-list equi-join on cell id and
+    // the ADC scan is restricted to them — never a corpus-pair join
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"ivf-pq serve must never form an unkeyed pair join:\n$p")
+    // the per-query ADC lookup tables (queries x PqM x PqK rows) and
+    // the codebook/centroid matrices broadcast; candidate state never does
+    assert(p.contains("BroadcastHashJoin"),
+      s"ADC tables/codebook must broadcast into the code scan:\n$p")
+  }
+
   test("exact dup-cover candidates are hash-bucketed, never all-pairs (q189)") {
     val p = plan("q189_exact_dup_cover")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
