@@ -80,10 +80,16 @@ class PlanSpec extends SparkSpec {
     // the ADC scan is restricted to them — never a corpus-pair join
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"ivf-pq serve must never form an unkeyed pair join:\n$p")
-    // the per-query ADC lookup tables (queries x PqM x PqK rows) and
-    // the codebook/centroid matrices broadcast; candidate state never does
+    // the per-query ADC lookup tables (queries x PqM x PqK rows), the
+    // codebook/centroid matrices, AND the candidate shortlist (queries
+    // x probed-fraction rows — never corpus-sized) all broadcast: the
+    // serve path must be free of corpus-wide JOIN exchanges, or the
+    // shuffled cand⋈codes join eats the pruning's saving (measured at
+    // sf10: 9.90 s vs q196's unpruned 8.65 s before the broadcast)
     assert(p.contains("BroadcastHashJoin"),
       s"ADC tables/codebook must broadcast into the code scan:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"every join in the ivf-pq serve path must broadcast its small side:\n$p")
   }
 
   test("exact dup-cover candidates are hash-bucketed, never all-pairs (q189)") {
