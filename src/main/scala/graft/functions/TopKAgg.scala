@@ -19,8 +19,8 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType}
   *
   * This is the scale-path replacement for the `row_number() OVER
   * (PARTITION BY g ORDER BY ...) <= k` idiom (reference behavior:
-  * `/root/reference/src/pipelines/analysis_service.py:31-38` "latest
-  * record per key"): a window function must shuffle EVERY row of the
+  * `/root/reference/Clustering_Analysis.py:29-34` "latest record",
+  * `ORDER BY lastupdate DESC LIMIT 1`): a window function must shuffle EVERY row of the
   * group to one partition and sort it, whereas a TypedImperativeAggregate
   * runs in partial mode map-side, so at most k values per group per
   * input partition ever cross the shuffle — on a 100 TB fact with

@@ -451,8 +451,13 @@ object Similarity {
       .groupBy(col("query_id"), col("cand_id"))
       .agg(sum((col("a.x") * col("b.x")).cast(Acc)).cast("double").as("dot"))
     val n = normsOf(el)
-    pairDots
-      .join(n.as("na"), col("query_id") === col("na.vec_id"))
+    // pairDots is shortlist-sized (queries × depth rows) — hint it (and
+    // the equally-small first-join result) explicitly so BOTH norm
+    // joins are STRUCTURALLY broadcast-hash, not dependent on
+    // autoBroadcastJoinThreshold picking them up (PlanSpec pins
+    // no-SMJ/SHJ on the q199 serve plan; a pin that only holds under a
+    // config default is not a pin)
+    broadcast(broadcast(pairDots).join(n.as("na"), col("query_id") === col("na.vec_id")))
       .join(n.as("nb"), col("cand_id") === col("nb.vec_id"))
       .select(col("query_id"), col("cand_id"), cosine(col("dot"), col("na.norm"), col("nb.norm")).as("cos"))
       .withColumn(
@@ -568,17 +573,25 @@ object Similarity {
     * restricts the ADC scan to a pre-pruned candidate set (q199's IVF
     * cell shortlist) — the code rows of unprobed candidates are
     * dropped by the equi-join BEFORE any table lookups, so the scan
-    * cost is candidates×PqM rows instead of corpus×PqM×queries. The
-    * candidate set BROADCASTS into that join: it is queries×(probed
-    * fraction of corpus) two-int rows — never corpus-sized, and the
-    * probed fraction shrinks as cell count grows ~√N — so streaming
-    * the codes against a broadcast candidate hash keeps the serve
-    * path free of corpus-wide join exchanges (a shuffled cand⋈codes
-    * join was measurably the cost that ate the pruning's saving at
-    * sf10: 9.90 s vs q196's unpruned 8.65 s in the same session).
+    * cost is candidates×PqM rows instead of corpus×PqM×queries. When
+    * `candBroadcast` is set the candidate set BROADCASTS into that
+    * join, keeping the serve path free of corpus-wide join exchanges
+    * (a shuffled cand⋈codes join was measurably the cost that ate the
+    * pruning's saving at sf10: 9.90 s vs q196's unpruned 8.65 s in
+    * the same session). The caller owns the gate because cand is
+    * queries × (probes·assign/cells) × corpus two-int rows — with
+    * this implementation's FIXED [[IvfCells]]=5 the probed fraction
+    * is pinned ~0.69, so cand grows LINEARLY with the corpus (~1.1 M
+    * rows at sf10) and an unconditional broadcast would eventually
+    * hit driver memory and Spark's 8 GB broadcast limit; only a
+    * deployment that grows the cell count ~√N (see the XoverProbe
+    * scale tier) keeps the fraction shrinking. [[ivfPqServe]] gates
+    * on the estimated cand bytes and falls back to a shuffled join
+    * past the threshold.
     */
   private[graft] def pqAdcTopk(el: DataFrame, cent: DataFrame, codes: DataFrame,
-      shortlistDepth: Int = PqShortlist, cand: Option[DataFrame] = None): DataFrame = {
+      shortlistDepth: Int = PqShortlist, cand: Option[DataFrame] = None,
+      candBroadcast: Boolean = true): DataFrame = {
     val dt = el.filter(col("vec_id") < 8)
       .join(broadcast(cent), Seq("m", "pos"))
       .groupBy(col("vec_id").as("query_id"), col("m"), col("c"))
@@ -588,7 +601,8 @@ object Similarity {
         .join(broadcast(dt), Seq("m", "c"))
         .filter(col("vec_id") =!= col("query_id"))
         .withColumnRenamed("vec_id", "cand_id"))(cd =>
-      codes.join(broadcast(cd), cd("cand_id") === codes("vec_id"))
+      codes.join(if (candBroadcast) broadcast(cd) else cd,
+          cd("cand_id") === codes("vec_id"))
         .join(broadcast(dt), Seq("query_id", "m", "c"))
         .drop("vec_id"))
       .groupBy(col("query_id"), col("cand_id"))
@@ -706,7 +720,8 @@ object Similarity {
     * q196 established.
     */
   private[graft] def ivfPqServeCore(elp: DataFrame, cents: DataFrame,
-      cent: DataFrame, cells: DataFrame, codes: DataFrame): DataFrame = {
+      cent: DataFrame, cells: DataFrame, codes: DataFrame,
+      candBroadcast: Boolean = true): DataFrame = {
     val probes = cellsOf(scoresOf(elp.filter(col("vec_id") < 8), cents), IvfProbes)
       .select(col("vec_id").as("query_id"), col("cell"))
     // probes is queries×nprobe rows — broadcast it into the posting
@@ -716,7 +731,26 @@ object Similarity {
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("cand_id"))
       .distinct()
-    pqAdcTopk(elp, cent, codes, PqServeShortlist, Some(cand))
+    pqAdcTopk(elp, cent, codes, PqServeShortlist, Some(cand), candBroadcast)
+  }
+
+  /** Gate for broadcasting the q199 candidate shortlist (see
+    * [[pqAdcTopk]]): estimated cand bytes = queries × probed fraction
+    * × corpus rows × 16 B, with corpus rows read from the embeddings
+    * relation's Catalyst size stat (no job — the [[annArm]]
+    * discipline; ~300 B per embedding row). Under the threshold
+    * (default 512 MB — comfortably inside driver memory and far from
+    * Spark's 8 GB broadcast hard limit) the exchange-free broadcast
+    * serve plan holds; past it the join falls back to a shuffle and
+    * AQE plans it — correctness is unchanged either way.
+    */
+  private[graft] val CandBroadcastMaxKey = "spark.graft.ann.candBroadcastMaxBytes"
+
+  private def candBroadcastOk(s: SparkSession, d: String): Boolean = {
+    val embBytes = Tables.embeddings(s, d).queryExecution.optimizedPlan.stats.sizeInBytes
+    val frac = math.min(1.0, IvfProbes.toDouble * IvfAssign / IvfCells)
+    val candBytesEst = BigInt((embBytes.toDouble / 300.0 * 8 * frac * 16).toLong)
+    candBytesEst <= BigInt(s.conf.get(CandBroadcastMaxKey, (512L << 20).toString))
   }
 
   /** q199's serve path: frozen two-layer index + delta, prune-then-scan.
@@ -735,7 +769,7 @@ object Similarity {
       .unionByName(ivfAssignCells(delta, cents))
     val codes = Snapshots.read(s, parts("codes"))
       .unionByName(pqAssign(delta, cent))
-    ivfPqServeCore(elp, cents, cent, cells, codes)
+    ivfPqServeCore(elp, cents, cent, cells, codes, candBroadcastOk(s, d))
   }
 
   /** One PQ Lloyd round in DuckDB: distances → argmin assignment →

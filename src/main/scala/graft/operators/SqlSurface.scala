@@ -5,7 +5,7 @@ import graft.{Q, Tables}
 
 /** SQL entry surface for the DSS layer: the reference's UI issues raw
   * SQL strings against the warehouse
-  * (/root/reference/pages/1_Clustering_Analysis.py:84-100 builds
+  * (/root/reference/Clustering_Analysis.py:84-100 builds
   * `SELECT … FROM …` text and hands it to the connection), while the
   * graft operator inventory is DataFrame-API-first. This module closes
   * that gap: [[registerViews]] exposes every warehouse table as a temp
@@ -153,8 +153,8 @@ object SqlSurface {
     ),
 
     // SQL twin of the top-1-per-group window (q10 shape — the
-    // reference's "latest record per key",
-    // /root/reference/src/pipelines/analysis_service.py:31-38), gated
+    // reference's "latest record" idiom,
+    // /root/reference/Clustering_Analysis.py:29-34), gated
     // on q10's own oracle; TopKRewrite must fire on the SQL spelling
     // too (PlanSpec pin)
     Q(

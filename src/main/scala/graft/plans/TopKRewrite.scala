@@ -18,8 +18,8 @@ import org.apache.spark.sql.types._
   * aggregate runs map-side partials, so at most k rows per group per
   * partition cross the shuffle — on a 100 TB fact the difference between
   * a full-data sort and a bounded ObjectHashAggregate. (The reference's
-  * "latest record per key" pattern, `/root/reference/src/pipelines/
-  * analysis_service.py:31-38`, is exactly this idiom with k = 1.)
+  * "latest record" pattern, `/root/reference/Clustering_Analysis.py:29-34`
+  * `ORDER BY lastupdate DESC LIMIT 1`, is exactly this idiom with k = 1.)
   *
   * Each window sort key becomes two ascending struct fields: a null-rank
   * byte reproducing the SortOrder's null placement, then the key itself —

@@ -81,11 +81,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"ivf-pq serve must never form an unkeyed pair join:\n$p")
     // the per-query ADC lookup tables (queries x PqM x PqK rows), the
-    // codebook/centroid matrices, AND the candidate shortlist (queries
-    // x probed-fraction rows — never corpus-sized) all broadcast: the
-    // serve path must be free of corpus-wide JOIN exchanges, or the
-    // shuffled cand⋈codes join eats the pruning's saving (measured at
-    // sf10: 9.90 s vs q196's unpruned 8.65 s before the broadcast)
+    // codebook/centroid matrices, AND the candidate shortlist all
+    // broadcast at this (test) corpus size: the serve path must be
+    // free of corpus-wide JOIN exchanges, or the shuffled cand⋈codes
+    // join eats the pruning's saving (measured at sf10: 9.90 s vs
+    // q196's unpruned 8.65 s before the broadcast). The cand
+    // broadcast is size-GATED in ivfPqServe (cand grows linearly with
+    // the corpus under the fixed 5-cell test config — the rerank's
+    // norm joins carry explicit hints, so this pin is structural, not
+    // autoBroadcastJoinThreshold-dependent); past the gate the plan
+    // legitimately falls back to a shuffled cand join
     assert(p.contains("BroadcastHashJoin"),
       s"ADC tables/codebook must broadcast into the code scan:\n$p")
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),

@@ -20,8 +20,15 @@ import sys
 def main():
     if len(sys.argv) < 3:
         sys.exit(__doc__)
-    big = json.load(open(sys.argv[1])).get("queries", {})
-    small = json.load(open(sys.argv[2])).get("queries", {})
+    big_rec = json.load(open(sys.argv[1]))
+    small_rec = json.load(open(sys.argv[2]))
+    big = big_rec.get("queries", {})
+    small = small_rec.get("queries", {})
+    # a DNF'd query is recorded AT the cap value — its "timing" is a
+    # LOWER BOUND, not a measurement; mark it so the table can't read
+    # the cap as an equality (and same for err'd queries, if timed)
+    capped = set(big_rec.get("dnf", [])) | set(big_rec.get("err", [])) | \
+        set(small_rec.get("dnf", [])) | set(small_rec.get("err", []))
     sf_ratio = float(sys.argv[3]) if len(sys.argv) > 3 else 100.0
     denom = math.log10(sf_ratio)
     big = {q: v for q, v in big.items() if isinstance(v, (int, float)) and v > 0}
@@ -30,7 +37,14 @@ def main():
     rows = [(q, small[q], big[q], math.log10(big[q] / small[q]) / denom) for q in common]
     rows.sort(key=lambda r: -r[3])
     for q, s, b, a in rows:
-        print(f"{q:40s} {s:8.2f} {b:9.2f}  alpha {a:5.2f}")
+        mark = "  alpha"
+        if q in capped:
+            mark = " alpha>=" if q in big_rec.get("dnf", []) or q in big_rec.get("err", []) else "  alpha"
+        suffix = " (DNF/err: cap value, lower bound)" if q in capped else ""
+        print(f"{q:40s} {s:8.2f} {b:9.2f} {mark} {a:5.2f}{suffix}")
+    if capped & set(common):
+        print(f"\nNOTE: {sorted(capped & set(common))} hit the run cap or errored — "
+              "their rows are lower bounds, not timings.")
     sup = [q for q, _, _, a in rows if a > 1.0]
     flat = [q for q, _, _, a in rows if a < 0.15]
     print(f"\n{len(rows)} common queries; worst alpha "
