@@ -264,7 +264,7 @@ object Similarity {
     * Gating the native kernel on the same SQL proves the fast path
     * rounds to the same 6-decimal cosines and the same ranking.
     */
-  private val topkOracleSql: String = s"""
+  private[operators] val topkOracleSql: String = s"""
         WITH $elemsSql,
         $normsSql,
         dots AS (SELECT a.vec_id AS query_id, b.vec_id AS cand_id,

@@ -104,6 +104,31 @@ object SqlSurface {
     WHERE rn = 1
     ORDER BY o_custkey"""
 
+  /** Spark-dialect twin of q64 (cosine top-k ANN) — the similarity
+    * verb as an analyst at the warehouse would type it: the registered
+    * codegen'd `graft_dot` kernel plus the q200-proven
+    * `ROW_NUMBER() ... <= k` spelling. Written to optimize to the
+    * exact plan of [[Similarity.nativeTopk]]'s DataFrame build (the
+    * BROADCAST hint mirrors `broadcast(q)`; the 6-dp ROUND before
+    * ranking mirrors the tie-break contract), so a SQL client pays
+    * nothing for being SQL: TopKRewrite turns the window spelling into
+    * the native bounded top-k aggregate (PlanSpec sameResult pin).
+    */
+  val Q64TwinSql: String = """
+    WITH e0 AS (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v FROM embeddings),
+    e AS (SELECT vec_id, v, sqrt(graft_dot(v, v)) AS norm FROM e0),
+    q AS (SELECT vec_id AS query_id, v AS qv, norm AS qn FROM e WHERE vec_id < 8)
+    SELECT query_id, cand_id, cos, rnk FROM (
+      SELECT query_id, cand_id, cos,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, cand_id) AS INT) AS rnk
+      FROM (SELECT /*+ BROADCAST(q) */
+                   q.query_id, e.vec_id AS cand_id,
+                   ROUND(graft_dot(e.v, q.qv) / (e.norm * q.qn), 6) AS cos
+            FROM e JOIN q ON e.vec_id != q.query_id))
+    WHERE rnk <= 10
+    ORDER BY query_id, rnk"""
+
   def all: Seq[Q] = Seq(
     // the SQL-string twin of q27 (A7 coalesce-left-join-agg), gated on
     // q27's own oracle: a SQL client and a DataFrame client must get
@@ -167,6 +192,20 @@ object SqlSurface {
               FROM orders)
         WHERE rn = 1
         ORDER BY o_custkey""")
+    ),
+
+    // SQL twin of the similarity verb (q64 shape — cosine top-k over
+    // the embedding column via the registered graft_dot expression),
+    // gated on q51/q64's shared decimal-exact oracle; TopKRewrite must
+    // fire on the ROW_NUMBER() <= 10 spelling and the optimized plan
+    // must be the DataFrame build's (PlanSpec sameResult pin)
+    Q(
+      "q203_sql_ann_topk",
+      (s, d) => {
+        graft.functions.ArrayDot.register(s)
+        sql(s, d, Q64TwinSql)
+      },
+      Some(Similarity.topkOracleSql)
     )
   )
 }

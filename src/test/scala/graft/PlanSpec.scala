@@ -64,6 +64,25 @@ class PlanSpec extends SparkSpec {
       s"SQL window twin diverged from the DataFrame plan:\nSQL:\n$viaSql\nAPI:\n$viaApi")
   }
 
+  test("SQL ANN twin gets the native bounded top-k and the DataFrame plan (q203 ≡ q64)") {
+    // the similarity verb issued as client SQL (graft_dot + the
+    // ROW_NUMBER() <= 10 spelling) must reach the same plan as the
+    // DataFrame build: TopKRewrite fires (no Window sort over the
+    // 8-query × corpus score stream) and the optimized plans coincide
+    val ext = SparkSpec.extSession
+    val p = SparkEntry.queries("q203_sql_ann_topk")(ext, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(p.linesIterator.count(_.contains("ObjectHashAggregate")) >= 2,
+      s"expected partial+final ObjectHashAggregate on the SQL ANN form:\n$p")
+    assert(!p.contains(" Window "), s"SQL top-10 fell back to a window sort:\n$p")
+    val viaSql = SparkEntry.queries("q203_sql_ann_topk")(ext, sf("sf0.001"))
+      .queryExecution.optimizedPlan
+    val viaApi = SparkEntry.queries("q64_native_topk")(ext, sf("sf0.001"))
+      .queryExecution.optimizedPlan
+    assert(viaSql.sameResult(viaApi),
+      s"SQL ANN twin diverged from the DataFrame plan:\nSQL:\n$viaSql\nAPI:\n$viaApi")
+  }
+
   test("image near-dup candidates meet only inside band buckets, never all-pairs (q202)") {
     val p = plan("q202_image_neardup_pairs")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
