@@ -171,6 +171,197 @@ object Multimodal {
     bos.toByteArray
   }
 
+  // ---------------------------------------------------------------
+  // Audio perceptual near-dup (q204/q205): the q201/q202 pattern on
+  // the audio column — the remaining multimodal dedup surface. The
+  // fingerprint is the Shazam-family shape reduced to exact integers:
+  // per clip, [[AuBlocks]] time blocks, per-block ENERGY (Σ v² over
+  // the decoded 16-bit samples), bit(i) = 1 iff mean-energy(block i)
+  // > mean-energy(block i+1), compared cross-multiplied so the
+  // arithmetic stays exact (block sizes differ by one when 65 does
+  // not divide the clip length) — the audio twin of [[dhashOf]]'s
+  // adjacent-block comparisons. 64 bits → the same 4×16-bit bands,
+  // pigeonhole-complete for Hamming ≤ [[AuMaxHamming]].
+  //
+  // The textured corpus mirrors the image family: blocks of 4 docs
+  // share an md5-random BASE clip (keyed by doc_id >> 2, so the
+  // planted near-dups exist at every SF) plus a sparse per-doc sample
+  // perturbation (~0.5% of samples shifted by a quarter range) —
+  // q80's LCG clips are spectrally all-alike in the same way q62's
+  // gradient images are perceptually all-alike, so a perceptual
+  // fingerprint needs this corpus to be non-degenerate. Same-base
+  // docs differ in 0-6 bits (1-2 perturbed samples per clip, each
+  // moving 1 block's energy, each flipping ≤2 comparison bits);
+  // cross-base prints are 64 independent bits, so qualifying pairs
+  // live inside 4-doc base blocks and pair count grows LINEARLY.
+  // ---------------------------------------------------------------
+
+  private val AuBlocks = 65 // time blocks -> 64 adjacent comparisons
+  private val AuMaxHamming = 3 // <= bands-1, the pigeonhole bound
+
+  /** Textured-clip geometry: length keys off the BASE id so same-base
+    * clips block-align.
+    */
+  private[graft] def texClipLen(id: Long): Int = (256 + (id >> 2) % 91).toInt
+
+  /** md5-random base sample + sparse per-doc perturbation (+16384 mod
+    * the 16-bit range on ~1/211 of positions).
+    */
+  private[graft] def texSample(md: java.security.MessageDigest, id: Long, t: Int): Int = {
+    val base = (h60(md, s"au|${id >> 2}|$t") % 65536).toInt
+    val p = if ((id * 31 + t.toLong * 17) % 211 == 0) 16384 else 0
+    ((base + p) % 65536) - 32768
+  }
+
+  /** Encode the doc's textured clip as a real RIFF/WAVE payload. */
+  private[graft] def encodeTexWav(md: java.security.MessageDigest, id: Long): Array[Byte] = {
+    val n = texClipLen(id)
+    val pcm = new Array[Byte](n * 2)
+    var t = 0
+    while (t < n) {
+      val s = texSample(md, id, t)
+      pcm(t * 2) = (s & 0xff).toByte
+      pcm(t * 2 + 1) = ((s >> 8) & 0xff).toByte
+      t += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** 64-bit audio fingerprint over decoded little-endian 16-bit PCM:
+    * [[AuBlocks]] blocks (boundaries floor(i·n/65)), per-block energy
+    * Σ v², bit(i) = 1 iff e(i)·c(i+1) > e(i+1)·c(i). Bits 0-31 → h0,
+    * 32-63 → h1 (both non-negative 32-bit halves, the [[dhashOf]]
+    * BIGINT-survival discipline). Bounds: |v| ≤ 2¹⁵ so v² ≤ 2³⁰,
+    * block size ≤ 6 so e ≤ 3·2³² and e·c ≤ 9·2³⁴ — exact in a long
+    * and in DuckDB's BIGINT.
+    */
+  private[graft] def afpOf(pcm: Array[Byte]): (Long, Long) = {
+    val n = pcm.length / 2
+    val e = new Array[Long](AuBlocks)
+    val c = new Array[Long](AuBlocks)
+    var i = 0
+    while (i < AuBlocks) {
+      val lo = i * n / AuBlocks
+      val hi = (i + 1) * n / AuBlocks
+      c(i) = (hi - lo).toLong
+      var acc = 0L
+      var t = lo
+      while (t < hi) {
+        val v = ((pcm(t * 2) & 0xff) | (pcm(t * 2 + 1) << 8)).toShort.toInt
+        acc += v.toLong * v
+        t += 1
+      }
+      e(i) = acc
+      i += 1
+    }
+    var h0 = 0L
+    var h1 = 0L
+    i = 0
+    while (i < AuBlocks - 1) {
+      if (e(i) * c(i + 1) > e(i + 1) * c(i)) {
+        if (i < 32) h0 |= 1L << i else h1 |= 1L << (i - 32)
+      }
+      i += 1
+    }
+    (h0, h1)
+  }
+
+  /** Per-doc audio fingerprint through the REAL codec path: textured
+    * clip → WAV encode → binary column across a real exchange →
+    * AudioSystem decode (RIFF header parse + format negotiation) →
+    * imperative [[afpOf]] over the decoded samples. Hash parity with
+    * the analytic oracle gates the decode AND the energy arithmetic;
+    * bands are the 4 disjoint 16-bit slices the q205 candidate join
+    * buckets on.
+    */
+  private[graft] def audioFingerprint(s: SparkSession, d: String): DataFrame = {
+    val src = Tables.documents(s, d).select(col("doc_id"))
+    val binSchema = new StructType()
+      .add("doc_id", LongType)
+      .add("payload", BinaryType)
+    val encoded = src.mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.map { r =>
+        val id = r.getLong(0)
+        Row(id, encodeTexWav(md, id))
+      }
+    }(org.apache.spark.sql.Encoders.row(binSchema))
+    val outSchema = new StructType()
+      .add("doc_id", LongType)
+      .add("h0", LongType)
+      .add("h1", LongType)
+    encoded
+      .repartition(col("doc_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          val fmt = ais.getFormat
+          require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 && !fmt.isBigEndian,
+            s"unexpected decoded format: $fmt")
+          val pcm = ais.readAllBytes()
+          ais.close()
+          val (h0, h1) = afpOf(pcm)
+          Row(id, h0, h1)
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
+      .select(
+        col("doc_id"), col("h0"), col("h1"),
+        (col("h0") % 65536).cast(IntegerType).as("band0"),
+        (shiftright(col("h0"), 16) % 65536).cast(IntegerType).as("band1"),
+        (col("h1") % 65536).cast(IntegerType).as("band2"),
+        (shiftright(col("h1"), 16) % 65536).cast(IntegerType).as("band3"))
+  }
+
+  /** Analytic oracle chain shared by q204/q205: regenerate the samples
+    * (md5 base + perturbation), block energies, comparison bits, hash
+    * halves, band slices — the [[dhashChainSql]] discipline on the
+    * audio formula. `asums`/`ahsh` feed two downstream CTEs each →
+    * MATERIALIZED (the DuckDB-1.0 inlining hazard).
+    */
+  private val afpChainSql: String = s"""
+    ad AS (SELECT doc_id, doc_id >> 2 AS b,
+                  CAST(256 + (doc_id >> 2) % 91 AS INT) AS n
+           FROM documents),
+    ablocks AS (SELECT doc_id, b, n, i,
+                       (i*n)//$AuBlocks AS lo, ((i+1)*n)//$AuBlocks AS hi
+                FROM ad,
+                     (SELECT unnest(generate_series(0, ${AuBlocks - 1})) AS i)),
+    asums AS MATERIALIZED (
+      SELECT doc_id, i, hi - lo AS c,
+             list_sum(list_transform(generate_series(lo, hi - 1),
+               t -> CAST(
+                 (CAST('0x' || substr(md5('au|' || b || '|' || t), 1, 15) AS BIGINT) % 65536
+                  + CASE WHEN (doc_id*31 + t*17) % 211 = 0 THEN 16384 ELSE 0 END) % 65536
+                 - 32768 AS BIGINT)
+               * CAST(
+                 (CAST('0x' || substr(md5('au|' || b || '|' || t), 1, 15) AS BIGINT) % 65536
+                  + CASE WHEN (doc_id*31 + t*17) % 211 = 0 THEN 16384 ELSE 0 END) % 65536
+                 - 32768 AS BIGINT))) AS e
+      FROM ablocks),
+    abits AS (SELECT a.doc_id, a.i,
+                     CASE WHEN a.e * b2.c > b2.e * a.c THEN 1 ELSE 0 END AS bit
+              FROM asums a JOIN asums b2
+                ON a.doc_id = b2.doc_id AND b2.i = a.i + 1
+              WHERE a.i < ${AuBlocks - 1}),
+    ahsh AS MATERIALIZED (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN i < 32 THEN bit * (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS h0,
+             CAST(SUM(CASE WHEN i >= 32 THEN bit * (1::BIGINT << (i - 32)) ELSE 0 END) AS BIGINT) AS h1
+      FROM abits GROUP BY doc_id),
+    ahb AS MATERIALIZED (
+      SELECT doc_id, h0, h1,
+             CAST(h0 % 65536 AS INT) AS band0, CAST((h0 >> 16) % 65536 AS INT) AS band1,
+             CAST(h1 % 65536 AS INT) AS band2, CAST((h1 >> 16) % 65536 AS INT) AS band3
+      FROM ahsh)"""
+
   /** 64-bit dHash of a decoded grayscale raster: per row, [[DhBlocks]]
     * integer column blocks (boundaries floor(i·w/9)); bit(j,i) = 1 iff
     * mean(block i) > mean(block i+1), compared cross-multiplied so the
@@ -585,6 +776,80 @@ object Multimodal {
                JOIN hb hc ON cn.doc_b = hc.doc_id)
         SELECT doc_a, doc_b, hamming FROM sc
         WHERE hamming <= $DhMaxHamming
+        ORDER BY doc_a, doc_b""")
+    ),
+
+    // per-clip 64-bit perceptual audio fingerprint through the real
+    // WAV encode→exchange→decode path, plus the 4×16-bit band slices —
+    // the audio twin of q201. Parity gates the codec AND the
+    // exact-integer block-energy comparisons.
+    Q(
+      "q204_audio_fingerprint",
+      (s, d) => audioFingerprint(s, d).orderBy(col("doc_id")),
+      Some(s"""
+        WITH $afpChainSql
+        SELECT doc_id, h0, h1, band0, band1, band2, band3
+        FROM ahb ORDER BY doc_id""")
+    ),
+
+    // banded audio near-dup pairs: candidates meet ONLY inside a
+    // (band_id, value) bucket (4 disjoint 16-bit bands — pigeonhole-
+    // complete for Hamming <= 3, so banded EQUALS all-pairs and stays
+    // oracle-gated); verification is an exact popcount. Buckets are
+    // md5-random (~n/65536 docs each) and qualifying pairs live inside
+    // 4-doc base blocks, so shuffle and output grow LINEARLY.
+    Q(
+      "q205_audio_neardup_pairs",
+      (s, d) => {
+        // consumed by both sides of the band self-join AND the two
+        // final hash lookups — cache, or the codec pipeline runs 4x
+        val hd = audioFingerprint(s, d).cache()
+        val bands = hd.select(
+          col("doc_id"),
+          explode(array(
+            struct(lit(0).as("band_id"), col("band0").as("band")),
+            struct(lit(1).as("band_id"), col("band1").as("band")),
+            struct(lit(2).as("band_id"), col("band2").as("band")),
+            struct(lit(3).as("band_id"), col("band3").as("band")))).as("bb"))
+          .select(col("doc_id"), col("bb.band_id").as("band_id"), col("bb.band").as("band"))
+        val cand = bands.as("a")
+          .join(
+            bands.as("b"),
+            col("a.band_id") === col("b.band_id") && col("a.band") === col("b.band") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct()
+        cand
+          .join(hd.as("ha"), col("doc_a") === col("ha.doc_id"))
+          .join(hd.as("hc"), col("doc_b") === col("hc.doc_id"))
+          .select(
+            col("doc_a"), col("doc_b"),
+            (bit_count(col("ha.h0").bitwiseXOR(col("hc.h0"))) +
+              bit_count(col("ha.h1").bitwiseXOR(col("hc.h1")))).cast(IntegerType).as("hamming"))
+          .filter(col("hamming") <= AuMaxHamming)
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some(s"""
+        WITH $afpChainSql,
+        acand AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM ahb a JOIN ahb b ON a.band0 = b.band0 AND a.doc_id < b.doc_id
+          UNION
+          SELECT a.doc_id, b.doc_id
+          FROM ahb a JOIN ahb b ON a.band1 = b.band1 AND a.doc_id < b.doc_id
+          UNION
+          SELECT a.doc_id, b.doc_id
+          FROM ahb a JOIN ahb b ON a.band2 = b.band2 AND a.doc_id < b.doc_id
+          UNION
+          SELECT a.doc_id, b.doc_id
+          FROM ahb a JOIN ahb b ON a.band3 = b.band3 AND a.doc_id < b.doc_id),
+        asc2 AS (SELECT cn.doc_a, cn.doc_b,
+                        CAST(bit_count(xor(ha.h0, hc.h0)) + bit_count(xor(ha.h1, hc.h1)) AS INT) AS hamming
+                 FROM acand cn
+                 JOIN ahb ha ON cn.doc_a = ha.doc_id
+                 JOIN ahb hc ON cn.doc_b = hc.doc_id)
+        SELECT doc_a, doc_b, hamming FROM asc2
+        WHERE hamming <= $AuMaxHamming
         ORDER BY doc_a, doc_b""")
     )
   )

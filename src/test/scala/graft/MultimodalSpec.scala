@@ -97,6 +97,53 @@ class MultimodalSpec extends SparkSpec {
       s"unexpected cross-base pair: ${brute.find { case (a, b, _) => (a >> 2) != (b >> 2) }}")
   }
 
+  test("audio banding is pigeonhole-complete: banded pairs == brute-force pairs (q205)") {
+    // 4 disjoint 16-bit bands over the 64-bit fingerprint guarantee
+    // any pair within Hamming AuMaxHamming=3 shares a band — banded
+    // must reproduce all-pairs EXACTLY
+    val hd = Multimodal.audioFingerprint(spark, sf("sf0.001"))
+      .select("doc_id", "h0", "h1").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val brute = (for {
+      (a, a0, a1) <- hd; (b, b0, b1) <- hd if a < b
+      ham = java.lang.Long.bitCount(a0 ^ b0) + java.lang.Long.bitCount(a1 ^ b1)
+      if ham <= 3
+    } yield (a, b, ham)).toSet
+    val banded = SparkEntry.queries("q205_audio_neardup_pairs")(spark, sf("sf0.001"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(banded == brute,
+      s"banded != brute: missing ${(brute -- banded).take(5)}, extra ${(banded -- brute).take(5)}")
+    assert(brute.nonEmpty, "fixture must contain planted near-dup pairs")
+    // planted structure holds: qualifying pairs live inside 4-doc base
+    // blocks (cross-base fingerprints are independent 64-bit values)
+    assert(brute.forall { case (a, b, _) => (a >> 2) == (b >> 2) },
+      s"unexpected cross-base pair: ${brute.find { case (a, b, _) => (a >> 2) != (b >> 2) }}")
+  }
+
+  test("decoded-PCM audio fingerprint equals the analytic print (codec transparency, q204)") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    for (id <- Seq(0L, 3L, 17L, 199L, 4242L)) {
+      // through the real codec
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(Multimodal.encodeTexWav(md, id)))
+      val pcm = ais.readAllBytes()
+      val (h0, h1) = Multimodal.afpOf(pcm)
+      // analytic twin straight from the sample formula, no codec
+      val n = Multimodal.texClipLen(id)
+      val lo = (0 to 65).map(i => i * n / 65)
+      val e = (0 until 65).map(i =>
+        (lo(i) until lo(i + 1)).map { t =>
+          val v = Multimodal.texSample(md, id, t).toLong; v * v
+        }.sum)
+      val c = (0 until 65).map(i => (lo(i + 1) - lo(i)).toLong)
+      var e0 = 0L; var e1 = 0L
+      for (i <- 0 until 64 if e(i) * c(i + 1) > e(i + 1) * c(i)) {
+        if (i < 32) e0 |= 1L << i else e1 |= 1L << (i - 32)
+      }
+      assert((h0, h1) == (e0, e1), s"doc $id audio print diverged from the analytic form")
+    }
+  }
+
   test("decoded-raster dHash equals the analytic hash (codec transparency, q201)") {
     val writer = javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
     val md = java.security.MessageDigest.getInstance("MD5")

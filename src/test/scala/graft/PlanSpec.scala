@@ -93,6 +93,16 @@ class PlanSpec extends SparkSpec {
       s"q202 must read the cached hash frame, not re-run the codec per side:\n$p")
   }
 
+  test("audio near-dup candidates meet only inside band buckets, never all-pairs (q205)") {
+    val p = plan("q205_audio_neardup_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"banded audio pairs must never form an unbucketed pair join:\n$p")
+    // the fingerprint frame is cached: the codec pipeline (encode->
+    // exchange->decode) must materialize once, not once per self-join side
+    assert(p.contains("InMemoryTableScan"),
+      s"q205 must read the cached fingerprint frame, not re-run the codec per side:\n$p")
+  }
+
   test("IVF-PQ serve prunes by cell equi-join and broadcasts the ADC tables (q199)") {
     val p = plan("q199_ivfpq_serve")
     // candidates come from the posting-list equi-join on cell id and
