@@ -36,7 +36,8 @@ object Prebuild {
     "mix_index" -> ((s, d) => { operators.Text.mixIndex(s, d); () }),
     "bpe_rules" -> ((s, d) => { operators.Text.bpeRulesIndex(s, d); () }),
     "shard_index" -> ((s, d) => { operators.Text.shardIndex(s, d); () }),
-    "price_drift_index" -> ((s, d) => { operators.Warehouse.priceDriftIndex(s, d); () })
+    "price_drift_index" -> ((s, d) => { operators.Warehouse.priceDriftIndex(s, d); () }),
+    "img_dhash_index" -> ((s, d) => { operators.Multimodal.imageDhashIndex(s, d); () })
   )
 
   // audit trail: which (artifact, dataset) pairs this JVM has forced.

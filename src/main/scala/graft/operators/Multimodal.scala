@@ -408,8 +408,14 @@ object Multimodal {
     * analytic oracle gates the decode AND the hash arithmetic. Bands
     * are the 4 disjoint 16-bit slices used by the q202 candidate join.
     */
-  private[graft] def imageDhash(s: SparkSession, d: String): DataFrame = {
-    val src = Tables.documents(s, d).select(col("doc_id"))
+  private[graft] def imageDhash(s: SparkSession, d: String): DataFrame =
+    imageDhashOf(Tables.documents(s, d).select(col("doc_id")))
+
+  /** [[imageDhash]] over an arbitrary doc_id frame — the standing/
+    * delta split of the incremental family (q206) hashes each side
+    * separately, so only the delta ever pays the codec at serve time.
+    */
+  private[graft] def imageDhashOf(src: DataFrame): DataFrame = {
     val binSchema = new StructType()
       .add("doc_id", LongType)
       .add("payload", BinaryType)
@@ -446,6 +452,75 @@ object Multimodal {
         (shiftright(col("h0"), 16) % 65536).cast(IntegerType).as("band1"),
         (col("h1") % 65536).cast(IntegerType).as("band2"),
         (shiftright(col("h1"), 16) % 65536).cast(IntegerType).as("band3"))
+  }
+
+  /** Standing/delta split for the image-hash index lifecycle: ~90% of
+    * docs form the standing corpus whose hashes freeze into the index;
+    * the md5-hash-selected ~10% arrive as the delivery's delta (the
+    * q179/q196 convention applied to documents).
+    */
+  private[graft] def imgStanding: org.apache.spark.sql.Column =
+    graft.functions.TextFns.h60(
+      concat(lit("d"), col("doc_id").cast("string"))) % 10 =!= 0
+
+  private val imageIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The FROZEN image-hash index (q206): the standing ~90% corpus's
+    * dHash frame (doc_id, h0, h1, band0-3), computed ONCE through the
+    * real codec path and published cross-JVM via [[graft.IndexStore]]
+    * (Prebuild-registered) — the ETL-tier cost a deployment amortizes.
+    * Serving hashes only the delta: the codec (the corpus-linear cost,
+    * 58.2 s at sf10 for q201's full corpus) is paid per delivery only
+    * on the ~10% batch.
+    */
+  private[graft] def imageDhashIndex(s: SparkSession, d: String): String =
+    imageIndexCache.computeIfAbsent(d, _ => {
+      graft.IndexStore.resolve(s, "img_dhash_index", 1, d, Seq("documents.parquet")) {
+        dirOf =>
+          val standing = imageDhashOf(
+            Tables.documents(s, d).select(col("doc_id")).filter(imgStanding))
+          Map("hashes" -> Snapshots.commit(standing, dirOf("hashes"), replace = true))
+      }("hashes")
+    })
+
+  /** Explode a hash frame into its 4 (band_id, band) rows. */
+  private def bandRows(hd: DataFrame): DataFrame =
+    hd.select(
+      col("doc_id"),
+      explode(array(
+        struct(lit(0).as("band_id"), col("band0").as("band")),
+        struct(lit(1).as("band_id"), col("band1").as("band")),
+        struct(lit(2).as("band_id"), col("band2").as("band")),
+        struct(lit(3).as("band_id"), col("band3").as("band")))).as("bb"))
+      .select(col("doc_id"), col("bb.band_id").as("band_id"), col("bb.band").as("band"))
+
+  /** q206's serve path: the delta hashes through the codec, then its
+    * band rows probe the STANDING index's band rows (equi-join on
+    * (band_id, band) — the q130 posture: only the incoming batch's
+    * bands shuffle per delivery; at warehouse scale the index side is
+    * bucketed by band). Completeness within the probe is the q202
+    * pigeonhole argument unchanged; verification is the exact
+    * popcount against the pinned standing hashes.
+    */
+  private[graft] def incrementalImageNeardup(s: SparkSession, d: String): DataFrame = {
+    val idx = Snapshots.read(s, imageDhashIndex(s, d))
+    val delta = imageDhashOf(
+      Tables.documents(s, d).select(col("doc_id")).filter(!imgStanding)).cache()
+    val cand = bandRows(delta).as("n")
+      .join(bandRows(idx).as("x"),
+        col("n.band_id") === col("x.band_id") && col("n.band") === col("x.band"))
+      .select(col("n.doc_id").as("new_doc"), col("x.doc_id").as("dup_of"))
+      .distinct()
+    cand
+      .join(delta.as("ha"), col("new_doc") === col("ha.doc_id"))
+      .join(idx.as("hc"), col("dup_of") === col("hc.doc_id"))
+      .select(
+        col("new_doc"), col("dup_of"),
+        (bit_count(col("ha.h0").bitwiseXOR(col("hc.h0"))) +
+          bit_count(col("ha.h1").bitwiseXOR(col("hc.h1")))).cast(IntegerType).as("hamming"))
+      .filter(col("hamming") <= DhMaxHamming)
+      .orderBy(col("new_doc"), col("dup_of"))
   }
 
   /** Analytic oracle chain shared by q201/q202: regenerate the pixels
@@ -777,6 +852,43 @@ object Multimodal {
         SELECT doc_a, doc_b, hamming FROM sc
         WHERE hamming <= $DhMaxHamming
         ORDER BY doc_a, doc_b""")
+    ),
+
+    // incremental (ingestion-time) image near-dup — q202's delivery
+    // twin, completing the incremental dedup family (exact q119,
+    // text near-dup q130, spans q144, and now images): the ~10% delta
+    // batch hashes through the codec and its band rows probe the
+    // FROZEN standing hash index (IndexStore artifact; only the batch
+    // ever pays the codec or shuffles at serve time — delta-linear,
+    // vs q201's corpus-linear full hash). The oracle replays the
+    // split: full analytic hash chain, pairs restricted to
+    // delta × standing through the same band buckets.
+    Q(
+      "q206_incremental_image_neardup",
+      (s, d) => incrementalImageNeardup(s, d),
+      Some(s"""
+        WITH $dhashChainSql,
+        dl AS (SELECT doc_id FROM documents
+               WHERE ${graft.functions.TextFns.Sql.h60("'d' || CAST(doc_id AS VARCHAR)")} % 10 = 0),
+        nh AS MATERIALIZED (SELECT hb.* FROM hb JOIN dl ON hb.doc_id = dl.doc_id),
+        xh AS MATERIALIZED (SELECT hb.* FROM hb ANTI JOIN dl ON hb.doc_id = dl.doc_id),
+        icand AS (
+          SELECT n.doc_id AS new_doc, x.doc_id AS dup_of
+          FROM nh n JOIN xh x ON n.band0 = x.band0
+          UNION
+          SELECT n.doc_id, x.doc_id FROM nh n JOIN xh x ON n.band1 = x.band1
+          UNION
+          SELECT n.doc_id, x.doc_id FROM nh n JOIN xh x ON n.band2 = x.band2
+          UNION
+          SELECT n.doc_id, x.doc_id FROM nh n JOIN xh x ON n.band3 = x.band3),
+        isc AS (SELECT cn.new_doc, cn.dup_of,
+                       CAST(bit_count(xor(ha.h0, hc.h0)) + bit_count(xor(ha.h1, hc.h1)) AS INT) AS hamming
+                FROM icand cn
+                JOIN nh ha ON cn.new_doc = ha.doc_id
+                JOIN xh hc ON cn.dup_of = hc.doc_id)
+        SELECT new_doc, dup_of, hamming FROM isc
+        WHERE hamming <= $DhMaxHamming
+        ORDER BY new_doc, dup_of""")
     ),
 
     // per-clip 64-bit perceptual audio fingerprint through the real

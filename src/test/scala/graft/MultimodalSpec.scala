@@ -144,6 +144,31 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("q206 serves from the frozen index exactly what an inline recompute derives") {
+    // the GraphSpec served≡inline discipline: a stale/torn published
+    // image-hash index (e.g. a missed formatVersion bump) must show up
+    // as a divergence from the inline standing/delta recompute; the
+    // brute-force pair set also re-proves banding completeness on the
+    // incremental split
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf("sf0.001")).select(col("doc_id"))
+    def hashes(side: org.apache.spark.sql.DataFrame) =
+      Multimodal.imageDhashOf(side).select("doc_id", "h0", "h1").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val standing = hashes(docs.filter(Multimodal.imgStanding))
+    val delta = hashes(docs.filter(!Multimodal.imgStanding))
+    assert(delta.nonEmpty && standing.nonEmpty, "split must populate both sides")
+    val brute = (for {
+      (n, n0, n1) <- delta; (x, x0, x1) <- standing
+      ham = java.lang.Long.bitCount(n0 ^ x0) + java.lang.Long.bitCount(n1 ^ x1)
+      if ham <= 3
+    } yield (n, x, ham)).toSet
+    val served = SparkEntry.queries("q206_incremental_image_neardup")(spark, sf("sf0.001"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(served == brute,
+      s"served != inline: missing ${(brute -- served).take(5)}, extra ${(served -- brute).take(5)}")
+  }
+
   test("decoded-raster dHash equals the analytic hash (codec transparency, q201)") {
     val writer = javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
     val md = java.security.MessageDigest.getInstance("MD5")

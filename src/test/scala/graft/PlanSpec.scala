@@ -93,6 +93,21 @@ class PlanSpec extends SparkSpec {
       s"q202 must read the cached hash frame, not re-run the codec per side:\n$p")
   }
 
+  test("incremental image near-dup probes the published index, delta-only codec (q206)") {
+    val p = plan("q206_incremental_image_neardup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"incremental band probe must never form an unbucketed pair join:\n$p")
+    // the standing side must come from the PUBLISHED IndexStore
+    // artifact (a parquet scan of the frozen hash table), never an
+    // in-query codec run over the standing 90% — delta-linearity is
+    // the point of the incremental twin
+    assert(p.contains("img_dhash_index"),
+      s"q206 must read the published standing-hash index:\n$p")
+    // the delta hash frame is cached (bands + final hash lookup)
+    assert(p.contains("InMemoryTableScan"),
+      s"q206 must read the cached delta hash frame:\n$p")
+  }
+
   test("audio near-dup candidates meet only inside band buckets, never all-pairs (q205)") {
     val p = plan("q205_audio_neardup_pairs")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
