@@ -99,6 +99,28 @@ class GraphSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("K-batched census equals the single-pass census for every K (q151 scale path)") {
+    // every wedge lands in exactly one md5 batch of its orientation
+    // source, so the batched sum must equal the single-pass count
+    // EXACTLY, for any K — on a fixture with hubs, pendants, and a
+    // triangle-free appendix so batches are non-trivially populated
+    val und = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L), // K4
+      (4L, 5L), (5L, 6L), (6L, 7L), (4L, 7L), // square on 4-5-6-7
+      (8L, 9L), (8L, 10L), (9L, 10L), // disjoint triangle
+      (10L, 11L)) // pendant
+      .toDF("u", "v")
+    val single = Graph.triCensusRaw(und).collect().head
+    for (k <- Seq(2, 3, 7)) {
+      val batched = Graph.triCensusBatchedRaw(und, k).collect().head
+      for (c <- Seq("n_triangles", "n_nodes", "n_edges", "wdg"))
+        assert(batched.getAs[Long](c) == single.getAs[Long](c),
+          s"K=$k batched $c diverged")
+      spark.catalog.clearCache()
+    }
+    spark.catalog.clearCache()
+  }
+
   test("triangles: triangle-free bipartite graph counts zero") {
     val und = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L), (3L, 10L))
       .toDF("u", "v")
