@@ -757,6 +757,15 @@ object Graph {
       when(less, col("dv")).otherwise(col("du")).as("db"))
       .repartition(col("a"))
       .cache()
+    // the closing-edge relation is the semi-join's build side in EVERY
+    // batch: pin it hash-partitioned AND sorted on the join keys in
+    // the cache, so each batch's sort-merge semi-join exchanges and
+    // sorts ONLY its bounded wedge stream — without this the full
+    // m-row edge set re-shuffles and re-sorts K times
+    val closing = or.select(col("a").as("p"), col("b").as("q"))
+      .repartition(col("p"), col("q"))
+      .sortWithinPartitions(col("p"), col("q"))
+      .cache()
     val nTriangles = (0 until k).map { i =>
       val orI = or.filter(
         graft.functions.TextFns.h60(col("a").cast("string")) % k === i)
@@ -765,13 +774,14 @@ object Graph {
           col("x.db") < col("y.db") ||
             (col("x.db") === col("y.db") && col("x.b") < col("y.b")))
         .select(col("x.b").as("p"), col("y.b").as("q"))
-        .join(or.select(col("a").as("p"), col("b").as("q")), Seq("p", "q"), "left_semi")
+        .join(closing, Seq("p", "q"), "left_semi")
         .count()
     }.sum
     val sizes = und.agg(count(lit(1)).as("n_edges")).head()
     val nw = degrees.agg(
       count(lit(1)).as("n_nodes"),
       sum(expr("(dg * (dg - 1)) div 2")).as("wdg")).head()
+    closing.unpersist()
     or.unpersist()
     degrees.unpersist()
     und.unpersist()
