@@ -264,6 +264,13 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // the widest library aggregates (Lloyd per-round stats: k*(dim+1)
+      // = 130 columns at k=10,dim=12; the elbow/cent0 max-when seeds)
+      // sit above the 100-field whole-stage-codegen default cutoff and
+      // fell back to interpreted eval — 2-4x slower per training round
+      // (r17 JobCount A/B). 250 covers every declared plan with margin;
+      // engine property, not a cluster-size tunable.
+      .config("spark.sql.codegen.maxFields", "250")
       // test parquet files are single-digit-MB; split them so scans do not
       // collapse to one task (amplified by explodes downstream)
       .config("spark.sql.files.maxPartitionBytes", "4m")

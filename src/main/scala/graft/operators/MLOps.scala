@@ -546,7 +546,8 @@ object MLOps {
       k: Int,
       iters: Int): DataFrame = {
     var cent: DataFrame = cent0.localCheckpoint(true)
-    for (_ <- 1 to iters) {
+    for (it <- 1 to iters) {
+      s.sparkContext.setJobDescription(s"lloydTrain round $it")
       val labeled = nearestLabel(zs, feats, cent, k)
       val aggs = (0 until k).flatMap { c =>
         val in = col("cluster") === c
@@ -560,6 +561,7 @@ object MLOps {
           when(col(s"n$c") > 0, col(s"s${c}_$f") / col(s"n$c").cast("double"))
             .otherwise(col(s"c${c}_$f")).as(s"c${c}_$f"))): _*)
         .localCheckpoint(true)
+      s.sparkContext.setJobDescription(null)
     }
     cent
   }
@@ -731,15 +733,24 @@ object MLOps {
                FROM lineitem GROUP BY 1, 2)"""
 
   private[graft] def sequenceEmbedding(s: SparkSession, d: String): DataFrame = {
-    val pq = seqMatrix(s, d)
-    val comps = (1 to EmbedDim).map { j =>
-      val sign = when(
-        graft.functions.TextFns.h60(
-          concat(col("t").cast("string"), lit(s",$j"))) % 2 === 0,
-        lit(1L)).otherwise(lit(-1L))
-      sum(col("rev_cents") * sign).as(s"e$j")
-    }
-    pq.groupBy(col("part_id")).agg(comps.head, comps.tail: _*)
+    // the ±1 sign is a pure function of (calendar quarter, output dim):
+    // evaluate the EmbedDim md5-derived signs once per DISTINCT quarter
+    // (a calendar-sized frame — ~4·years rows at any corpus size) and
+    // broadcast-join them back, instead of EmbedDim md5 hashes per
+    // (part, quarter) row — the md5s were the embedding pass's dominant
+    // per-row cost (12 hashes × parts×quarters rows). `pq` is cached:
+    // it feeds both the distinct-quarter sign build and the projection
+    // join (the zscored()/self-join reuse discipline).
+    val pq = seqMatrix(s, d).cache()
+    val signs = pq.select(col("t")).distinct()
+      .select(col("t") +: (1 to EmbedDim).map { j =>
+        when(
+          graft.functions.TextFns.h60(
+            concat(col("t").cast("string"), lit(s",$j"))) % 2 === 0,
+          lit(1L)).otherwise(lit(-1L)).as(s"sg$j")
+      }: _*)
+    val comps = (1 to EmbedDim).map(j => sum(col("rev_cents") * col(s"sg$j")).as(s"e$j"))
+    pq.join(broadcast(signs), "t").groupBy(col("part_id")).agg(comps.head, comps.tail: _*)
   }
 
   private[graft] val sequenceEmbeddingSql: String = {
@@ -800,9 +811,10 @@ object MLOps {
     *
     * Scale shape: the fact-sized work is exactly two passes — G (one
     * self-join keyed on part over the tiny per-part quarter lists) and
-    * the final X·V projection; everything between operates on
-    * (quarters × [[LearnDim]]) frames, constant-size however large the
-    * corpus, exactly how a D×D covariance eigensolve distributes.
+    * the final X·V projection; the rounds between run DRIVER-SIDE on
+    * the collected quarters×quarters Gram ([[subspaceIterLocal]]),
+    * constant-size however large the corpus — exactly how a D×D
+    * covariance eigensolve distributes.
     */
   /** The training loop of [[learnedEmbedding]], exposed for the
     * MLGateSpec learning gate: returns the (t, j, v) basis after every
@@ -813,62 +825,131 @@ object MLOps {
   private[graft] def learnedBases(s: SparkSession, d: String): Seq[DataFrame] =
     basesOf(s, seqMatrix(s, d).localCheckpoint(true))
 
+  // ---------------------------------------------------------------
+  // Driver-side exact twin of the tiny-matrix training arithmetic.
+  //
+  // The subspace-iteration loops (q58 PCA, q140 learned encoder) train
+  // on CONSTANT-SIZE Gram matrices — features² (8×8) resp. calendar-
+  // quarters² — metadata-sized at any corpus scale. Until round 17
+  // every training round ran as driver-SEQUENCED one-partition Spark
+  // jobs (~45-50 eager jobs per query between localCheckpoints,
+  // broadcast dots and norm aggregates), charging seconds of pure job-
+  // scheduling latency to compute a few thousand scalar ops. These
+  // helpers replay the SAME arithmetic on the driver, op for op:
+  //  - cast(double AS DECIMAL(38,12)) = BigDecimal on the double's
+  //    SHORTEST decimal representation (Double.toString — exactly what
+  //    Spark's Cast does via Decimal(BigDecimal(d))) setScale(12,
+  //    HALF_UP), matching Decimal.changePrecision;
+  //  - decimal sums are exact adds (order-free), cast to double ONCE
+  //    via BigDecimal.doubleValue = Decimal.toDouble;
+  //  - every per-element multiply/subtract/divide stays a single IEEE
+  //    double op in the former column-expression order.
+  // The corpus-sized passes (z-matrix / sequence matrix, Gram build,
+  // final projection) remain distributed Spark jobs — the same split
+  // MLlib's RowMatrix.computePrincipalComponents uses (distributed
+  // Gram, local eigensolve). Equivalence proof: the DuckDB oracle
+  // replay (unchanged) still hash-matches, and MLGateSpec's spectrum/
+  // energy gates run on the same outputs.
+  // ---------------------------------------------------------------
+
+  /** Exact driver twin of a double's DECIMAL(38,12) cast. */
+  private def dec12(d: Double): java.math.BigDecimal =
+    java.math.BigDecimal.valueOf(d).setScale(12, java.math.RoundingMode.HALF_UP)
+
+  /** Exact driver twin of [[dsum12]] (decimal-exact sum, one final
+    * double rounding). Order-free by construction.
+    */
+  private def dsum12Local(xs: Iterable[Double]): Double =
+    xs.foldLeft(java.math.BigDecimal.ZERO)((a, x) => a.add(dec12(x))).doubleValue
+
+  /** Driver twin of [[graft.functions.TextFns.h60]] (md5 → first 15
+    * hex digits → long), used only for the ±1 sign init.
+    */
+  private def h60Local(str: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(str.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  /** The md5 ±1 sign init both trainers seed from — driver twin of
+    * `WHEN h60(t || ',' || j || 'v') % 2 = 0 THEN 1 ELSE -1`.
+    */
+  private def signLocal(t: Int, j: Int): Double =
+    if (h60Local(s"$t,${j}v") % 2 == 0) 1.0 else -1.0
+
+  /** [[LearnIters]] rounds of subspace iteration (G·V + modified
+    * Gram-Schmidt) on the driver, arithmetic-identical to the former
+    * distributed loop (see the block comment above). `g` holds the
+    * collected Gram entries keyed (t1, t2); `wShrink`, when set,
+    * divides each mat-vec sum (the q140 [[Shrink]] rescale). Returns
+    * the (t, j) → v basis after every round, element 0 = the sign
+    * init — same contract as the DataFrame loop it replaces.
+    */
+  private def subspaceIterLocal(
+      g: Map[(Int, Int), Double],
+      iters: Int,
+      wShrink: Option[Double]): Vector[Map[(Int, Int), Double]] = {
+    val ts: Seq[Int] = g.keysIterator.map(_._1).toSeq.distinct.sorted
+    val byT1: Map[Int, Seq[((Int, Int), Double)]] = g.toSeq.groupBy(_._1._1)
+    var v: Map[(Int, Int), Double] =
+      (for (t <- ts; j <- 1 to LearnDim) yield (t, j) -> signLocal(t, j)).toMap
+    var bases = Vector(v)
+    for (_ <- 1 to iters) {
+      // w(t, j) = dsum12 over t2 of g(t, t2) · v(t2, j)  [/ Shrink]
+      val w: Map[(Int, Int), Double] =
+        (for (t <- ts; j <- 1 to LearnDim) yield {
+          val s0 = dsum12Local(byT1(t).map { case ((_, t2), gv) => gv * v((t2, j)) })
+          (t, j) -> wShrink.fold(s0)(s0 / _)
+        }).toMap
+      var done = Vector.empty[Map[Int, Double]] // finished orthonormal columns
+      for (j <- 1 to LearnDim) {
+        var u: Map[Int, Double] = ts.map(t => t -> w((t, j))).toMap
+        for (prior <- done) {
+          val dd = dsum12Local(ts.map(t => u(t) * prior(t)))
+          u = ts.map(t => t -> (u(t) - dd * prior(t))).toMap
+        }
+        val n = math.sqrt(dsum12Local(ts.map(t => u(t) * u(t))))
+        val nn = if (n == 0.0) 1.0 else n
+        done = done :+ ts.map(t => t -> u(t) / nn).toMap
+      }
+      v = (for ((c, i) <- done.zipWithIndex; t <- ts) yield (t, i + 1) -> c(t)).toMap
+      bases = bases :+ v
+    }
+    bases
+  }
+
+  /** A collected (t1, t2) → g Gram map back as a tiny (t, j, v) basis
+    * frame — the shape [[learnedEmbedding]] broadcasts and MLGateSpec
+    * collects.
+    */
+  private def basisDf(s: SparkSession, m: Map[(Int, Int), Double]): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("t", IntegerType, nullable = false),
+      StructField("j", IntegerType, nullable = false),
+      StructField("v", DoubleType, nullable = false)))
+    val rows = m.toSeq.sortBy(_._1).map { case ((t, j), v) =>
+      org.apache.spark.sql.Row(t, j, v)
+    }
+    s.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+  }
+
   /** Training rounds over an already-materialized sequence matrix, so
     * [[learnedEmbedding]] pays ONE fact scan for training + projection.
+    * The quarters×quarters Gram is the only distributed work; the
+    * rounds run driver-side (see the exactness block comment above).
     */
   private def basesOf(s: SparkSession, pq: DataFrame): Seq[DataFrame] = {
-    val Acc12 = org.apache.spark.sql.types.DecimalType(38, 12)
-    def dsum12(c: Column): Column = sum(c.cast(Acc12)).cast("double")
     val g = pq.as("a").join(pq.as("b"), "part_id")
       .groupBy(col("a.t").as("t1"), col("b.t").as("t2"))
       .agg(sum(col("a.rev_cents").cast(org.apache.spark.sql.types.DecimalType(38, 0))
         * col("b.rev_cents")).cast("double").as("g"))
-      // quarters x quarters rows: 1 partition kills ~40 tiny 32-task
-      // stages in the training loop (values untouched — every sum in
-      // the chain is decimal-exact and order-free)
-      .coalesce(1)
-      .localCheckpoint(true)
-    var v: DataFrame = pq.select(col("t")).distinct()
-      .crossJoin(s.range(1, LearnDim + 1).select(col("id").cast(IntegerType).as("j")))
-      .select(
-        col("t"), col("j"),
-        when(
-          graft.functions.TextFns.h60(concat(
-            col("t").cast("string"), lit(","), col("j").cast("string"), lit("v"))) % 2 === 0,
-          lit(1.0)).otherwise(lit(-1.0)).as("v"))
-      .coalesce(1)
-      .localCheckpoint(true)
-    var bases = Vector(v)
-    for (_ <- 1 to LearnIters) {
-      val w = g.join(v.as("vv"), col("t2") === col("vv.t"))
-        .groupBy(col("t1").as("t"), col("j"))
-        .agg((dsum12(col("g") * col("v")) / Shrink).as("w"))
-        .coalesce(1)
-        .localCheckpoint(true)
-      var done = Vector.empty[DataFrame] // finished orthonormal columns (t, vc)
-      for (j <- 1 to LearnDim) {
-        var u = w.filter(col("j") === j).select(col("t"), col("w").as("u"))
-        for (prior <- done) {
-          val dot = u.join(prior, "t").agg(dsum12(col("u") * col("vc")).as("dd"))
-          u = u.join(prior, "t").crossJoin(broadcast(dot))
-            .select(col("t"), (col("u") - col("dd") * col("vc")).as("u"))
-        }
-        val n = u.agg(sqrt(dsum12(col("u") * col("u"))).as("n"))
-        done = done :+ u.crossJoin(broadcast(n))
-          .select(
-            col("t"),
-            (col("u") / when(col("n") === 0.0, 1.0).otherwise(col("n"))).as("vc"))
-          .coalesce(1)
-          .localCheckpoint(true)
-      }
-      v = done.zipWithIndex
-        .map { case (c, i) => c.select(col("t"), lit(i + 1).as("j"), col("vc").as("v")) }
-        .reduce(_.unionByName(_))
-        .coalesce(1)
-        .localCheckpoint(true)
-      bases = bases :+ v
-    }
-    bases
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2))
+      .toMap
+    subspaceIterLocal(g, LearnIters, wShrink = Some(Shrink)).map(basisDf(s, _))
   }
 
   private[graft] def learnedEmbedding(s: SparkSession, d: String): DataFrame = {
@@ -955,13 +1036,14 @@ object MLOps {
     * are q140's, replayed CTE-for-CTE by the oracle.
     *
     * Scale shape: one pass builds the (parts × 8) micro matrix, one
-    * self-join keyed on part_id builds the 8×8 Gram; training then
-    * runs on constant-size (8×4) frames regardless of corpus size —
-    * exactly how a D×D covariance eigensolve distributes. The MLlib
-    * PCA surface is pinned against this spectrum in MLGateSpec.
+    * self-join keyed on part_id builds the 8×8 Gram; the training
+    * rounds then run DRIVER-SIDE on the collected constant-size matrix
+    * (see [[subspaceIterLocal]]) — exactly how a D×D covariance
+    * eigensolve distributes (MLlib's RowMatrix does the same split:
+    * distributed Gram, local solve). The MLlib PCA surface is pinned
+    * against this spectrum in MLGateSpec.
     */
   private[graft] def pcaVarianceDet(s: SparkSession, d: String): DataFrame = {
-    val nf = MatrixFeatures.length
     val arr = array(MatrixFeatures.map(f =>
       floor(col(s"z_$f") * 1000000.0 + 0.5).cast(org.apache.spark.sql.types.LongType)): _*)
     val zm = zscored(s, d)
@@ -970,70 +1052,42 @@ object MLOps {
         col("part_id"),
         (col("pos") + 1).cast(IntegerType).as("t"),
         col("col").as("m"))
-      .localCheckpoint(true)
-    val tr = zm.agg(sum((col("m") * col("m")).cast(Dec0)).cast("double").as("tr"))
+      .localCheckpoint(true) // both sides of the Gram self-join
+    // the trace stays a distributed decimal-exact aggregate (ONE final
+    // double rounding over all parts×features micro values — summing
+    // the already-rounded per-cell doubles would NOT be bit-identical)
+    val trv = zm
+      .agg(sum((col("m") * col("m")).cast(Dec0)).cast("double").as("tr"))
+      .collect()(0).getDouble(0)
     val g = zm.as("a").join(zm.as("b"), "part_id")
       .groupBy(col("a.t").as("t1"), col("b.t").as("t2"))
       .agg(sum(col("a.m").cast(Dec0) * col("b.m")).cast("double").as("graw"))
-      .crossJoin(broadcast(tr))
-      .select(col("t1"), col("t2"), (col("graw") / col("tr")).as("g"))
-      .coalesce(1)
-      .localCheckpoint(true)
-    var v: DataFrame = s.range(1, nf + 1).select(col("id").cast(IntegerType).as("t"))
-      .crossJoin(s.range(1, LearnDim + 1).select(col("id").cast(IntegerType).as("j")))
-      .select(
-        col("t"), col("j"),
-        when(
-          graft.functions.TextFns.h60(concat(
-            col("t").cast("string"), lit(","), col("j").cast("string"), lit("v"))) % 2 === 0,
-          lit(1.0)).otherwise(lit(-1.0)).as("v"))
-      .coalesce(1)
-      .localCheckpoint(true)
-    for (_ <- 1 to LearnIters) {
-      val w = g.join(v.as("vv"), col("t2") === col("vv.t"))
-        .groupBy(col("t1").as("t"), col("j"))
-        .agg(dsum12(col("g") * col("v")).as("w"))
-        .coalesce(1)
-        .localCheckpoint(true)
-      var done = Vector.empty[DataFrame]
-      for (j <- 1 to LearnDim) {
-        var u = w.filter(col("j") === j).select(col("t"), col("w").as("u"))
-        for (prior <- done) {
-          val dot = u.join(prior, "t").agg(dsum12(col("u") * col("vc")).as("dd"))
-          u = u.join(prior, "t").crossJoin(broadcast(dot))
-            .select(col("t"), (col("u") - col("dd") * col("vc")).as("u"))
-        }
-        val n = u.agg(sqrt(dsum12(col("u") * col("u"))).as("n"))
-        done = done :+ u.crossJoin(broadcast(n))
-          .select(
-            col("t"),
-            (col("u") / when(col("n") === 0.0, 1.0).otherwise(col("n"))).as("vc"))
-          .coalesce(1)
-          .localCheckpoint(true)
-      }
-      v = done.zipWithIndex
-        .map { case (c, i) => c.select(col("t"), lit(i + 1).as("j"), col("vc").as("v")) }
-        .reduce(_.unionByName(_))
-        .coalesce(1)
-        .localCheckpoint(true)
-    }
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2) / trv)
+      .toMap
+    val v = subspaceIterLocal(g, LearnIters, wShrink = None).last
+    val ts = g.keysIterator.map(_._1).toSeq.distinct.sorted
     // explained variance = Rayleigh quotient vᵀ(G/tr)v per component
-    val y = g.join(v.as("vv"), col("t2") === col("vv.t"))
-      .groupBy(col("t1").as("t"), col("j"))
-      .agg(dsum12(col("g") * col("v")).as("y"))
-    val lam = y.as("y").join(v.as("v2"), col("y.t") === col("v2.t") && col("y.j") === col("v2.j"))
-      .groupBy(col("y.j"))
-      .agg(dsum12(col("y") * col("v")).as("explained_variance"))
+    val lams = (1 to LearnDim).map { j =>
+      val y = ts.map(t =>
+        t -> dsum12Local(ts.flatMap(t2 => g.get((t, t2)).map(_ * v((t2, j)))))).toMap
+      j -> dsum12Local(ts.map(t => y(t) * v((t, j))))
+    }
     // components are numbered by descending captured variance (ties by
     // training column id) — the trailing basis columns of a
     // finite-iteration subspace fit can swap order near equal
     // eigenvalues, and PCA components are by definition rank-ordered
-    lam
-      .select(
-        (row_number().over(
-          Window.orderBy(col("explained_variance").desc, col("j"))) - 1)
-          .cast(IntegerType).as("component"),
-        col("explained_variance"))
+    val ordered = lams.sortWith((a, b) => a._2 > b._2 || (a._2 == b._2 && a._1 < b._1))
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("component", IntegerType, nullable = false),
+      StructField("explained_variance", DoubleType, nullable = true)))
+    val rows = ordered.zipWithIndex.map { case ((_, ev), i) =>
+      org.apache.spark.sql.Row(i, ev)
+    }
+    s.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
       .orderBy(col("component"))
   }
 

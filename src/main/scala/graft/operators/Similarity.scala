@@ -187,13 +187,25 @@ object Similarity {
   }
 
   private def cellsOf(scores: DataFrame, top: Int): DataFrame =
-    scores
-      .withColumn(
-        "rn",
-        row_number().over(
-          Window.partitionBy(col("vec_id")).orderBy(col("score").desc, col("cell"))))
-      .filter(col("rn") <= top)
-      .select(col("vec_id"), col("cell"))
+    if (top == 1)
+      // top-1 as a partially-aggregable min(struct(−score, cell)):
+      // selects exactly the window's (score DESC, cell ASC) winner —
+      // double negation is an exact sign flip and orders inversely —
+      // while replacing the corpus-sized per-vector sort exchange with
+      // a map-side-combinable aggregate (guide §2.3/§2.4: aggregate
+      // before the shuffle, no sort). Used by every training-round
+      // assignment; the top>1 probe/index paths keep the rank window.
+      scores.groupBy(col("vec_id"))
+        .agg(min(struct(negate(col("score")), col("cell"))).as("b"))
+        .select(col("vec_id"), col("b.cell").as("cell"))
+    else
+      scores
+        .withColumn(
+          "rn",
+          row_number().over(
+            Window.partitionBy(col("vec_id")).orderBy(col("score").desc, col("cell"))))
+        .filter(col("rn") <= top)
+        .select(col("vec_id"), col("cell"))
 
   /** SQL mirror of one means→scores round; `asg` names the CTE holding
     * (vec_id, cell); `src` the element CTE the MEANS draw from (the
@@ -521,12 +533,14 @@ object Similarity {
     el.join(broadcast(cent), Seq("m", "pos"))
       .groupBy(col("vec_id"), col("m"), col("c"))
       .agg(sum(((col("x") - col("cx")) * (col("x") - col("cx"))).cast(Acc)).as("dist"))
-      .withColumn(
-        "rn",
-        row_number().over(
-          Window.partitionBy(col("vec_id"), col("m")).orderBy(col("dist"), col("c"))))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("m"), col("c"))
+      // argmin as min(struct(dist, c)) — identical (dist ASC, c ASC)
+      // winner to the former rank-1 window, but partially aggregable:
+      // the PqK-way candidate rows combine map-side and the per-
+      // (vector, subspace) sort exchange disappears from every
+      // training round and encode pass (guide §2.3/§2.4)
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(col("dist"), col("c"))).as("b"))
+      .select(col("vec_id"), col("m"), col("b.c").as("c"))
 
   /** PQ top-k (the q191 plan): train per-subspace codebooks (exact
     * decimal Lloyd from the deterministic vec_id%K init, empty

@@ -166,7 +166,8 @@ object Text {
     * are inherently sequential.
     */
   private[graft] def bpeApplyRound(
-      cur: DataFrame, pick: DataFrame): (DataFrame, DataFrame) = {
+      cur: DataFrame, pick: DataFrame,
+      exsh: Option[DataFrame] = None): (DataFrame, DataFrame) = {
     // degenerate-round guard: an empty pick (a training round that
     // produced no pair, or a rules index missing a rank) must SKIP the
     // round, not empty `cur` — the unguarded crossJoin would zero out
@@ -180,8 +181,17 @@ object Text {
     val ex = cur
       .select(col("doc_id"), posexplode(col("tok")).as(Seq("pos", "t")))
       .crossJoin(broadcast(pick.select(col("pair"))))
-    val matches = ex
-      .withColumn("bigr", concat(col("t"), lit(" "), lead(col("t"), 1).over(wdoc)))
+    // match positions straight off the token arrays via the SAME
+    // shingle primitive the pick's counts came from (shingle at
+    // 0-based array index p = tokens p,p+1 — exactly the lead()-built
+    // bigram at exploded pos p): map-side, which removes the former
+    // full-corpus exchange+sort of the exploded frame that the lead()
+    // window needed every round (guide §2.4). The run-grouping windows
+    // below then operate on the MATCHES only. Training passes the
+    // round's CACHED positional-shingle frame (`exsh`, shared with the
+    // pick count) so this scan is a cache read, not a second explode.
+    val matches = exsh.getOrElse(posShingles(cur))
+      .crossJoin(broadcast(pick.select(col("pair"))))
       .filter(col("bigr") === col("pair"))
       .select(col("doc_id"), col("pos"))
     val applied = matches
@@ -207,6 +217,13 @@ object Text {
     (applied, rebuilt)
   }
 
+  /** The round's positional bigram-shingle frame (doc_id, pos, bigr) —
+    * one explode serving BOTH the pick count and the match scan.
+    */
+  private def posShingles(cur: DataFrame): DataFrame =
+    cur.select(col("doc_id"),
+      posexplode(TextFns.shingles(col("tok"), 2)).as(Seq("pos", "bigr")))
+
   /** The merge-training loop over an explicit (doc_id, tok) frame —
     * the unit CorpusOpsSpec drives on hand-checkable corpora.
     */
@@ -214,13 +231,18 @@ object Text {
     var cur = cur0.localCheckpoint(true)
     var stats = Vector.empty[DataFrame]
     for (i <- 1 to BpeRounds) {
-      val pick = cur
-        .select(explode(TextFns.shingles(col("tok"), 2)).as("pair"))
-        .groupBy(col("pair")).agg(count(lit(1)).as("pair_count"))
+      // ONE shingle explode per round, cached: the pick count and the
+      // match scan both read it (formerly two independent explodes of
+      // `cur` — guide §2.4's shared-exchange discipline applied to a
+      // shared scan); freed as soon as the round's checkpoints land
+      val exsh = posShingles(cur).cache()
+      val pick = exsh
+        .groupBy(col("bigr").as("pair")).agg(count(lit(1)).as("pair_count"))
         .orderBy(col("pair_count").desc, col("pair").asc)
         .limit(1)
         .localCheckpoint(true)
-      val (applied, rebuilt) = bpeApplyRound(cur, pick)
+      val (applied, rebuilt) = bpeApplyRound(cur, pick, Some(exsh))
+      exsh.unpersist(false) // applied/rebuilt are already checkpointed
       stats :+= pick
         .crossJoin(applied.agg(count(lit(1)).as("merges_applied")))
         .crossJoin(rebuilt.agg(sum(size(col("tok"))).as("tokens_after")))
