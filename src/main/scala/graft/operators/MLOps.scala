@@ -853,19 +853,19 @@ object MLOps {
   // ---------------------------------------------------------------
 
   /** Exact driver twin of a double's DECIMAL(38,12) cast. */
-  private def dec12(d: Double): java.math.BigDecimal =
+  private[graft] def dec12(d: Double): java.math.BigDecimal =
     java.math.BigDecimal.valueOf(d).setScale(12, java.math.RoundingMode.HALF_UP)
 
   /** Exact driver twin of [[dsum12]] (decimal-exact sum, one final
     * double rounding). Order-free by construction.
     */
-  private def dsum12Local(xs: Iterable[Double]): Double =
+  private[graft] def dsum12Local(xs: Iterable[Double]): Double =
     xs.foldLeft(java.math.BigDecimal.ZERO)((a, x) => a.add(dec12(x))).doubleValue
 
   /** Driver twin of [[graft.functions.TextFns.h60]] (md5 → first 15
     * hex digits → long), used only for the ±1 sign init.
     */
-  private def h60Local(str: String): Long = {
+  private[graft] def h60Local(str: String): Long = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val hex = md.digest(str.getBytes("UTF-8")).map("%02x".format(_)).mkString
     java.lang.Long.parseLong(hex.substring(0, 15), 16)
@@ -874,7 +874,7 @@ object MLOps {
   /** The md5 ±1 sign init both trainers seed from — driver twin of
     * `WHEN h60(t || ',' || j || 'v') % 2 = 0 THEN 1 ELSE -1`.
     */
-  private def signLocal(t: Int, j: Int): Double =
+  private[graft] def signLocal(t: Int, j: Int): Double =
     if (h60Local(s"$t,${j}v") % 2 == 0) 1.0 else -1.0
 
   /** [[LearnIters]] rounds of subspace iteration (G·V + modified

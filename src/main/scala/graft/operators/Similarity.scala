@@ -190,11 +190,11 @@ object Similarity {
     if (top == 1)
       // top-1 as a partially-aggregable min(struct(−score, cell)):
       // selects exactly the window's (score DESC, cell ASC) winner —
-      // double negation is an exact sign flip and orders inversely —
-      // while replacing the corpus-sized per-vector sort exchange with
-      // a map-side-combinable aggregate (guide §2.3/§2.4: aggregate
-      // before the shuffle, no sort). Used by every training-round
-      // assignment; the top>1 probe/index paths keep the rank window.
+      // double negation is an exact sign flip and orders inversely.
+      // TopKRewrite already turned the rank-1 window into a bounded
+      // aggregate; this states the single-winner reduction directly
+      // (plain min, no typed top-k buffer, no rewrite-rule
+      // dependence). The top>1 probe/index paths keep the rank window.
       scores.groupBy(col("vec_id"))
         .agg(min(struct(negate(col("score")), col("cell"))).as("b"))
         .select(col("vec_id"), col("b.cell").as("cell"))
@@ -368,8 +368,16 @@ object Similarity {
     * the cheapest formulation while the corpus fits comfortably in a
     * scan (8 queries × n candidates).
     */
-  private[graft] def bruteTopk(s: SparkSession, d: String): DataFrame = {
-    val el = elems(s, d).cache()
+  private[graft] def bruteTopk(s: SparkSession, d: String): DataFrame =
+    bruteTopkOf(elems(s, d).cache())
+
+  /** [[bruteTopk]] over a caller-cached element frame — q195 shares
+    * ONE cached scan/explode/repartition pipeline between its PQ arm
+    * and this exact arm instead of building two independent caches of
+    * the same elements (extra caller columns, e.g. pqElems' `m`, are
+    * pruned by Catalyst).
+    */
+  private[graft] def bruteTopkOf(el: DataFrame): DataFrame = {
     val q = el.filter(col("vec_id") < 8)
     val dots = q.as("a")
       .join(el.as("b"), col("a.pos") === col("b.pos") && col("a.vec_id") =!= col("b.vec_id"))
@@ -534,10 +542,12 @@ object Similarity {
       .groupBy(col("vec_id"), col("m"), col("c"))
       .agg(sum(((col("x") - col("cx")) * (col("x") - col("cx"))).cast(Acc)).as("dist"))
       // argmin as min(struct(dist, c)) — identical (dist ASC, c ASC)
-      // winner to the former rank-1 window, but partially aggregable:
-      // the PqK-way candidate rows combine map-side and the per-
-      // (vector, subspace) sort exchange disappears from every
-      // training round and encode pass (guide §2.3/§2.4)
+      // winner to the former rank-1 window. TopKRewrite was already
+      // rewriting that window into a bounded graft_top_k aggregate, so
+      // the exchange count is unchanged; the declarative min(struct)
+      // states the single-winner reduction directly (plain partial-
+      // aggregable min, no typed top-k buffer, no rewrite-rule
+      // dependence) — r17 A/B 4.65 → 4.38 s, within session noise
       .groupBy(col("vec_id"), col("m"))
       .agg(min(struct(col("dist"), col("c"))).as("b"))
       .select(col("vec_id"), col("m"), col("b.c").as("c"))
@@ -1131,8 +1141,13 @@ object Similarity {
     Q(
       "q195_pq_certificate",
       (s, d) => {
-        val pq = pqTopk(s, d).select(col("query_id"), col("cand_id"))
-        val ex = bruteTopk(s, d)
+        // ONE cached element pipeline feeds BOTH arms (formerly pqTopk
+        // and bruteTopk each cached their own scan/explode/repartition)
+        val el = pqElems(s, d).cache()
+        val cent = pqTrain(el)
+        val pq = pqAdcTopk(el, cent, pqAssign(el, cent))
+          .select(col("query_id"), col("cand_id"))
+        val ex = bruteTopkOf(el)
           .select(col("query_id").as("eq"), col("cand_id").as("ec"))
         pq.join(ex,
             col("query_id") === col("eq") && col("cand_id") === col("ec"), "left")

@@ -194,4 +194,45 @@ class MLGateSpec extends SparkSpec {
     val per = rows.filter(_.getInt(0) >= 0)
     assert(per.map(_.getLong(1)).sum == pts.length, "per-cluster counts must cover every part")
   }
+
+  test("driver-side training arithmetic is bit-identical to Spark's decimal(38,12) path") {
+    // The r17 optimization moved the q58/q140 training rounds onto the
+    // driver (MLOps.subspaceIterLocal); the equivalence claim is that
+    // dec12/dsum12Local replay cast(double AS DECIMAL(38,12)) → SUM →
+    // cast(double) EXACTLY. Pin it on adversarial values: 12-dp ties
+    // (HALF_UP direction), shortest-repr vs binary-expansion
+    // separators, negatives, denormal-ish magnitudes, sign flips.
+    val grids: Seq[Seq[Double]] = Seq(
+      Seq(0.1, 0.2, 0.3, -0.7, 1e-13, -1e-13),
+      Seq(1.0000000000005, -2.0000000000015, 0.0000000000025), // 12-dp ties
+      Seq(math.Pi, -math.E, 1.0 / 3.0, -2.0 / 3.0, 0.1 + 0.2),
+      Seq(-0.0, 0.0, 4.9e-324, -4.9e-324),
+      (1 to 50).map(i => math.sin(i.toDouble) / 7.0),
+      Seq(123456.789012345678, -98765.432109876543))
+    import org.apache.spark.sql.functions._
+    grids.zipWithIndex.foreach { case (g, i) =>
+      val sparkSum = spark.createDataFrame(
+        spark.sparkContext.parallelize(g.map(Tuple1(_)), 3))
+        .toDF("x")
+        .agg(sum(col("x").cast(org.apache.spark.sql.types.DecimalType(38, 12)))
+          .cast("double")).collect()(0).getDouble(0)
+      val localSum = MLOps.dsum12Local(g)
+      assert(java.lang.Double.doubleToLongBits(sparkSum)
+        == java.lang.Double.doubleToLongBits(localSum),
+        s"grid $i: spark dsum12 $sparkSum != driver dsum12Local $localSum")
+    }
+    // h60/sign twin: the md5-derived ±1 init must match TextFns.h60
+    val ts = Seq(1, 7, 7990, 8021); val js = 1 to 4
+    val sparkSigns = spark.createDataFrame(
+      spark.sparkContext.parallelize(for (t <- ts; j <- js) yield (t, j), 2))
+      .toDF("t", "j")
+      .select(col("t"), col("j"),
+        when(graft.functions.TextFns.h60(concat(
+          col("t").cast("string"), lit(","), col("j").cast("string"), lit("v"))) % 2 === 0,
+          lit(1.0)).otherwise(lit(-1.0)).as("v"))
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+    for (t <- ts; j <- js)
+      assert(MLOps.signLocal(t, j) == sparkSigns((t, j)),
+        s"sign($t,$j): driver ${MLOps.signLocal(t, j)} != spark ${sparkSigns((t, j))}")
+  }
 }
